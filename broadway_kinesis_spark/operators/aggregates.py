@@ -1,0 +1,211 @@
+"""Aggregation operators (SURVEY.md §2.B "Agg" rows).
+
+All hash aggregates: ``df.groupBy(...).agg(...)`` → Catalyst plans a
+partial (map-side) HashAggregate, a shuffle on the grouping keys, and a
+final HashAggregate — the scalable two-phase plan; nothing to hand-roll.
+Double sums/avgs use the decimal-stabilized helpers from
+:mod:`broadway_kinesis_spark.functions.numeric` so the value-hash is
+engine- and plan-order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from broadway_kinesis_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from broadway_kinesis_spark.registry import query
+from broadway_kinesis_spark.session import load
+
+_CUTOFF = "2000-09-02 00:00:00"
+
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_dsum("l_extendedprice", "sum_base_price")},
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+           {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+           {sql_davg("l_quantity", "avg_qty")},
+           {sql_davg("l_extendedprice", "avg_price")},
+           {sql_davg("l_discount", "avg_disc")},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pricing summary (TPC-H Q1 shape) over ``lineitem``.
+
+    Scan → pushed-down timestamp filter → two-phase hash aggregate on the
+    2-value (returnflag, linestatus) keys → sort. At 100 TB the map-side
+    partial agg collapses each input partition to ≤6 rows before the
+    shuffle, so the exchange is trivially small regardless of input size.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    disc = F.col("l_discount")
+    tax = F.col("l_tax")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit(_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(price, "sum_base_price"),
+            dsum(price * (1 - disc), "sum_disc_price"),
+            dsum(price * (1 - disc) * (1 + tax), "sum_charge"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(price, "avg_price"),
+            davg(disc, "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(DISTINCT o_orderpriority) AS n_prios,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Catalyst expands to a two-level aggregate (Expand +
+    partial distinct per key) so the distinct set never centralizes."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderpriority").alias("n_prios"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("agg_approx_distinct")  # approximate → rows-only check (no exact oracle)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch (`approx_count_distinct`) — the 100 TB-scale
+    swap-in for exact distinct: fixed-size sketch, single pass, mergeable."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_custs"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT n_name, o_orderstatus, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,8))), 2) AS DOUBLE) AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, o_orderstatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over a star join — Expand node feeds one shuffle; grouping-set
+    rows share the same two-phase aggregate."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return joined.rollup("n_name", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,8))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets on lineitem flags."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_quantity"), "sum_qty"),
+    )
+
+
+@query(
+    "agg_filtered_first_last",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,8))) FILTER (WHERE l_tax > 0.04), 2) AS DOUBLE) AS taxed_price,
+           MIN(l_shipdate) AS first_ship,
+           MAX(l_shipdate) AS last_ship
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_filtered_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregates (agg-level predicates) + min/max over timestamps."""
+    l = load(spark, sf_dir, "lineitem")
+    dec = "decimal(38,8)"
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.round(F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice").cast(dec))), 2).cast("double").alias("taxed_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           list_sort(list(DISTINCT c_nationkey)) AS nation_keys
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → sorted array so the value-hash is order-independent."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.sort_array(F.collect_set("c_nationkey")).alias("nation_keys"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+           ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance + exact interpolated percentiles.
+
+    Rounded (not decimal-stabilized): variance merging is inherently
+    order-sensitive at ~1e-12 relative — rounding to 6 dp absorbs it.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+    )

@@ -1,0 +1,98 @@
+"""SparkSession factory and table loading.
+
+The driver harness passes its own ``SparkSession`` into each query; we never
+assume we built it. ``tune()`` applies the runtime-settable knobs every query
+needs for deterministic, scale-ready plans; ``build_session()`` is for local
+tests / bench runs.
+
+Scale posture: AQE on (runtime join re-selection, skew splitting, partition
+coalescing), UTC session time so timestamp semantics match the naive-UTC
+parquet fixtures, and Arrow enabled for any pandas-UDF path. Shuffle
+partitions are left to AQE coalescing rather than hand-tuned per scale
+factor — at 100 TB the initial number comes from cluster config, and AQE
+right-sizes each exchange at runtime.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+_TUNED_SESSIONS: set[int] = set()
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable session conf a query relies on (idempotent).
+
+    Only confs settable after session start are touched, so this is safe on
+    a session the driver owns.
+    """
+    key = id(spark)
+    if key in _TUNED_SESSIONS:
+        return spark
+    conf = {
+        # Naive-UTC timestamps end-to-end: parquet fixtures are written
+        # timezone-less, the DuckDB oracle is timezone-less, so the session
+        # must not re-interpret walls-clock values.
+        "spark.sql.session.timeZone": "UTC",
+        # AQE: runtime re-planning (join strategy switch, skew-join split,
+        # shuffle-partition coalescing). Core of the 100 TB posture.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Arrow batches for any pandas UDF / toPandas path.
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }
+    for k, v in conf.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # A conf locked by the driver's session is non-fatal.
+            pass
+    _TUNED_SESSIONS.add(key)
+    return spark
+
+
+def build_session(app_name: str = "broadway-kinesis-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Local session for tests/bench: ``local[$SPARK_GRAFT_CPUS]`` (default all cores)."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    _TUNED_SESSIONS.add(id(spark))
+    return spark
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table (parquet scan; schema from footer).
+
+    Declarative scan so Catalyst keeps predicate pushdown / column pruning /
+    partition pruning available to whatever plan consumes it.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
