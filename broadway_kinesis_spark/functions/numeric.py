@@ -54,6 +54,25 @@ def davg(col: Column, alias: str) -> Column:
     return (num / F.count(F.lit(1))).alias(alias)
 
 
+def dround(col: Column, scale: int = 2) -> Column:
+    """Engine-portable ROUND for money-like doubles.
+
+    ``ROUND(double, 2)`` itself diverges between engines on 3-4-decimal
+    inputs: Spark rounds the *shortest decimal representation* (36324.145 →
+    .15 via BigDecimal.valueOf) while DuckDB rounds the *binary value*
+    (36324.14499… → .14). Casting to a scale-6 decimal first recovers the
+    exact decimal value in both engines (tie-free, per the module note),
+    and decimal-domain rounding (HALF_UP vs half-away — identical for
+    positives, and on exact ties) then agrees everywhere.
+    """
+    return F.round(col.cast("decimal(38,6)"), scale).cast("double")
+
+
+def sql_dround(expr: str, scale: int = 2) -> str:
+    """Oracle-SQL twin of :func:`dround` (DuckDB)."""
+    return f"CAST(ROUND(CAST({expr} AS DECIMAL(38,6)), {scale}) AS DOUBLE)"
+
+
 def sql_dsum(expr: str, alias: str) -> str:
     """Oracle-SQL twin of :func:`dsum` (DuckDB)."""
     return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(38,{_SCALE}))), {_OUT_SCALE}) AS DOUBLE) AS {alias}"

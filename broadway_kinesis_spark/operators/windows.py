@@ -1,1 +1,143 @@
-"""Placeholder — populated in subsequent commits."""
+"""Window-function operators (SURVEY.md §2.B "Window" rows).
+
+``Window.partitionBy(...).orderBy(...)`` — one shuffle on the partition
+keys, then a per-partition sort; Spark's WindowExec streams frames without
+materializing the whole partition where the frame allows. Determinism
+rules for the oracle hash: ranking orders always end in a unique key
+tiebreak; running doubles go through decimal stabilization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from broadway_kinesis_spark.registry import query
+from broadway_kinesis_spark.session import load
+
+_DEC = "decimal(38,8)"
+
+
+@query(
+    "window_ranking",
+    oracle="""
+    SELECT p_partkey, p_brand, p_size,
+           RANK()        OVER (PARTITION BY p_brand ORDER BY p_size) AS rnk,
+           DENSE_RANK()  OVER (PARTITION BY p_brand ORDER BY p_size) AS drnk,
+           ROW_NUMBER()  OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS rn,
+           NTILE(4)      OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS quartile
+    FROM part
+    WHERE p_size <= 10
+    """,
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank over a tie-heavy ordering (deterministic for ties);
+    row_number/ntile get a unique-key tiebreak so output is stable."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    by_size = Window.partitionBy("p_brand").orderBy("p_size")
+    stable = Window.partitionBy("p_brand").orderBy("p_size", "p_partkey")
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.rank().over(by_size).alias("rnk"),
+        F.dense_rank().over(by_size).alias("drnk"),
+        F.row_number().over(stable).alias("rn"),
+        F.ntile(4).over(stable).alias("quartile"),
+    )
+
+
+@query(
+    "window_analytic",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           LAG(o_totalprice)  OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first/last over an explicit frame. Doubles pass through
+    unchanged (no arithmetic) so no stabilization needed."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(full).alias("last_order"),
+    )
+
+
+@query(
+    "window_running",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,8))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS running_total,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,8))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+             / COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_3
+    FROM events
+    WHERE user_id <= 20
+    """,
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + 3-row moving average (frame-bounded running aggs).
+
+    Decimal-stabilized: window sums accumulate in a different order in
+    DuckDB (segment tree) than Spark (streaming frame) — exact decimal
+    addition makes both identical.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last3 = w.rowsBetween(-2, Window.currentRow)
+    dec_val = F.col("value").cast(_DEC)
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(F.sum(dec_val).over(running), 4).cast("double").alias("running_total"),
+        (F.round(F.sum(dec_val).over(last3), 4).cast("double") / F.count(F.lit(1)).over(last3)).alias(
+            "moving_avg_3"
+        ),
+    )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 5
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number ≤ k — the scalable top-k: partial
+    top-k per partition before the shuffle (Spark pushes the rank filter
+    into a WindowGroupLimit), never a global sort."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )

@@ -56,6 +56,10 @@ def tune(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.skewJoin.enabled": "true",
         # Arrow batches for any pandas UDF / toPandas path.
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # events.parquet stores TIMESTAMP(NANOS) which Spark rejects by
+        # default; read as raw nanos and convert in load() (ns → µs floor,
+        # matching DuckDB's truncation).
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
     }
     for k, v in conf.items():
         try:
@@ -78,6 +82,7 @@ def build_session(app_name: str = "broadway-kinesis-spark", shuffle_partitions: 
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
@@ -95,4 +100,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # nanosAsLong surfaces ts as raw INT64 nanos; truncate to µs with
+        # integer division (exact — a double division would lose precision
+        # at 1.7e18) to match DuckDB's ns→µs truncation.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
