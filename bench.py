@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` is total wall-clock seconds across the headline queries (one shared
+tuned SparkSession, results fully materialized via collect()). Per the
+BASELINE.md contract the bar is "within 2x of DuckDB wall-clock on the same
+SQL over the same parquet", so when run with SPARK_GRAFT_BENCH_DUCKDB=1 the
+same oracle SQL is timed in DuckDB and reported under "duckdb_queries" for
+local comparison (extra keys; driver reads metric/value/unit/queries/sf).
+
+Spark JVM startup is excluded (session built before timing); per-query time
+includes plan + execution + fetch, which is what a user of the engine sees.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from broadway_kinesis_spark import registry as _registry  # noqa: E402
+from broadway_kinesis_spark.session import build_session  # noqa: E402
+
+# Headline set: the queries that exercise the scale-critical paths —
+# full-table agg, shuffled + broadcast joins, window/top-k, rollup,
+# set ops, dedup, and the LLM-pipeline ops. Names absent from the
+# registry (not yet implemented) are skipped so bench never breaks
+# mid-build.
+HEADLINE = [
+    "pricing_summary",
+    "join_inner",
+    "join_broadcast",
+    "join_theta",
+    "agg_rollup",
+    "agg_distinct_counts",
+    "window_topk_per_group",
+    "window_running",
+    "setops_except",
+    "dedup_exact_rows",
+    "dedup_minhash_lsh",
+    "similarity_topk_cosine",
+    "text_token_stats",
+    "asof_join",
+    "stream_tumbling_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    queries = _registry.queries()
+    oracles = _registry.oracle_sql()
+    names = [n for n in HEADLINE if n in queries]
+
+    spark = build_session("bench")
+    # Warm the JVM/codegen paths once so q1 doesn't pay first-query setup.
+    queries[names[0]](spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).collect()
+        per_query[name] = round(time.perf_counter() - t0, 4)
+
+    out = {
+        "metric": "headline_query_wall_clock",
+        "value": round(sum(per_query.values()), 4),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_val,
+    }
+
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB"):
+        import duckdb
+
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem events documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        duck: dict[str, float] = {}
+        for name in names:
+            if name not in oracles:
+                continue
+            t0 = time.perf_counter()
+            con.execute(oracles[name]).fetchall()
+            duck[name] = round(time.perf_counter() - t0, 4)
+        out["duckdb_queries"] = duck
+        out["duckdb_total"] = round(sum(duck.values()), 4)
+
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
