@@ -1,1 +1,103 @@
-"""Placeholder — populated in subsequent commits."""
+"""As-of join (SURVEY.md §2.B "Join: as-of").
+
+Spark has no native ASOF JOIN (DuckDB does — the oracle uses it). The
+scalable re-expression used here is the *union-merge* trick:
+
+1. tag both sides and union them on (key, event-time, tag);
+2. one window pass per key ordered by (time, tag) carries the most recent
+   right-side row forward with ``last(..., ignorenulls=True)``;
+3. keep only left-side rows.
+
+Cost model at 100 TB: exactly one shuffle (hash-partition by key) plus an
+in-partition sort — identical to the sort-merge join Spark would run for a
+plain equi-join, and crucially NOT the range-join explosion you get from
+``l.t >= r.t`` as a join predicate (which Catalyst plans as BroadcastNestedLoop
+/ cartesian-per-key: quadratic in events-per-key).
+
+Tie semantics match DuckDB ``ASOF JOIN ... ON l.k = r.k AND l.t >= r.t``:
+a right row at exactly l.t is eligible (right tag sorts before left tag at
+equal time), and the right side is pre-deduplicated to one row per (key,
+time) — ``max(event_id)`` wins — so the match is deterministic in both
+engines.
+
+Event-time is compared as integer epoch-microseconds on BOTH sides
+(``unix_micros`` / ``epoch_us``): the parquet fixture stores TIMESTAMP(NS),
+which Spark floors to µs at load while DuckDB keeps ns — comparing raw
+timestamps would let a sub-µs residue flip an `>=` at the boundary.
+
+Reference parity note: the reference (mbta/broadway_kinesis) has no joins at
+all — `SURVEY.md §2.B` marks this row [TGT], required by the driver harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from broadway_kinesis_spark.registry import query
+from broadway_kinesis_spark.session import load
+
+
+@query(
+    "asof_join",
+    oracle="""
+    WITH v AS (
+        SELECT user_id AS k, epoch_us(ts) AS t,
+               MAX(event_id) AS view_id,
+               ARG_MAX(value, event_id) AS view_value
+        FROM events
+        WHERE event_type = 'view'
+        GROUP BY 1, 2
+    ), p AS (
+        SELECT user_id, epoch_us(ts) AS t, event_id AS purchase_id
+        FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, p.t AS purchase_us, v.view_id, v.view_value
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.k AND p.t >= v.t
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase event, the most recent view event at-or-before it
+    by the same user (nearest-earlier match per key) — left as-of join."""
+    ev = load(spark, sf_dir, "events")
+
+    view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(
+            F.col("user_id").alias("k"),
+            F.unix_micros("ts").alias("t"),
+        )
+        .agg(
+            F.max("event_id").alias("view_id"),
+            F.max_by("value", "event_id").alias("view_value"),
+        )
+        .select("k", "t", F.lit(0).alias("tag"), F.lit(None).cast("long").alias("purchase_id"), "view_id", "view_value")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"),
+        F.unix_micros("ts").alias("t"),
+        F.lit(1).alias("tag"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("long").alias("view_id"),
+        F.lit(None).cast("double").alias("view_value"),
+    )
+
+    merged = view.unionByName(purch)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("m_view_id", F.last("view_id", ignorenulls=True).over(w))
+        .withColumn("m_view_value", F.last("view_value", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select(
+            "purchase_id",
+            F.col("k").alias("user_id"),
+            F.col("t").alias("purchase_us"),
+            F.col("m_view_id").alias("view_id"),
+            F.col("m_view_value").alias("view_value"),
+        )
+    )
