@@ -1,1 +1,280 @@
-"""Placeholder — populated in subsequent commits."""
+"""Similarity search over `embeddings.embedding` (SURVEY.md §2.B "LLM ops").
+
+Four operators, from exact baseline to the 100 TB scale path:
+
+- ``similarity_topk_cosine``      — brute-force exact top-k (broadcast query set)
+- ``similarity_topk_cosine_pandas`` — same semantics through an Arrow-batched
+  pandas UDF (numpy matmul); the throughput path when Python is acceptable
+- ``similarity_ann_ivf``          — IVF-style: coarse partition (label) prunes
+  the candidate set; co-partitioned equi-join instead of a cross product
+- ``similarity_ann_lsh``          — sign-random-projection LSH: Rademacher
+  (±1) hyperplanes derived from md5 bucket the vectors; search within bucket
+
+Cross-engine exactness: cosine is computed as ``dot / (sqrt(nq) * sqrt(nc))``
+with the dot product folded **sequentially in index order in float64** on both
+sides — Spark ``aggregate(zip_with(...))`` and DuckDB
+``list_sum(list_transform(list_zip(...)))`` produce bitwise-identical doubles
+(verified empirically), so raw cosines hash identically and top-k ranking
+cannot diverge. Ties (duplicate vectors) break on candidate id in both plans.
+
+The LSH hyperplane matrix is data-independent: ±1 entries from the parity of
+``md5(f"rp:{j}:{i}")`` computed once at import (hashlib md5 == Spark md5 ==
+DuckDB md5) and embedded as literals into BOTH the Spark plan and oracle SQL.
+
+Scale posture: the query set is broadcast (no shuffle of the candidate side in
+the brute-force path); IVF/LSH turn the cross product into an equi-join on
+(cluster|bucket) — hash-partitioned both sides, AQE handles bucket skew; the
+window top-k compiles to WindowGroupLimit (partial top-k before the shuffle).
+
+Reference parity: the reference has no similarity ops ([TGT] rows in
+SURVEY.md §2.B; driver/BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from broadway_kinesis_spark.registry import query
+from broadway_kinesis_spark.session import load
+
+DIM = 64
+N_BITS = 8  # LSH: 8 sign bits -> 256 buckets
+K = 5
+N_QUERIES = 20  # fixed query-set size: vec_id < 20 at every sf
+
+
+def _rademacher_plane(j: int) -> list[float]:
+    """Deterministic ±1 hyperplane row j — parity of md5("rp:{j}:{i}")."""
+    return [
+        1.0 if int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[-1], 16) % 2 == 0 else -1.0
+        for i in range(DIM)
+    ]
+
+
+_PLANES = [_rademacher_plane(j) for j in range(N_BITS)]
+
+
+def _dot(a, b):  # sequential float64 fold, index order
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return f"list_sum(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]))"
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    v = F.col("embedding").cast("array<double>")
+    return df.select(F.col("vec_id"), v.alias("v"), F.sqrt(_dot(v, v)).alias("nrm"))
+
+
+_SQL_E = f"""
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt({_sql_dot('embedding::DOUBLE[]', 'embedding::DOUBLE[]')}) AS nrm
+    FROM embeddings
+"""
+
+
+@query(
+    "similarity_topk_cosine",
+    oracle=f"""
+    WITH e AS ({_SQL_E}),
+         q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES})
+    SELECT query_id, cand_id, cos_sim FROM (
+        SELECT query_id, cand_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, cand_id) AS rn
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   {_sql_dot('q.v', 'c.v')} / (q.nrm * c.nrm) AS cos_sim
+            FROM q CROSS JOIN e c
+            WHERE c.vec_id <> q.vec_id
+        )
+    ) WHERE rn <= {K}
+    """,
+)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-k cosine: broadcast the (small) query set
+    against every candidate; the candidate table is scanned once and never
+    shuffled until the per-query top-k."""
+    e = _with_norm(load(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= K).drop("rn")
+
+
+@query("similarity_topk_cosine_pandas")  # rows-only: numpy matmul sum order ≠ fold order
+def similarity_topk_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k through an Arrow-batched pandas UDF: the query
+    matrix rides into every task as a broadcast numpy array and each Arrow
+    batch of candidates is scored with one float64 matmul — the vectorized
+    Python path (~10-100x a row-at-a-time UDF). Registered rows-only: BLAS
+    reassociates the reduction, so the last ULP differs from the
+    fold-ordered oracle."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()  # bounded: N_QUERIES rows, never scales with the table
+    )
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    q_mat = np.array([r.v for r in qrows], dtype=np.float64)
+    q_nrm = np.linalg.norm(q_mat, axis=1)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm))
+
+    def score(batches):
+        ids, mat, nrm = bc.value
+        for pdf in batches:
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            c_nrm = np.linalg.norm(c_mat, axis=1)
+            sims = (c_mat @ mat.T) / np.outer(c_nrm, nrm)  # (batch, nq)
+            nq = len(ids)
+            out = pd.DataFrame(
+                {
+                    "query_id": np.tile(ids, len(c_ids)),
+                    "cand_id": np.repeat(c_ids, nq),
+                    "cos_sim": sims.reshape(-1),
+                }
+            )
+            yield out[out.query_id != out.cand_id]
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score, "query_id long, cand_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= K).drop("rn")
+
+
+@query(
+    "similarity_ann_ivf",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               sqrt({_sql_dot('embedding::DOUBLE[]', 'embedding::DOUBLE[]')}) AS nrm
+        FROM embeddings
+    ), q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES})
+    SELECT query_id, cand_id, cos_sim FROM (
+        SELECT query_id, cand_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, cand_id) AS rn
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   {_sql_dot('q.v', 'c.v')} / (q.nrm * c.nrm) AS cos_sim
+            FROM q JOIN e c ON q.label = c.label AND c.vec_id <> q.vec_id
+        )
+    ) WHERE rn <= {K}
+    """,
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: the coarse quantizer assigns each vector to a cluster (the
+    fixture's `label` column stands in for the centroid id); a query probes
+    only its own cluster. The cross product becomes an equi-join on the
+    cluster id — hash-partitioned on both sides, so each task scores one
+    cluster's worth of candidates."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    e = e.select("vec_id", "label", v.alias("v"), F.sqrt(_dot(v, v)).alias("nrm"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = e.join(
+        F.broadcast(q), (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("query_id"))
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= K).drop("rn")
+
+
+def _sql_plane_literal(j: int) -> str:
+    vals = ", ".join(str(x) for x in _PLANES[j])
+    return f"[{vals}]::DOUBLE[]"
+
+
+def _sql_bucket(v: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_sql_dot(v, _sql_plane_literal(j))} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_BITS)
+    )
+    return f"({bits})"
+
+
+def _bucket(v) -> F.Column:
+    bit_terms = [
+        F.when(_dot(v, F.array(*[F.lit(x) for x in _PLANES[j]])) > 0, F.lit(1 << j)).otherwise(0)
+        for j in range(N_BITS)
+    ]
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out
+
+
+@query(
+    "similarity_ann_lsh",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt({_sql_dot('embedding::DOUBLE[]', 'embedding::DOUBLE[]')}) AS nrm,
+               {_sql_bucket('embedding::DOUBLE[]')} AS bucket
+        FROM embeddings
+    ), q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES})
+    SELECT query_id, cand_id, cos_sim FROM (
+        SELECT query_id, cand_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, cand_id) AS rn
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   {_sql_dot('q.v', 'c.v')} / (q.nrm * c.nrm) AS cos_sim
+            FROM q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        )
+    ) WHERE rn <= {K}
+    """,
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH ANN: 8 Rademacher hyperplanes hash every
+    vector into one of 256 buckets; a query scores only its bucket. At scale
+    the bucket id is the join/partition key (add band repetition for recall);
+    candidate work per query drops by ~the bucket count."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    e = e.select(
+        "vec_id", v.alias("v"), F.sqrt(_dot(v, v)).alias("nrm"), _bucket(v).alias("bucket")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bucket").alias("qbucket"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = e.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= K).drop("rn")
