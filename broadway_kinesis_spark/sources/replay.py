@@ -148,6 +148,10 @@ class ReplayStreamReader(DataSourceStreamReader):
         # post-restart batches may lag (and replay) until the base catches
         # the checkpoint — at-least-once holds; leave maxRecordsPerBatch
         # unset if the sink cannot tolerate replays across restarts.
+        # NOTE: the base is advanced ONLY in partitions() (when a batch is
+        # actually planned) — Spark calls latestOffset more often than it
+        # plans batches (offset prefetch at start, idle polls), and advancing
+        # per call would let one batch span several caps' worth of events.
         out = {}
         base = getattr(self, "_last_end", None)
         for shard, fp in _shard_files(self.path).items():
@@ -158,10 +162,9 @@ class ReplayStreamReader(DataSourceStreamReader):
                 if at is None:
                     at = self._resolve_start(events)
                 n = min(n, at + self.max_per_batch)
+            if base and shard in base:
+                n = max(n, base[shard])
             out[shard] = n
-        if base:
-            out = {s: max(v, base.get(s, 0)) for s, v in out.items()}
-        self._last_end = out
         return out
 
     def partitions(self, start: dict, end: dict):
