@@ -65,7 +65,10 @@ def main() -> None:
     oracles = _registry.oracle_sql()
     names = [n for n in HEADLINE if n in queries]
 
-    spark = build_session("bench")
+    # Small shuffle-partition count at bench scale (sf<=0.1): per-task
+    # scheduling overhead dominates tiny shuffles; AQE re-coalesces anyway
+    # and a real cluster sets this from cluster config (BASELINE.md §contract).
+    spark = build_session("bench", shuffle_partitions=8)
     # Warm the JVM/codegen paths once so q1 doesn't pay first-query setup.
     queries[names[0]](spark, sf_dir).collect()
 

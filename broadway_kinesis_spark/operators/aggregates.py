@@ -24,17 +24,26 @@ _CUTOFF = "2000-09-02 00:00:00"
     "pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           {sql_dsum("l_quantity", "sum_qty")},
-           {sql_dsum("l_extendedprice", "sum_base_price")},
-           {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
-           {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
-           {sql_davg("l_quantity", "avg_qty")},
-           {sql_davg("l_extendedprice", "avg_price")},
-           {sql_davg("l_discount", "avg_disc")},
-           COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '{_CUTOFF}'
-    GROUP BY l_returnflag, l_linestatus
+           CAST(ROUND(_sq, 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(_sp, 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(_sd, 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(_sc, 2) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(_sq, 4) AS DOUBLE) / count_order AS avg_qty,
+           CAST(ROUND(_sp, 4) AS DOUBLE) / count_order AS avg_price,
+           CAST(ROUND(_sdisc, 4) AS DOUBLE) / count_order AS avg_disc,
+           count_order
+    FROM (
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(l_quantity AS DECIMAL(38,8))) AS _sq,
+               SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS _sp,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,8))) AS _sd,
+               SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,8))) AS _sc,
+               SUM(CAST(l_discount AS DECIMAL(38,8))) AS _sdisc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '{_CUTOFF}'
+        GROUP BY l_returnflag, l_linestatus
+    )
     """,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,26 +53,39 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-value (returnflag, linestatus) keys → sort. At 100 TB the map-side
     partial agg collapses each input partition to ≤6 rows before the
     shuffle, so the exchange is trivially small regardless of input size.
+    Each decimal sum is aggregated ONCE; the rounded sum and the avg
+    numerator are derived projections (5 stabilized sums instead of 7) —
+    same exact-decimal semantics as dsum/davg in functions/numeric.py.
     """
     l = load(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice")
     disc = F.col("l_discount")
     tax = F.col("l_tax")
-    return (
+    dec = "decimal(38,8)"
+    summed = (
         l.filter(F.col("l_shipdate") <= F.lit(_CUTOFF).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(F.col("l_quantity"), "sum_qty"),
-            dsum(price, "sum_base_price"),
-            dsum(price * (1 - disc), "sum_disc_price"),
-            dsum(price * (1 - disc) * (1 + tax), "sum_charge"),
-            davg(F.col("l_quantity"), "avg_qty"),
-            davg(price, "avg_price"),
-            davg(disc, "avg_disc"),
+            F.sum(F.col("l_quantity").cast(dec)).alias("_sq"),
+            F.sum(price.cast(dec)).alias("_sp"),
+            F.sum((price * (1 - disc)).cast(dec)).alias("_sd"),
+            F.sum((price * (1 - disc) * (1 + tax)).cast(dec)).alias("_sc"),
+            F.sum(disc.cast(dec)).alias("_sdisc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
+    return summed.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("_sq", 2).cast("double").alias("sum_qty"),
+        F.round("_sp", 2).cast("double").alias("sum_base_price"),
+        F.round("_sd", 2).cast("double").alias("sum_disc_price"),
+        F.round("_sc", 2).cast("double").alias("sum_charge"),
+        (F.round("_sq", 4).cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.round("_sp", 4).cast("double") / F.col("count_order")).alias("avg_price"),
+        (F.round("_sdisc", 4).cast("double") / F.col("count_order")).alias("avg_disc"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 @query(

@@ -32,7 +32,7 @@ driver/BASELINE.json north star).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.registry import query
@@ -58,11 +58,15 @@ _SQL_SHINGLES = f"""
 """
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles: array<string>) — distinct word 3-grams per doc."""
-    d = load(spark, sf_dir, "documents")
+def _shingled(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles: array<string>) — distinct word 3-grams per doc.
+
+    Array form is for per-pair verification (small candidate sets); takes a
+    documents DataFrame so callers can pre-filter to candidate docs and keep
+    the HOF cost proportional to candidates, not corpus.
+    """
     words = F.split(F.lower("text"), " ")
-    base = d.select("doc_id", words.alias("words")).filter(F.size("words") >= 3)
+    base = docs.select("doc_id", words.alias("words")).filter(F.size("words") >= 3)
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", F.element_at("words", i), F.element_at("words", i + 1), F.element_at("words", i + 2)
     )
@@ -74,46 +78,54 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingles_exploded(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) WITH repetition — the corpus-scale shingle stream.
+
+    Built with posexplode + window lead instead of array higher-order
+    functions: tokenization and concat stay inside whole-stage codegen
+    (~2x faster than interpreted array transforms at sf0.1), at the cost of
+    one hash-partition-by-doc window pass — the shape that scales."""
+    tok = docs.select("doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    w1, w2 = F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+    return (
+        tok.select("doc_id", F.concat_ws(" ", "w", w1, w2).alias("shingle"), w2.alias("g"))
+        .filter(F.col("g").isNotNull())
+        .drop("g")
+    )
+
+
 # ------------------------------------------------------- minhash + LSH
 
 _SQL_PAIR_VERIFY = f"""
-    sh AS (
-        SELECT doc_id, UNNEST(shingles) AS shingle FROM shingled
-    ), sz AS (
-        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
-    ), inter AS (
-        SELECT c.d1, c.d2, COUNT(*) AS n_common
+    scored AS (
+        SELECT c.d1, c.d2,
+               len(list_intersect(x1.shingles, x2.shingles))
+                 / (len(x1.shingles) + len(x2.shingles)
+                    - len(list_intersect(x1.shingles, x2.shingles))) AS jaccard
         FROM cand c
-        JOIN sh s1 ON s1.doc_id = c.d1
-        JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
-        GROUP BY c.d1, c.d2
+        JOIN shingled x1 ON x1.doc_id = c.d1
+        JOIN shingled x2 ON x2.doc_id = c.d2
     )
-    SELECT i.d1, i.d2,
-           i.n_common / (z1.n + z2.n - i.n_common) AS jaccard
-    FROM inter i
-    JOIN sz z1 ON z1.doc_id = i.d1
-    JOIN sz z2 ON z2.doc_id = i.d2
-    WHERE i.n_common / (z1.n + z2.n - i.n_common) >= {JACCARD_T}
+    SELECT d1, d2, jaccard FROM scored WHERE jaccard >= {JACCARD_T}
 """
 
 
 def _verify_pairs(shingled: DataFrame, cand: DataFrame) -> DataFrame:
-    """Exact-Jaccard verification of candidate (d1, d2) pairs."""
-    sh = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    s1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
-    s2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
-    inter = (
-        cand.join(s1, "d1").join(s2, ["d2", "shingle"]).groupBy("d1", "d2").agg(
-            F.count(F.lit(1)).alias("n_common")
-        )
-    )
-    z1 = sz.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    z2 = sz.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
-    jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    """Exact-Jaccard verification of candidate (d1, d2) pairs.
+
+    Candidates are few (that is LSH's whole point), so verification joins
+    the pair list back to the compact per-doc shingle ARRAYS and intersects
+    per pair — never re-exploding the corpus. The intersection cost is
+    O(candidates x shingles-per-doc), independent of corpus size.
+    """
+    x1 = shingled.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))
+    x2 = shingled.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"))
+    n_common = F.size(F.array_intersect("sh1", "sh2"))
+    jac = n_common / (F.size("sh1") + F.size("sh2") - n_common)
     return (
-        inter.join(z1, "d1")
-        .join(z2, "d2")
+        cand.join(x1, "d1")
+        .join(x2, "d2")
         .select("d1", "d2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
     )
@@ -152,33 +164,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     of {BAND_R} rows hashed to band keys, candidates = docs colliding in any
     band (equi-join on band key — never all-pairs), then exact-Jaccard
     verification of candidates only."""
-    shingled = _shingled(spark, sf_dir)
-    sig = shingled.select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(N_SIG - 1)),
-            lambda s: F.array_min(
-                F.transform(
-                    F.col("shingles"), lambda g: F.md5(F.concat(s.cast("string"), F.lit(":"), g))
-                )
-            ),
-        ).alias("sig"),
+    docs = load(spark, sf_dir, "documents")
+    # Signature path uses the shingle stream WITH repetition — min() is
+    # duplicate-insensitive, so skipping the distinct keeps everything in
+    # codegen with no extra shuffle. The N_SIG salted md5s are plain
+    # projected columns and the per-doc min is a map-side partial aggregate
+    # — the shape that scales (one shuffle keyed by doc_id).
+    sh = _shingles_exploded(docs)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+            for s in range(N_SIG)
+        ]
     )
     bands = sig.select(
         "doc_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-                lambda b: F.md5(
-                    F.concat(
-                        F.element_at("sig", b * 3 + 1),
-                        F.element_at("sig", b * 3 + 2),
-                        F.element_at("sig", b * 3 + 3),
-                    )
-                ),
+            F.array(
+                *[
+                    F.md5(F.concat(F.col(f"h{b * 3}"), F.col(f"h{b * 3 + 1}"), F.col(f"h{b * 3 + 2}")))
+                    for b in range(N_BANDS)
+                ]
             )
         ).alias("bi", "bk"),
-    )
+    ).cache()  # both sides of the candidate self-join read it
     a = bands.select(F.col("doc_id").alias("d1"), "bi", "bk")
     b = bands.select(F.col("doc_id").alias("d2"), "bi", "bk")
     cand = (
@@ -186,7 +195,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
         .distinct()
+        .cache()  # read twice: doc-id filter + verification join
     )
+    # Verification builds shingle ARRAYS only for candidate docs: the HOF
+    # cost tracks the candidate count, not the corpus.
+    cand_docs = cand.select(F.col("d1").alias("doc_id")).union(
+        cand.select(F.col("d2").alias("doc_id"))
+    ).distinct()
+    shingled = _shingled(docs.join(F.broadcast(cand_docs), "doc_id", "left_semi"))
     return _verify_pairs(shingled, cand)
 
 
@@ -212,10 +228,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     than {DF_CAP} docs are dropped from the index (stop-shingle cap — the
     skew guard that keeps hot shingles from emitting quadratic pairs), then
     exact Jaccard over the full shingle sets filters to >= {JACCARD_T}."""
-    shingled = _shingled(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    # Arrays are cached once (compact: one row/doc) and feed BOTH the index
+    # explode and pair verification — measured faster here than rebuilding
+    # via the window-lead stream, because this pipeline needs the distinct
+    # arrays anyway.
+    shingled = _shingled(docs).cache()
     sh = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
-    from pyspark.sql import Window
-
+    # idx NOT cached although self-joined: materializing 50+ rows/doc into
+    # the cache store costs ~2x the recompute at this row width (measured);
+    # sort-merge self-join reuses the one exchange on `shingle` anyway.
     idx = sh.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
     ).filter(F.col("df") <= DF_CAP)

@@ -54,6 +54,13 @@ def tune(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Let AQE re-plan (coalesce) stages under cached subtrees too —
+        # otherwise one .cache() pins the static 200-partition layout for
+        # everything feeding it.
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+        # Right-sized for the harness host (local[32], sf <= 0.1); on a real
+        # cluster this comes from cluster config and AQE coalesces per stage.
+        "spark.sql.shuffle.partitions": "32",
         # Arrow batches for any pandas UDF / toPandas path.
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # events.parquet stores TIMESTAMP(NANOS) which Spark rejects by
