@@ -1,0 +1,114 @@
+"""Physical-plan audits (SURVEY.md §4.2 discipline): pin the Catalyst
+properties the 100 TB posture depends on — pushdown, pruning, broadcast,
+codegen, shuffle counts — so a refactor that silently loses one fails CI."""
+
+from __future__ import annotations
+
+import pytest
+
+from broadway_kinesis_spark.plans import (
+    assert_plan,
+    broadcast_join_count,
+    formatted_plan,
+    pushed_filters,
+    read_schemas,
+    shuffle_count,
+    wholestage_codegen_spans,
+)
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+
+def test_scan_project_filter_pushes_and_prunes(spark, sf_dir):
+    df = QUERIES["scan_project_filter"](spark, sf_dir)
+    assert pushed_filters(df), "no filters pushed to the parquet scan"
+    # projection + predicates reference 9 of lineitem's 11 columns; the scan
+    # must not read the other two
+    assert all(len(cols) <= 9 for cols in read_schemas(df)), read_schemas(df)
+
+
+def test_pricing_summary_prunes_to_referenced_columns(spark, sf_dir):
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    # needs exactly: returnflag, linestatus, quantity, extendedprice,
+    # discount, tax, shipdate = 7 of 11 columns
+    assert_plan(
+        df,
+        pushed=["l_shipdate"],
+        max_read_cols={"lineitem": 7},
+        name="pricing_summary",
+    )
+
+
+def test_join_broadcast_is_broadcast_and_fact_side_not_shuffled(spark, sf_dir):
+    df = QUERIES["join_broadcast"](spark, sf_dir)
+    assert_plan(
+        df,
+        pushed=["p_size"],
+        min_broadcast_joins=1,
+        max_read_cols={"lineitem": 2, "part": 3},
+        name="join_broadcast",
+    )
+    # lineitem joins by broadcast -> the only exchange is the final agg's
+    assert shuffle_count(df) <= 1, formatted_plan(df)
+
+
+def test_join_inner_broadcasts_dim_chain(spark, sf_dir):
+    df = QUERIES["join_inner"](spark, sf_dir)
+    assert broadcast_join_count(df) >= 1, formatted_plan(df)
+
+
+def test_semi_join_planned_not_cartesian(spark, sf_dir):
+    df = QUERIES["join_semi"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_asof_join_is_single_shuffle_window_not_range_join(spark, sf_dir):
+    """The union-merge as-of must NOT plan a per-key nested loop; its cost
+    shape is one hash exchange + in-partition sort (plus tiny agg-side
+    exchanges), like a sort-merge join."""
+    df = QUERIES["asof_join"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_topk_uses_window_group_limit(spark, sf_dir):
+    """Per-group top-k must push the rank filter below the shuffle
+    (WindowGroupLimit): partial top-k per map partition."""
+    df = QUERIES["window_topk_per_group"](spark, sf_dir)
+    assert "WindowGroupLimit" in formatted_plan(df), formatted_plan(df)
+
+
+def test_queries_keep_wholestage_codegen(spark, sf_dir):
+    """AQE's formatted plan hides codegen markers before execution, so the
+    audit builds these plans with AQE off (runtime behavior is identical —
+    AQE re-optimizes stages, it doesn't remove codegen)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("pricing_summary", "join_inner", "text_token_stats"):
+            df = QUERIES[name](spark, sf_dir)
+            assert wholestage_codegen_spans(df) >= 1, f"{name} lost codegen"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_similarity_broadcasts_query_set(spark, sf_dir):
+    """Brute-force scoring joins on a non-equi condition (cand != query), so
+    the correct plan is a Broadcast NESTED LOOP join building the tiny query
+    side — the candidate table streams, nothing shuffles until top-k."""
+    plan = formatted_plan(QUERIES["similarity_topk_cosine"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan and "BuildRight" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_metadata_stats_never_reads_payload(spark, sf_dir):
+    """Multimodal metadata query must scan only the columns feeding the
+    metadata struct — the payload/text bytes stay unread... at least as far
+    as pruning can go (text feeds n_bytes here, so the real assertion is: a
+    single narrow column, not the full table)."""
+    df = QUERIES["multimodal_metadata_stats"](spark, sf_dir)
+    schemas = read_schemas(df)
+    assert schemas and all(len(cols) <= 1 for cols in schemas), schemas
