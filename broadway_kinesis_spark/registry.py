@@ -76,6 +76,7 @@ def _load_all_modules() -> None:
         textops,
         windows,
     )
+    from broadway_kinesis_spark.functions import udfs  # noqa: F401
     from broadway_kinesis_spark.streaming import batch_twins  # noqa: F401
 
 
