@@ -72,11 +72,26 @@ def _scan(file_path: str) -> list[dict]:
         return [json.loads(line) for line in f if line.strip()]
 
 
+class KinesisReplayException(RuntimeError):
+    """Typed stream exception — replay twin of the reference's
+    `:message-type "exception"` dispatch (`subscribe_to_shard.ex:329-337`):
+    the exception type rides in a header, the message in the body."""
+
+    def __init__(self, exception_type: str, message: str):
+        super().__init__(f"{exception_type}: {message}")
+        self.exception_type = exception_type
+
+
 def _open_events(events: list[dict]) -> list[dict]:
-    """Events before the shard-close sentinel (null continuation = EOF, A7)."""
+    """Events before the shard-close sentinel (null continuation = EOF, A7).
+
+    Exception events ({"ExceptionType": ..., "message": ...}) stay in the
+    stream — they surface when read() crosses them, not during offset
+    resolution — and do not terminate the scan the way a close sentinel does.
+    """
     out = []
     for ev in events:
-        if ev.get("ContinuationSequenceNumber") is None:
+        if "ExceptionType" not in ev and ev.get("ContinuationSequenceNumber") is None:
             break
         out.append(ev)
     return out
@@ -185,6 +200,16 @@ class ReplayStreamReader(DataSourceStreamReader):
     def read(self, partition: _ShardSlice):
         events = _open_events(_scan(partition.file_path))
         for ev in events[partition.start : partition.end]:
+            if "ExceptionType" in ev:
+                # A5/A10: typed stream exception -> raise; Spark's task retry
+                # and query restart are the engine's retry loop. A replay
+                # fixture's exception is persistent by construction, so the
+                # query fails deterministically — that's the point (tests
+                # the error path); the live source classifies and retries
+                # transient errors instead (kinesis_efo._call_with_retry).
+                raise KinesisReplayException(
+                    ev["ExceptionType"], ev.get("message", "")
+                )
             csn = ev.get("ContinuationSequenceNumber")
             millis = ev.get("MillisBehindLatest")
             for rec in ev.get("Records", []):

@@ -218,6 +218,24 @@ def test_restart_resumes_from_checkpoint_not_starting_position(sparkr, tmp_path)
     ]
 
 
+def test_mid_stream_exception_surfaces_typed_error(sparkr, tmp_path):
+    """Exception message mid-stream -> typed error fails the query
+    (subscribe_to_shard_test.exs:191-203); offsets for the failed batch
+    never commit, so a fixed stream resumes before the poison event."""
+    d = str(tmp_path)
+    write_shard(
+        d,
+        "s",
+        [
+            ev(1, b"ok"),
+            {"ExceptionType": "ResourceInUseException", "message": "Another active subscription"},
+            ev(2, b"never-delivered"),
+        ],
+    )
+    with pytest.raises(Exception, match="ResourceInUseException"):
+        run_stream(sparkr, d)
+
+
 def test_events_without_records_advance_cursor_silently(sparkr, tmp_path):
     """Continuation-only events advance the checkpoint cursor without
     emitting rows (subscribe_to_shard.ex:343-354)."""
