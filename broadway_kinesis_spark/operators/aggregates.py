@@ -231,3 +231,25 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,8))), 2) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint one-dimensional marginals + grand
+    total) through Spark SQL — same Expand-then-aggregate physical shape as
+    rollup/cube, one shuffle for all sets."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,8))), 2) AS DOUBLE) AS total_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)

@@ -342,3 +342,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, (F.col("label") == F.col("label2")) & (F.col("vec1") < F.col("vec2")))
     cos = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
     return pairs.select("vec1", "vec2", cos.alias("cos_sim")).filter(F.col("cos_sim") >= COS_T)
+
+
+@query(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT doc_id, text_md5, n_dups FROM (
+        SELECT doc_id, md5(text) AS text_md5,
+               COUNT(*) OVER (PARTITION BY md5(text)) AS n_dups
+        FROM documents
+    )
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup by hash (the cheapest dedup tier): md5 of the
+    full text as the grouping key — at 100 TB the hash (16 bytes) shuffles
+    instead of the document bodies, which is the entire point of hashing
+    before grouping. `n_dups > 1` marks exact-duplicate clusters."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5("text").alias("text_md5")).withColumn(
+        "n_dups", F.count(F.lit(1)).over(Window.partitionBy("text_md5"))
+    )

@@ -251,3 +251,59 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(low, F.lit(_BPE_PAT), F.lit(0))).alias("n_re_tokens"),
         F.length("text").alias("n_chars"),
     )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, token FROM (
+            SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token
+            FROM documents WHERE doc_id < 50
+        )
+    ), doclen AS (
+        SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tfn FROM tok GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS dfn FROM tok GROUP BY token
+    ), n AS (
+        SELECT COUNT(*) AS nd FROM doclen
+    )
+    SELECT doc_id, token, score FROM (
+        SELECT tf.doc_id, tf.token,
+               (tf.tfn / doclen.dl) * (n.nd / df.dfn) AS score,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY (tf.tfn / doclen.dl) * (n.nd / df.dfn) DESC,
+                                           tf.token) AS rn
+        FROM tf
+        JOIN doclen ON tf.doc_id = doclen.doc_id
+        JOIN df ON tf.token = df.token
+        CROSS JOIN n
+    ) WHERE rn <= 5
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with a RATIONAL idf (N/df instead of ln(N/df)): rank-equivalent
+    for top-k term extraction and — unlike ln, whose last ULP is libm-
+    dependent — exactly reproducible across engines (pure int ratios in
+    identical expression order). Two hash-aggs + one broadcast-sized df join;
+    the document-frequency table is the only corpus-global state and is tiny
+    (vocabulary-sized)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    doclen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tfn"))
+    df_t = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("dfn"))
+    nd = doclen.count()  # bounded scalar: number of docs in scope
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(F.broadcast(df_t), "token")
+        .select(
+            "doc_id",
+            "token",
+            ((F.col("tfn") / F.col("dl")) * (F.lit(nd) / F.col("dfn"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
