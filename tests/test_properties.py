@@ -1,0 +1,148 @@
+"""Property-based tests (hypothesis) for the engine's pure logic: replay
+offset resolution, starting-position parsing, and registry invariants —
+the reference's behavior matrix generalized from examples to properties."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import assume, given, settings
+from hypothesis import strategies as st
+
+from broadway_kinesis_spark.sources.replay import (
+    ReplayStreamReader,
+    _open_events,
+)
+from broadway_kinesis_spark.streaming.envelope import parse_starting_position
+from broadway_kinesis_spark.streaming.health import HealthRegistry
+
+# -- event-stream generators ------------------------------------------------
+
+
+def _event(seq: int, arrival: float | None):
+    recs = []
+    if arrival is not None:
+        recs = [
+            {
+                "SequenceNumber": str(seq),
+                "PartitionKey": "pk",
+                "ApproximateArrivalTimestamp": arrival,
+                "Data": "aGk=",
+            }
+        ]
+    return {"ContinuationSequenceNumber": str(seq), "MillisBehindLatest": 0, "Records": recs}
+
+
+events_strategy = st.lists(
+    st.tuples(st.booleans(), st.floats(min_value=0, max_value=1e6, allow_nan=False)),
+    min_size=0,
+    max_size=20,
+).map(
+    lambda pairs: [
+        _event(i + 1, arrival if has_rec else None)
+        for i, (has_rec, arrival) in enumerate(pairs)
+    ]
+)
+
+
+def make_reader(starting_position: str) -> ReplayStreamReader:
+    r = ReplayStreamReader.__new__(ReplayStreamReader)
+    r.path = "/nonexistent"
+    r.stream_name = "s"
+    r.position = parse_starting_position(starting_position)
+    r.max_per_batch = None
+    return r
+
+
+@given(events=events_strategy)
+@settings(max_examples=200, deadline=None)
+def test_trim_horizon_and_latest_bracket_every_position(events):
+    lo = make_reader("trim_horizon")._resolve_start(events)
+    hi = make_reader("latest")._resolve_start(events)
+    assert lo == 0
+    assert hi == len(events)
+
+
+@given(events=events_strategy, data=st.data())
+@settings(max_examples=200, deadline=None)
+def test_at_and_after_sequence_number_are_adjacent(events, data):
+    assume(events)
+    idx = data.draw(st.integers(min_value=0, max_value=len(events) - 1))
+    seq = events[idx]["ContinuationSequenceNumber"]
+    at = make_reader(f"at_sequence_number:{seq}")._resolve_start(events)
+    after = make_reader(f"after_sequence_number:{seq}")._resolve_start(events)
+    assert at == idx
+    assert after == idx + 1
+
+
+@given(events=events_strategy, t=st.floats(min_value=-1, max_value=1e6 + 1, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_at_timestamp_is_earliest_event_at_or_after(events, t):
+    start = make_reader(f"at_timestamp:{t}")._resolve_start(events)
+    assert 0 <= start <= len(events)
+    # every event before `start` has all records strictly before t
+    for ev in events[:start]:
+        for rec in ev["Records"]:
+            assert rec["ApproximateArrivalTimestamp"] < t
+    # the chosen event (if any) has a record at/after t
+    if start < len(events):
+        arrivals = [r["ApproximateArrivalTimestamp"] for r in events[start]["Records"]]
+        assert arrivals and max(arrivals) >= t
+
+
+@given(
+    events=events_strategy,
+    close_at=st.integers(min_value=0, max_value=25),
+)
+@settings(max_examples=200, deadline=None)
+def test_close_sentinel_truncates_exactly(events, close_at):
+    closed = events[:close_at] + [{"ContinuationSequenceNumber": None}] + events[close_at:]
+    assert _open_events(closed) == events[: min(close_at, len(events))]
+
+
+@given(st.text(min_size=1).filter(lambda s: ":" not in s and s.strip() != ""))
+@settings(max_examples=100, deadline=None)
+def test_unknown_position_words_rejected(word):
+    if word.strip().lower() in ("latest", "trim_horizon"):
+        return
+    with pytest.raises(ValueError):
+        parse_starting_position(word)
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["register", "unregister", "ready", "not_ready"]),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        max_size=50,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_registry_all_ready_matches_model(ops):
+    reg = HealthRegistry()
+    model: dict[str, bool] = {}
+    for op, stream in ops:
+        if op == "register":
+            reg.register(stream)
+            model.setdefault(stream, False)
+        elif op == "unregister":
+            reg.unregister(stream)
+            model.pop(stream, None)
+        elif op == "ready":
+            reg.update_value(stream, True)
+            if stream in model:
+                model[stream] = True
+        else:
+            reg.update_value(stream, False)
+            if stream in model:
+                model[stream] = False
+    assert reg.snapshot() == model
+    assert reg.producers_ready() == all(model.values())
+
+
+def test_roundtrip_event_lines_parse():
+    # JSONL encoding used by the replay fixtures is loss-free for the shapes
+    ev = _event(7, 123.5)
+    assert json.loads(json.dumps(ev)) == ev
