@@ -1,12 +1,14 @@
 """Similarity search over `embeddings.embedding` (SURVEY.md §2.B "LLM ops").
 
-Four operators, from exact baseline to the 100 TB scale path:
+Five operators, from exact baseline to the 100 TB scale path:
 
 - ``similarity_topk_cosine``      — brute-force exact top-k (broadcast query set)
 - ``similarity_topk_cosine_pandas`` — same semantics through an Arrow-batched
   pandas UDF (numpy matmul); the throughput path when Python is acceptable
 - ``similarity_ann_ivf``          — IVF-style: coarse partition (label) prunes
   the candidate set; co-partitioned equi-join instead of a cross product
+- ``similarity_ann_ivf_probe``    — full IVF: in-plan centroids (cluster
+  means), nearest-centroid probing (nprobe=2), cosine re-rank of candidates
 - ``similarity_ann_lsh``          — sign-random-projection LSH: Rademacher
   (±1) hyperplanes derived from md5 bucket the vectors; search within bucket
 
@@ -270,6 +272,106 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = e.join(
         F.broadcast(q),
         (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= K).drop("rn")
+
+
+N_PROBE = 2  # clusters probed per query in the centroid IVF
+
+
+@query(
+    "similarity_ann_ivf_probe",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               sqrt({_sql_dot('embedding::DOUBLE[]', 'embedding::DOUBLE[]')}) AS nrm
+        FROM embeddings
+    ), expl AS (
+        SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e
+    ), cdim AS (
+        SELECT label, pos,
+               CAST(ROUND(SUM(CAST(x AS DECIMAL(38,18))), 6) AS DOUBLE) / COUNT(*) AS c
+        FROM expl GROUP BY label, pos
+    ), cent AS (
+        SELECT label, list(c ORDER BY pos) AS cv FROM cdim GROUP BY label
+    ), q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    probes AS (
+        SELECT query_id, label FROM (
+            SELECT q.vec_id AS query_id, cent.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_sum(list_transform(list_zip(q.v, cent.cv),
+                                                        x -> (x[1]-x[2])*(x[1]-x[2]))),
+                                cent.label) AS rn
+            FROM q CROSS JOIN cent
+        ) WHERE rn <= {N_PROBE}
+    )
+    SELECT query_id, cand_id, cos_sim FROM (
+        SELECT query_id, cand_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, cand_id) AS rn
+        FROM (
+            SELECT p.query_id, c.vec_id AS cand_id,
+                   {_sql_dot('q.v', 'c.v')} / (q.nrm * c.nrm) AS cos_sim
+            FROM probes p
+            JOIN q ON q.vec_id = p.query_id
+            JOIN e c ON c.label = p.label AND c.vec_id <> p.query_id
+        )
+    ) WHERE rn <= {K}
+    """,
+)
+def similarity_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF mechanics: coarse centroids = per-cluster mean vectors
+    (computed in-plan, decimal-stabilized so both engines agree bitwise),
+    each query ranks all centroids by squared L2 and probes its {N_PROBE}
+    nearest clusters, exact cosine re-ranks within the probed candidate set.
+
+    Scale shape: the centroid table is k x dim (tiny — always broadcast);
+    probing is a broadcast nested-loop over k per query; candidate scoring
+    is an equi-join on the cluster id. Per-query work drops from O(N) to
+    O(N * nprobe / k) exactly as IVF promises."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    e = e.select("vec_id", "label", v.alias("v"), F.sqrt(_dot(v, v)).alias("nrm"))
+
+    expl = e.select("label", F.posexplode("v").alias("pos", "x"))
+    cdim = expl.groupBy("label", "pos").agg(
+        (
+            F.round(F.sum(F.col("x").cast("decimal(38,18)")), 6).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    cent = cdim.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("d2", "plabel")
+    probes = (
+        q.crossJoin(F.broadcast(cent.select(F.col("label").alias("plabel"), "cv")))
+        .select("query_id", "qv", "qn", "plabel", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "qv", "qn", "plabel")
+    )
+    pairs = e.join(
+        F.broadcast(probes),
+        (F.col("label") == F.col("plabel")) & (F.col("vec_id") != F.col("query_id")),
     )
     scored = pairs.select(
         "query_id",
