@@ -253,3 +253,33 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """)
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,8))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation — the manual skew-mitigation pattern for
+    when one grouping key dominates (AQE splits skewed JOINS but a skewed
+    AGG key still lands on one reducer): stage 1 groups by (key, salt) so
+    the hot key spreads over SALT_BUCKETS reducers, stage 2 merges the
+    partials. Decimal partials make the two-stage result bit-identical to
+    the one-stage oracle regardless of how the salt splits rows."""
+    SALT_BUCKETS = 8
+    l = load(spark, sf_dir, "lineitem")
+    salted = l.withColumn("_salt", F.pmod(F.col("l_orderkey"), F.lit(SALT_BUCKETS)))
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("l_quantity").cast("decimal(38,8)")).alias("psum"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n_items"),
+        F.round(F.sum("psum"), 2).cast("double").alias("sum_qty"),
+    )

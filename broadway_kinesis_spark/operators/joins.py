@@ -241,3 +241,44 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "join_range_interval",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           b.us - a.us AS gap_us
+    FROM (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+          WHERE event_type = 'click') a
+    JOIN (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+          WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.us > a.us
+     AND b.us - a.us <= 60000000
+    """,
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-interval range join: purchases within 60 s AFTER a click by
+    the same user. The equi key (user) carries the hash partitioning; the
+    range predicate evaluates inside the join — never a cross product. At
+    skewed scale, bucketize time (join on (user, time_bucket) + neighbor
+    bucket) to bound per-task pair counts; here user_id bounds fan-out.
+    Time compared as integer epoch-µs (see asof.py note on ns fixtures)."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.unix_micros("ts").alias("a_us")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("b_user"),
+        F.unix_micros("ts").alias("b_us"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("b_us") > F.col("a_us"))
+            & (F.col("b_us") - F.col("a_us") <= 60_000_000),
+        )
+        .select("click_id", "purchase_id", (F.col("b_us") - F.col("a_us")).alias("gap_us"))
+    )
