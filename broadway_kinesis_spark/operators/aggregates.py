@@ -283,3 +283,15 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_items"),
         F.round(F.sum("psum"), 2).cast("double").alias("sum_qty"),
     )
+
+
+@query("agg_approx_percentile")  # sketch-based → rows-only check
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL-style percentile sketch (`percentile_approx`) — the mergeable,
+    fixed-size companion to approx_count_distinct for 100 TB profiling;
+    accuracy vs the exact percentile is asserted in tests/test_sketches.py."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("approx_p95_price"),
+    )

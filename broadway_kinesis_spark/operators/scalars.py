@@ -193,3 +193,34 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("prop_k"),
         F.when(k >= 50, "hi").otherwise("lo").alias("k_band"),
     )
+
+
+@query(
+    "scalar_map",
+    oracle="""
+    SELECT event_id,
+           ['event_type', 'user'] AS mkeys,
+           event_type AS type_val,
+           'u' || user_id::VARCHAR AS user_val,
+           2 AS msize
+    FROM events
+    WHERE event_id < 200
+    """,
+)
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build a map column, read it back via map_keys /
+    element_at / size. Output stays in portable array/scalar columns (map
+    cells themselves hash engine-specifically), so the oracle checks the
+    same VALUES the map ops produce."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    m = F.create_map(
+        F.lit("event_type"), F.col("event_type"),
+        F.lit("user"), F.concat(F.lit("u"), F.col("user_id").cast("string")),
+    )
+    return e.select(
+        "event_id",
+        F.sort_array(F.map_keys(m)).alias("mkeys"),
+        F.element_at(m, "event_type").alias("type_val"),
+        F.element_at(m, "user").alias("user_val"),
+        F.size(m).alias("msize"),
+    )

@@ -112,3 +112,9 @@ def test_metadata_stats_never_reads_payload(spark, sf_dir):
     df = QUERIES["multimodal_metadata_stats"](spark, sf_dir)
     schemas = read_schemas(df)
     assert schemas and all(len(cols) <= 1 for cols in schemas), schemas
+
+
+def test_range_join_uses_equi_key_not_cartesian(spark, sf_dir):
+    df = QUERIES["join_range_interval"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
