@@ -380,3 +380,26 @@ def similarity_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= K).drop("rn")
+
+
+@query(
+    "similarity_normalize",
+    oracle=f"""
+    WITH e AS ({_SQL_E})
+    SELECT vec_id, nrm,
+           list_transform(v, x -> x / nrm) AS unit_v
+    FROM e
+    WHERE vec_id < 100
+    """,
+)
+def similarity_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalization — the standard embedding preprocessing step (unit
+    vectors make cosine = dot). Pure per-row projection, no shuffle; the
+    elementwise divide is IEEE-identical in both engines given the bitwise-
+    equal norm, so the full 64-dim output array hash-matches."""
+    e = _with_norm(load(spark, sf_dir, "embeddings")).filter(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id",
+        "nrm",
+        F.transform("v", lambda x: x / F.col("nrm")).alias("unit_v"),
+    )

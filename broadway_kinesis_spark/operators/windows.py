@@ -141,3 +141,51 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH stage AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,
+               MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT
+        COUNT(*) AS n_users,
+        COUNT(t_signup) AS n_signed_up,
+        COUNT(CASE WHEN t_click > t_signup THEN 1 END) AS n_clicked_after,
+        COUNT(CASE WHEN t_purchase > t_click AND t_click > t_signup THEN 1 END)
+            AS n_converted
+    FROM stage
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup -> first click -> first purchase): one
+    conditional-min aggregate per user (single shuffle), then ordering
+    predicates over the stage timestamps — the standard funnel rewrite that
+    avoids per-user event sorting entirely. Null propagation does the
+    drop-out accounting (a missing stage yields NULL, failing the > test in
+    both engines identically). Integer epoch-µs as everywhere."""
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    stage = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", us)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("t_purchase"),
+    )
+    return stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("n_signed_up"),
+        F.count(F.when(F.col("t_click") > F.col("t_signup"), 1)).alias("n_clicked_after"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_signup")),
+                1,
+            )
+        ).alias("n_converted"),
+    )
