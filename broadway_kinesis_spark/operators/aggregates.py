@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
 from broadway_kinesis_spark.registry import query
-from broadway_kinesis_spark.session import load
+from broadway_kinesis_spark.session import load, rebalance_small_scan
 
 _CUTOFF = "2000-09-02 00:00:00"
 
@@ -57,7 +57,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerator are derived projections (5 stabilized sums instead of 7) —
     same exact-decimal semantics as dsum/davg in functions/numeric.py.
     """
-    l = load(spark, sf_dir, "lineitem")
+    l = rebalance_small_scan(load(spark, sf_dir, "lineitem"))
     price = F.col("l_extendedprice")
     disc = F.col("l_discount")
     tax = F.col("l_tax")
