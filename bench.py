@@ -47,6 +47,7 @@ HEADLINE = [
     "join_theta",
     "agg_rollup",
     "agg_distinct_counts",
+    "composite_shipping_priority",
     "window_topk_per_group",
     "window_running",
     "setops_except",

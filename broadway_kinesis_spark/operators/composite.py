@@ -1,0 +1,179 @@
+"""Composite analytical queries — multi-join + aggregate + top-k pipelines.
+
+The single-operator families (joins.py, aggregates.py, windows.py) prove
+each §2.B row in isolation; these queries compose them into the classic
+decision-support shapes (TPC-H Q3 / Q5 / Q10 analogues over the fixture
+schema) so the engine demonstrates full-pipeline planning: join ordering
+across 3-6 tables, selective-filter pushdown into every scan, broadcast
+selection for dims, and a deterministic top-k cut on an aggregated measure.
+
+Scale posture (100 TB): each query's joins shuffle only on the fact-table
+keys that genuinely need co-location (orderkey / custkey); `nation`/`region`
+are broadcast (no fact shuffle for them); date/segment filters are pushed to
+the parquet scans so the shuffled volume is the *selected* subset, not the
+table. Revenue sums use the decimal-stabilized helpers (functions/numeric.py)
+so results are bit-reproducible regardless of partial-agg merge order —
+which also makes the top-k cut deterministic (rounded measure + unique-key
+tiebreak in BOTH plans, per the registry contract).
+
+Reference parity: the reference implements no relational queries ([TGT]
+rows; `SURVEY.md` §2.B composition requirement, driver harness north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from broadway_kinesis_spark.functions.numeric import dsum, sql_dsum
+from broadway_kinesis_spark.registry import query
+from broadway_kinesis_spark.session import load
+
+_Q3_DATE = "1998-06-15"
+_Q10_LO, _Q10_HI = "1997-01-01", "1997-07-01"
+
+
+@query(
+    "composite_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{_Q3_DATE}'
+      AND l_shipdate  > TIMESTAMP '{_Q3_DATE}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def composite_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, selective filters on all three tables,
+    revenue aggregate per order, global top-10 by revenue.
+
+    customer⋈orders shuffles on custkey, then ⋈lineitem on orderkey — two
+    shuffles, each moving only filter-surviving rows (segment + both date
+    predicates push to the scans). The top-10 runs as TakeOrderedAndProject:
+    per-partition heaps, no global sort. Tiebreak: l_orderkey (unique per
+    group) so the LIMIT cut is deterministic in both engines.
+    """
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_Q3_DATE).cast("timestamp")
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "composite_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def composite_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join where the supplier must be in the
+    customer's nation ("local supplier") — an equi-join with a second,
+    cross-table equality condition.
+
+    region⋈nation is broadcast-on-broadcast (rows: 5 x 25); their result
+    broadcasts into customer, so the only shuffles are the fact-side joins
+    on custkey / orderkey / suppkey. The s_nationkey = c_nationkey condition
+    rides on the supplier equi-join (one join, compound condition) rather
+    than a post-join filter, so Catalyst keeps it in the hash-join key
+    evaluation and non-local pairs never materialize.
+    """
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "composite_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '{_Q10_LO}'
+      AND o_orderdate <  TIMESTAMP '{_Q10_HI}'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def composite_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: which customers returned the most revenue in a
+    half-year window — 4-way join, two selective filters, per-customer
+    aggregate, top-20.
+
+    The returnflag filter pushes into the lineitem scan (cuts ~2/3 of the
+    fact table before any shuffle); nation broadcasts; the top-20 cut uses
+    c_custkey (unique per group) as tiebreak for a deterministic LIMIT.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q10_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q10_HI).cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )

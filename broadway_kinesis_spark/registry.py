@@ -67,6 +67,7 @@ def _load_all_modules() -> None:
     from broadway_kinesis_spark.operators import (  # noqa: F401
         aggregates,
         asof,
+        composite,
         dedup,
         joins,
         multimodal,

@@ -118,3 +118,33 @@ def test_range_join_uses_equi_key_not_cartesian(spark, sf_dir):
     df = QUERIES["join_range_interval"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_composite_queries_push_selective_filters(spark, sf_dir):
+    """Q3/Q5/Q10 shapes: every selective predicate (segment, dates,
+    returnflag, region) must reach its parquet scan — the shuffled volume
+    is the selected subset, never the table."""
+    expects = {
+        "composite_shipping_priority": ("c_mktsegment,BUILDING", "o_orderdate", "l_shipdate"),
+        "composite_local_supplier_volume": ("r_name,ASIA", "o_orderdate"),
+        "composite_returned_items": ("l_returnflag,R", "o_orderdate"),
+    }
+    for name, frags in expects.items():
+        pushed = " | ".join(pushed_filters(QUERIES[name](spark, sf_dir)))
+        for frag in frags:
+            assert frag in pushed, f"{name}: {frag!r} not pushed ({pushed})"
+
+
+def test_composite_topk_avoids_global_sort(spark, sf_dir):
+    """The LIMIT-k over an aggregated measure must plan as
+    TakeOrderedAndProject (per-partition heaps), not a full Sort."""
+    for name in ("composite_shipping_priority", "composite_returned_items"):
+        plan = formatted_plan(QUERIES[name](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, f"{name}: {plan}"
+
+
+def test_composite_q5_broadcasts_region_nation(spark, sf_dir):
+    """region⋈nation must broadcast into the customer side — the fact
+    tables never shuffle for dimension joins."""
+    df = QUERIES["composite_local_supplier_volume"](spark, sf_dir)
+    assert broadcast_join_count(df) >= 2, formatted_plan(df)
