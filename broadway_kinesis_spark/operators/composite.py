@@ -134,6 +134,66 @@ def composite_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "composite_user_retention",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, CAST(MIN(date_trunc('week', ts)) AS TIMESTAMP) AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events
+    ), ret AS (
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS weeks_since,
+               COUNT(*) AS n_active
+        FROM activity JOIN first USING (user_id)
+        GROUP BY 1, 2
+    )
+    SELECT cohort_week, weeks_since, n_active,
+           n_active / MAX(CASE WHEN weeks_since = 0 THEN n_active END)
+                          OVER (PARTITION BY cohort_week) AS retention_rate
+    FROM ret
+    """,
+)
+def composite_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix over the event stream: cohort = each
+    user's first active week, cell = how many of that cohort were active k
+    weeks later, plus the rate vs week 0 (every cohort member is active in
+    week 0 by construction, so week 0 is the cohort size).
+
+    Two shuffles on user_id (first-week agg + the distinct), one broadcast
+    join (the per-user cohort table is |users| rows — small relative to
+    events; at 100 TB it exceeds the broadcast threshold and AQE falls back
+    to a shuffled join on user_id, which both sides already partition by),
+    then a 2-key agg whose key space (weeks x cohorts) is tiny. The rate is
+    an int/int -> double division — IEEE-exact in both engines.
+    """
+    e = load(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    first = e.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = e.select("user_id", week.alias("week")).distinct()
+    from pyspark.sql import Window
+
+    ret = (
+        activity.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("weeks_since"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    week0 = F.max(F.when(F.col("weeks_since") == 0, F.col("n_active"))).over(
+        Window.partitionBy("cohort_week")
+    )
+    return ret.select(
+        "cohort_week",
+        "weeks_since",
+        "n_active",
+        (F.col("n_active") / week0).alias("retention_rate"),
+    )
+
+
+@query(
     "composite_returned_items",
     oracle=f"""
     SELECT c_custkey, c_name,
