@@ -102,6 +102,11 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        # Local fixture files are 10-100 MB; the 128 MB default would scan
+        # each as ONE split. 8 MB keeps a ~100 MB table at ~cores/2-way scan
+        # parallelism. Cluster deployments size this from executor memory /
+        # target split count instead (BASELINE.md contract note).
+        .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -123,17 +128,25 @@ def rebalance_small_scan(df: DataFrame) -> DataFrame:
     pricing summary at sf0.1).
 
     The guard reads Catalyst's scan-size estimate (O(1); converting the plan
-    to an RDD just to count partitions costs ~1 s of planning per call).
-    Below ~1 GB the scan resolves to fewer splits than a 32-core host, so
-    the exchange wins; above it the scan parallelizes natively and no
-    shuffle is added.
+    to an RDD just to count partitions costs ~1 s of planning per call) and
+    estimates split count as size / maxPartitionBytes. Fewer than cores/4
+    estimated splits → the scan can't keep the host busy and the exchange
+    wins; at or above that the scan parallelizes natively (measured: the
+    same exchange turned a 10x-corpus scan with 14-way split parallelism
+    ~25% SLOWER) and no shuffle is added.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     try:
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        max_pb = int(str(raw).lower().rstrip("b").rstrip("m") or "134217728")
+        if str(raw).lower().endswith(("m", "mb")):
+            max_pb <<= 20
     except Exception:  # stats unavailable (non-classic session) -> leave plan alone
         return df
-    if size < (1 << 30):
+    est_splits = size // max_pb + 1
+    if est_splits < max(1, target // 4):
         return df.repartition(target)
     return df
 
@@ -148,10 +161,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # nanosAsLong surfaces ts as raw INT64 nanos; truncate to µs with
-        # integer division (exact — a double division would lose precision
-        # at 1.7e18) to match DuckDB's ns→µs truncation.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Fixture events.parquet stores TIMESTAMP(NANOS), which nanosAsLong
+        # surfaces as raw INT64 — truncate to µs with integer division
+        # (exact; double division loses precision at 1.7e18) to match
+        # DuckDB's ns→µs truncation. Files already written at µs (e.g. the
+        # scale-test corpus) arrive as a timestamp type and pass through.
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            # NTZ → session-tz timestamp is a wall-clock no-op under the
+            # engine's UTC session; event-time functions (unix_micros,
+            # window) require the TIMESTAMP type.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
