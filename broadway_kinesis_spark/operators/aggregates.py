@@ -295,3 +295,56 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
         F.percentile_approx("l_extendedprice", 0.95, 1000).alias("approx_p95_price"),
     )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) FILTER (WHERE l_returnflag = 'A') AS flag_a,
+           COUNT(*) FILTER (WHERE l_returnflag = 'N') AS flag_n,
+           COUNT(*) FILTER (WHERE l_returnflag = 'R') AS flag_r
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: rotate `l_returnflag` values into columns (counts per
+    linestatus). The value list is given explicitly — with it, Spark plans
+    pivot as ONE pass of conditional aggregates (the same shape as the SQL
+    oracle's FILTER clauses); omitting it would cost an extra
+    distinct-values job, which at 100 TB is a full extra scan."""
+    l = load(spark, sf_dir, "lineitem")
+    p = (
+        l.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "l_linestatus",
+        F.coalesce("A", F.lit(0)).alias("flag_a"),
+        F.coalesce("N", F.lit(0)).alias("flag_n"),
+        F.coalesce("R", F.lit(0)).alias("flag_r"),
+    )
+
+
+@query(
+    "agg_string_concat",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG shape): collect the
+    distinct set, sort it, join — the explicit sort makes the result
+    deterministic under any partial-agg merge order (collect_set order is
+    not), which is what makes this oracle-checkable at all."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias("priorities"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )

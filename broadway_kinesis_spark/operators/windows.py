@@ -189,3 +189,32 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_converted"),
     )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           percent_rank() OVER w AS pr,
+           cume_dist()   OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank ((rank-1)/(n-1)) and
+    cume_dist (rows<=current / n) per market segment ordered by balance.
+    Both are small-integer divisions evaluated identically in IEEE double
+    on both engines, so no rounding is needed. Ties share a value by
+    definition, making the result deterministic without a tiebreak."""
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
