@@ -209,3 +209,34 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, val FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    )
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (the inverse of agg_pivot): rotate four measure columns
+    into (measure, val) rows keyed by (orderkey, linenumber). Spark's native
+    ``unpivot`` plans a single Expand over one scan — 4x rows from ONE pass,
+    vs the oracle's portable 4-scan UNION ALL; values pass through untouched
+    so no float stabilization is needed. The key filter keeps the
+    differential row count at sample scale."""
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )

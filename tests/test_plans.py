@@ -114,6 +114,17 @@ def test_metadata_stats_never_reads_payload(spark, sf_dir):
     assert schemas and all(len(cols) <= 1 for cols in schemas), schemas
 
 
+def test_unpivot_is_single_expand_one_scan(spark, sf_dir):
+    """unpivot must plan ONE parquet scan + a single Expand (4x row fan-out
+    in-memory), not the oracle's 4-scan UNION ALL — at 100 TB that is a 4x
+    read-amplification difference."""
+    df = QUERIES["unpivot_measures"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Expand" in plan, plan
+    assert "Union" not in plan, plan
+    assert len(read_schemas(df)) == 1, plan
+
+
 def test_range_join_uses_equi_key_not_cartesian(spark, sf_dir):
     df = QUERIES["join_range_interval"](spark, sf_dir)
     plan = formatted_plan(df)
