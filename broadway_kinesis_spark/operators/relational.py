@@ -240,3 +240,63 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "val",
     )
+
+
+@query(
+    "sample_hash_split",
+    oracle="""
+    SELECT split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM (
+        SELECT doc_id, lang, n_chars,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                   AS bucket,
+               CASE
+                   WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                   WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM documents
+    )
+    GROUP BY split
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test splitting by key hash — the
+    reproducible-sampling primitive a training-data pipeline needs instead
+    of RNG sampling: md5(doc_id) -> bucket 0..99 -> 80/10/10 split. The
+    assignment is a pure per-row projection (no shuffle, no state, no seed
+    coordination), so at 100 TB it runs map-side and composes with
+    ``partitionBy("split")`` on write; the same hash gives the same split
+    on ANY engine or cluster size, which is what makes held-out sets stable
+    across reruns. Summary agg keeps the checked result compact; all
+    output columns are integers/strings so the oracle diff is exact
+    (md5 hex -> int via conv == DuckDB '0x' cast).
+
+    Reference parity: [TGT] row (SURVEY.md §2.B); the reference has no
+    sampling surface.
+    """
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
