@@ -110,14 +110,36 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # approximate → rows-only check (no exact oracle)
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_custs,
+           TRUE AS within_tol
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ sketch (`approx_count_distinct`) — the 100 TB-scale
-    swap-in for exact distinct: fixed-size sketch, single pass, mergeable."""
+    swap-in for exact distinct: fixed-size sketch, single pass, mergeable.
+
+    Hash-checkable sketch assertion: the plan computes BOTH the sketch and
+    the exact distinct, outputs the exact value plus an in-plan boolean
+    `abs(approx-exact)/exact <= 0.05`; the oracle emits exact + TRUE. The
+    sketch's estimate is thereby asserted (rsd=0.01 → 5% slack is generous)
+    without putting its engine-specific value into the hash."""
     o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", 0.01).alias("approx_custs"),
+    a = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_custs"),
+        F.approx_count_distinct("o_custkey", 0.01).alias("_approx"),
     )
+    tol = (
+        F.abs(F.col("_approx") - F.col("exact_custs"))
+        / F.col("exact_custs").cast("double")
+        <= 0.05
+    )
+    return a.select("o_orderstatus", "exact_custs", tol.alias("within_tol"))
 
 
 @query(
@@ -192,17 +214,19 @@ def agg_filtered_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            COUNT(DISTINCT c_nationkey) AS n_nations,
-           list_sort(list(DISTINCT c_nationkey)) AS nation_keys
+           array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nation_keys
     FROM customer
     GROUP BY c_mktsegment
     """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set → sorted array so the value-hash is order-independent."""
+    """collect_set → sorted array, serialized to a CSV string: order-independent
+    AND canonicalizer-safe (raw array cells crash pandas lexsort in the
+    driver's harness — unhashable numpy.ndarray)."""
     c = load(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
         F.countDistinct("c_nationkey").alias("n_nations"),
-        F.sort_array(F.collect_set("c_nationkey")).alias("nation_keys"),
+        F.array_join(F.sort_array(F.collect_set("c_nationkey")), ",").alias("nation_keys"),
     )
 
 
@@ -285,15 +309,45 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile")  # sketch-based → rows-only check
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+           TRUE AS p50_within_tol,
+           TRUE AS p95_within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KLL-style percentile sketch (`percentile_approx`) — the mergeable,
-    fixed-size companion to approx_count_distinct for 100 TB profiling;
-    accuracy vs the exact percentile is asserted in tests/test_sketches.py."""
+    """Percentile sketch (`percentile_approx`, Greenwald-Khanna family) —
+    the mergeable, fixed-size companion to approx_count_distinct for 100 TB
+    profiling.
+
+    Hash-checkable sketch assertion (same pattern as agg_approx_distinct):
+    exact interpolated percentiles go into the hash; the sketch estimates
+    are asserted in-plan as `abs(approx-exact)/exact <= 0.05` booleans
+    (accuracy=1000 → 0.1% rank error, so 5% value slack is generous; the
+    tight bound itself is proven in tests/test_sketches.py)."""
     l = load(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("approx_p95_price"),
+    a = l.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("_ex50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("_ex95"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_ap50"),
+        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("_ap95"),
+    )
+
+    def _tol(ap: str, ex: str):
+        return F.abs(F.col(ap) - F.col(ex)) / F.abs(F.col(ex)) <= 0.05
+
+    return a.select(
+        "l_returnflag",
+        F.round("_ex50", 4).alias("median_price"),
+        F.round("_ex95", 4).alias("p95_price"),
+        _tol("_ap50", "_ex50").alias("p50_within_tol"),
+        _tol("_ap95", "_ex95").alias("p95_within_tol"),
     )
 
 

@@ -83,12 +83,29 @@ def decode_image(payload: bytes):  # pragma: no cover - stub
     return _Image.open(io.BytesIO(payload))
 
 
-@query("multimodal_byte_features")  # rows-only: feature math lives in numpy, no SQL twin
+@query(
+    "multimodal_byte_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS BIGINT) AS byte_sum,
+           CAST(list_min(list_transform(string_split(text, ''), c -> ascii(c))) AS INT) AS min_byte,
+           CAST(list_max(list_transform(string_split(text, ''), c -> ascii(c))) AS INT) AS max_byte,
+           CAST(len(list_filter(list_transform(string_split(text, ''), c -> ascii(c)), b -> b // 64 = 0)) AS VARCHAR)
+           || ',' || CAST(len(list_filter(list_transform(string_split(text, ''), c -> ascii(c)), b -> b // 64 = 1)) AS VARCHAR)
+           || ',' || CAST(len(list_filter(list_transform(string_split(text, ''), c -> ascii(c)), b -> b // 64 = 2)) AS VARCHAR)
+           || ',' || CAST(len(list_filter(list_transform(string_split(text, ''), c -> ascii(c)), b -> b // 64 = 3)) AS VARCHAR)
+               AS hist4
+    FROM documents
+    """,
+)
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over opaque payloads via Arrow-batched
     ``mapInPandas``: per payload — byte count, byte sum (checksum stand-in),
-    min/max byte, and a 4-bin byte histogram. Deterministic pure-byte math =
-    the codec-free stand-in for 'decode then featurize'."""
+    min/max byte, and a 4-bin byte histogram serialized to a CSV string
+    (raw array cells crash the harness canonicalizer). The oracle replays
+    the same byte math character-wise — valid because the fixture text is
+    verified pure ASCII, so code points == bytes."""
     import numpy as np
     import pandas as pd
 
@@ -107,7 +124,7 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         int(arr.sum()),
                         int(arr.min()),
                         int(arr.max()),
-                        [int(x) for x in hist],
+                        ",".join(str(int(x)) for x in hist),
                     )
                 )
             yield pd.DataFrame(
@@ -116,16 +133,29 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         featurize,
-        "media_id long, n_bytes long, byte_sum long, min_byte int, max_byte int, hist4 array<int>",
+        "media_id long, n_bytes long, byte_sum long, min_byte int, max_byte int, hist4 string",
     )
 
 
-@query("multimodal_frame_sample")  # rows-only: frame chunking is UDF-side
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(fi AS INT) AS frame_idx,
+           CAST(length(substr(text, CAST(fi AS INT) * 64 + 1, 64)) AS INT) AS frame_len,
+           md5(substr(text, CAST(fi AS INT) * 64 + 1, 64)) AS frame_md5
+    FROM documents,
+         LATERAL unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 4)) AS t(fi)
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over opaque payloads: split each payload into fixed
     {FRAME_BYTES}-byte 'frames', keep every {FRAME_STRIDE}-th, emit one row
     per sampled frame with its md5 — the exact plumbing shape of video
-    frame-sampling (1 input row -> N output rows through ``mapInPandas``)."""
+    frame-sampling (1 input row -> N output rows through ``mapInPandas``).
+    Oracle replays the chunking character-wise (fixture text is pure ASCII,
+    so substr == byte slicing); DuckDB ``range`` is end-exclusive with step,
+    matching Python ``range(0, n_frames, 4)``."""
     import hashlib as _hashlib
 
     import pandas as pd
@@ -153,7 +183,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_metadata_stats",
     oracle="""
     SELECT COUNT(*) AS n_media,
-           SUM(octet_length(encode(text))) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            MIN(octet_length(encode(text))) AS min_bytes,
            MAX(octet_length(encode(text))) AS max_bytes
     FROM documents

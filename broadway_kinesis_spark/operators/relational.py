@@ -247,7 +247,7 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            COUNT(DISTINCT lang) AS n_langs,
            MIN(doc_id) AS min_doc_id,
            MAX(doc_id) AS max_doc_id

@@ -84,8 +84,8 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            CAST(ROUND(CAST(l_extendedprice * (1 + l_tax) AS DECIMAL(38,6)), 2) AS DOUBLE) AS gross,
-           FLOOR(l_quantity / 7) AS qty_bucket,
-           CEIL(l_extendedprice / 1000) AS price_k,
+           CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_bucket,
+           CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_k,
            ABS(l_discount - 0.05) AS disc_dev,
            ROUND(LN(l_extendedprice), 6) AS ln_price,
            ROUND(SQRT(l_quantity), 6) AS sqrt_qty,
@@ -199,7 +199,7 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_map",
     oracle="""
     SELECT event_id,
-           ['event_type', 'user'] AS mkeys,
+           'event_type,user' AS mkeys,
            event_type AS type_val,
            'u' || user_id::VARCHAR AS user_val,
            2 AS msize
@@ -219,7 +219,7 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select(
         "event_id",
-        F.sort_array(F.map_keys(m)).alias("mkeys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("mkeys"),
         F.element_at(m, "event_type").alias("type_val"),
         F.element_at(m, "user").alias("user_val"),
         F.size(m).alias("msize"),

@@ -387,7 +387,9 @@ def similarity_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS ({_SQL_E})
     SELECT vec_id, nrm,
-           list_transform(v, x -> x / nrm) AS unit_v
+           list_transform(v, x -> x / nrm)[1] AS unit_head,
+           list_sum(list_transform(v, x -> x / nrm)) AS unit_sum,
+           CAST(len(v) AS INT) AS n_dims
     FROM e
     WHERE vec_id < 100
     """,
@@ -396,10 +398,16 @@ def similarity_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalization — the standard embedding preprocessing step (unit
     vectors make cosine = dot). Pure per-row projection, no shuffle; the
     elementwise divide is IEEE-identical in both engines given the bitwise-
-    equal norm, so the full 64-dim output array hash-matches."""
+    equal norm. The checked output is a scalar digest of the whole unit
+    vector (head element + sequential fold-sum, bitwise equal to DuckDB's
+    list_sum) rather than the raw array — raw array cells crash the
+    harness canonicalizer."""
     e = _with_norm(load(spark, sf_dir, "embeddings")).filter(F.col("vec_id") < 100)
+    unit = F.transform("v", lambda x: x / F.col("nrm"))
     return e.select(
         "vec_id",
         "nrm",
-        F.transform("v", lambda x: x / F.col("nrm")).alias("unit_v"),
+        F.element_at(unit, 1).alias("unit_head"),
+        F.aggregate(unit, F.lit(0.0), lambda acc, x: acc + x).alias("unit_sum"),
+        F.size("v").alias("n_dims"),
     )

@@ -91,9 +91,15 @@ def _canon(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:
 def _cell_close(a, b, rtol):
     if a is None and b is None:
         return True, True
-    if isinstance(a, float) or isinstance(b, float):
-        if a is None or b is None:
-            return False, False
+    if a is None or b is None:
+        return False, False
+    # Dtype drift IS a driver hash mismatch even when values compare equal
+    # (int 5 vs float 5.0 hash differently): require matching type category.
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False, False
+    if isinstance(a, float) != isinstance(b, float):
+        return False, False
+    if isinstance(a, float):
         ok = math.isclose(float(a), float(b), rel_tol=rtol, abs_tol=1e-12)
         return ok, float(a) == float(b)
     if isinstance(a, tuple) and isinstance(b, tuple):
@@ -101,13 +107,25 @@ def _cell_close(a, b, rtol):
             return False, False
         oks, bits = zip(*(_cell_close(x, y, rtol) for x, y in zip(a, b)), strict=False) if a else ((True,), (True,))
         return all(oks), all(bits)
+    if isinstance(a, datetime) != isinstance(b, datetime):
+        return False, False
     return a == b, a == b
+
+
+def _col_kinds(df: pd.DataFrame) -> list[str]:
+    """Canonical per-column dtype kind, unsigned folded into signed."""
+    return [{"u": "i"}.get(df[c].dtype.kind, df[c].dtype.kind) for c in sorted(df.columns)]
 
 
 def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, rtol: float = 1e-9, name: str = "?") -> None:
     s_cols, s_rows = _canon(spark_pdf)
     o_cols, o_rows = _canon(oracle_pdf)
     assert s_cols == o_cols, f"{name}: column names differ: spark={s_cols} oracle={o_cols}"
+    s_kinds, o_kinds = _col_kinds(spark_pdf), _col_kinds(oracle_pdf)
+    assert s_kinds == o_kinds, (
+        f"{name}: column dtype kinds differ (driver hash would mismatch): "
+        f"spark={dict(zip(s_cols, s_kinds))} oracle={dict(zip(o_cols, o_kinds))}"
+    )
     assert len(s_rows) == len(o_rows), f"{name}: row count differs: spark={len(s_rows)} oracle={len(o_rows)}"
     inexact = 0
     for i, (sr, orow) in enumerate(zip(s_rows, o_rows, strict=True)):

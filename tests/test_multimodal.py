@@ -53,7 +53,7 @@ def test_byte_features_match_python(spark, sf_dir):
         assert r.byte_sum == int(arr.sum())
         assert r.min_byte == int(arr.min())
         assert r.max_byte == int(arr.max())
-        assert r.hist4 == [int(x) for x in np.bincount(arr >> 6, minlength=4)]
+        assert r.hist4 == ",".join(str(int(x)) for x in np.bincount(arr >> 6, minlength=4))
 
 
 def test_frame_sample_match_python(spark, sf_dir):
