@@ -289,20 +289,24 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependent — exactly reproducible across engines (pure int ratios in
     identical expression order). Two hash-aggs + one broadcast-sized df join;
     the document-frequency table is the only corpus-global state and is tiny
-    (vocabulary-sized)."""
+    (vocabulary-sized). The corpus size N enters the plan as a broadcast
+    1-row aggregate cross-join (like the oracle's CROSS JOIN n) — NOT a
+    driver-side .count(), so constructing this DataFrame launches no jobs
+    and N is computed in the same distributed pass as everything else."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
     doclen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tfn"))
     df_t = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("dfn"))
-    nd = doclen.count()  # bounded scalar: number of docs in scope
+    n = doclen.agg(F.count(F.lit(1)).alias("nd"))  # 1-row corpus size, stays in-plan
     scored = (
         tf.join(doclen, "doc_id")
         .join(F.broadcast(df_t), "token")
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "token",
-            ((F.col("tfn") / F.col("dl")) * (F.lit(nd) / F.col("dfn"))).alias("score"),
+            ((F.col("tfn") / F.col("dl")) * (F.col("nd") / F.col("dfn"))).alias("score"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))

@@ -151,15 +151,31 @@ def rebalance_small_scan(df: DataFrame) -> DataFrame:
     return df
 
 
+_SCHEMA_CACHE: dict[tuple[int, str], object] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (parquet scan; schema from footer).
 
     Declarative scan so Catalyst keeps predicate pushdown / column pruning /
     partition pruning available to whatever plan consumes it.
+
+    The inferred schema is memoized per (session, path): schema inference
+    runs a 1-task footer-reading Spark job on EVERY ``read.parquet`` call,
+    which is pure fixed overhead when the same table is loaded by many
+    queries (and would show up as a driver-side job in query construction).
+    Repeat loads pass the cached schema explicitly — zero jobs.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (id(spark), path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if name == "events":
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType, TimestampNTZType

@@ -259,6 +259,12 @@ def closed_shards(path: str) -> list[str]:
     out = []
     for shard, fp in _shard_files(path).items():
         events = _scan(fp)
-        if any(ev.get("ContinuationSequenceNumber") is None for ev in events):
+        # Exception events carry no ContinuationSequenceNumber either —
+        # only a non-exception event with a null continuation is the
+        # split/merge EOF sentinel (mirrors _open_events' exclusion).
+        if any(
+            "ExceptionType" not in ev and ev.get("ContinuationSequenceNumber") is None
+            for ev in events
+        ):
             out.append(shard)
     return sorted(out)

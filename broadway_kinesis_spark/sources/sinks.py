@@ -28,6 +28,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -89,7 +90,13 @@ def batcher(
             handlers[name](batch_df.filter(pred), batch_id)
             matched = pred if matched is None else (matched | pred)
         if default is not None:
-            rest = batch_df.filter(~matched) if matched is not None else batch_df
+            # Null-safe negation: a row where every predicate is NULL must
+            # reach the default handler; ~NULL is NULL and would drop it.
+            rest = (
+                batch_df.filter(~F.coalesce(matched, F.lit(False)))
+                if matched is not None
+                else batch_df
+            )
             handlers[default](rest, batch_id)
 
     return run

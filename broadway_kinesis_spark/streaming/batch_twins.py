@@ -100,14 +100,17 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_window",
     oracle=f"""
     WITH t AS (
-        SELECT user_id, epoch_us(ts) AS t, value,
+        SELECT user_id, event_id, epoch_us(ts) AS t, value,
                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= {_30MIN_US}
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ), s AS (
+        -- Same (t, event_id) ordering as the LAG window: ordering by value
+        -- here could split equal-timestamp rows across sessions when one
+        -- of them carries the new_session flag.
         SELECT user_id, t, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY t, value
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
                                       ROWS UNBOUNDED PRECEDING) AS sid
         FROM t
     )

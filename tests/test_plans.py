@@ -159,3 +159,25 @@ def test_composite_q5_broadcasts_region_nation(spark, sf_dir):
     tables never shuffle for dimension joins."""
     df = QUERIES["composite_local_supplier_volume"](spark, sf_dir)
     assert broadcast_join_count(df) >= 2, formatted_plan(df)
+
+
+def test_tfidf_construction_launches_no_jobs(spark, sf_dir):
+    """The corpus size N must enter the plan as a 1-row broadcast cross-join,
+    not a driver-side .count(): constructing the DataFrame may launch ZERO
+    Spark jobs (an eager action at plan-build time is a scale-killer when
+    query construction sits in a hot loop or a planner)."""
+    import __spark_entry__ as entrymod
+
+    from broadway_kinesis_spark.session import load
+
+    load(spark, sf_dir, "documents")  # warm the one-time schema inference
+    sc = spark.sparkContext
+    group = "tfidf-construction-probe"
+    sc.setJobGroup(group, "probe", interruptOnCancel=False)
+    try:
+        df = entrymod.queries()["text_tfidf_topk"](spark, sf_dir)
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert jobs == [], f"construction launched jobs: {jobs}"
+    assert df.columns == ["doc_id", "token", "score"]

@@ -97,3 +97,22 @@ def test_batcher_validates_handlers():
 
     with pytest.raises(ValueError, match="missing"):
         batcher({"a": F.lit(True)}, {})
+
+
+def test_batcher_null_predicate_rows_go_to_default(spark):
+    """SQL three-valued logic: a row where every route predicate is NULL
+    must still reach the default handler (null-safe negation), matching the
+    docstring's 'rows matching no route go to default'."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a"), (2, None), (3, "b")], "id int, tag string")
+    got = {"t": [], "rest": []}
+    route = batcher(
+        {"t": F.col("tag") == "a"},
+        {"t": lambda d, _b: got["t"].extend(r.id for r in d.collect()),
+         "rest": lambda d, _b: got["rest"].extend(r.id for r in d.collect())},
+        default="rest",
+    )
+    route(df, 0)
+    assert sorted(got["t"]) == [1]
+    assert sorted(got["rest"]) == [2, 3]  # NULL-predicate row 2 included

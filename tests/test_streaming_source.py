@@ -282,3 +282,13 @@ def test_invalid_starting_position_rejected():
         parse_starting_position("bogus")
     with pytest.raises(ValueError, match="invalid startingPosition"):
         parse_starting_position("at_sequence_number:")
+
+
+def test_exception_event_does_not_mark_shard_closed(tmp_path):
+    """Exception events also lack ContinuationSequenceNumber, but they are
+    errors, not split/merge EOF sentinels — closed_shards must not report
+    the shard closed (consistent with _open_events' exclusion)."""
+    d = str(tmp_path)
+    write_shard(d, "s", [ev(1, b"a"), {"ExceptionType": "InternalFailureException"}])
+    write_shard(d, "s2", [ev(1, b"b"), CLOSED])
+    assert closed_shards(d) == ["s2"]
