@@ -5,37 +5,58 @@ starting-position/offset/EOF semantics, but reading a live Kinesis stream
 through the AWS SDK. Feature-parity map to the reference
 (mbta/broadway_kinesis), by SURVEY.md §2.A row:
 
-- A1/A5: subscribe + message dispatch -> SDK calls inside ``read()``; the
-  SDK does SigV4 signing and event-stream framing (A3) natively.
+- A1: enhanced-fan-out subscribe — when ``consumerArn`` is set, executors
+  consume the planned range over ``subscribe_to_shard``'s HTTP/2 push event
+  stream (`subscribe_to_shard.ex:25,87-108`): dedicated 2 MB/s/consumer
+  throughput instead of the shared 5-reads/sec GetRecords quota. Without a
+  consumer ARN the source falls back to polling ``get_records`` (the same
+  envelope rows either way).
 - A2: all five starting positions via ``startingPosition`` option
   (``subscribe_to_shard.ex:423-435``).
+- A3: event-stream frame decode is SDK-side (botocore's event-stream
+  parser), by design.
+- A5: message dispatch — SubscribeToShardEvent vs exception events vs
+  stream end, mirroring `subscribe_to_shard.ex:329-366`.
 - A6: per-shard continuation cursor -> the stream offset is
-  ``{shard_id: last_sequence_number}``; Spark's offset/commit logs replace
-  the manual resume API (A15, ``producer.ex:196-218``).
-- A7: shard close -> a shard whose iterator ends (split/merge) stops
-  advancing; re-enumeration via ``list_shards`` picks up children
-  (generalizing the reference's single-shard match, A11,
+  ``{shard_id: {"seq": last, "at": first}}``; Spark's offset/commit logs
+  replace the manual resume API (A15, ``producer.ex:196-218``). The ``at``
+  pin records the CONCRETE first sequence number of each planned range so
+  executor reads never re-resolve a floating position (LATEST at task time
+  would point at the then-current tip — silent loss on the first batch).
+- A7: shard close -> a null ContinuationSequenceNumber / null
+  NextShardIterator stops delivery; re-enumeration via ``list_shards``
+  picks up children (generalizing the single-shard match, A11,
   ``producer.ex:172-173``).
-- A8/A9: re-subscribe / reconnect -> every micro-batch issues fresh SDK
-  calls; no long-lived connection state exists to heal.
-- A10/A13: error taxonomy + paced retry -> :func:`_call_with_retry`;
-  transient AWS faults retry after ``reconnectDelayMs`` (default 70000 ms —
-  the reference's hardcoded ``@reconnection_delay``, ``producer.ex:37``,
-  chosen to outlast AWS's 5-consumers/shard re-registration window);
-  non-transient faults raise to Spark's task retry / query restart.
+- A8/A9: re-subscribe — the push stream's server-side 5-minute limit ends
+  the event stream without error; the reader re-subscribes AFTER the last
+  continuation sequence, or from the ORIGINAL starting position when no
+  events arrived yet (`subscribe_to_shard_test.exs:145-166,175-189`).
+- A10/A13: error taxonomy + paced retry -> :func:`_is_transient` /
+  :func:`_call_with_retry`; AWS-coded transient faults AND 3xx/5xx HTTP
+  responses retry after ``reconnectDelayMs`` (default 70000 ms — the
+  reference's ``@reconnection_delay``, ``producer.ex:37``, chosen to
+  outlast AWS's 5-consumers/shard re-registration window); 4xx AWS-typed
+  errors surface by their parsed ``__type`` (fatal unless the type itself
+  is transient), mirroring `subscribe_to_shard.ex:250-269`.
 - A14: emit-before-fail -> at-least-once via offset replay: a failed batch
   re-reads from the last committed cursor.
 - A16: ``maxRecordsPerBatch`` bounds each batch (pull-based pacing the
   push-based reference lacks).
 
-Batch planning strategy: ``latestOffset()`` polls each shard from the
-current cursor (bounded by the pacing cap) to find the batch's end sequence
-number; executors then re-read the (start, end] range deterministically in
-``read()`` — the range re-read is what makes task retries idempotent-ish
-(at-least-once) without driver-to-executor record shipping.
+Batch planning strategy (scale posture): ``latestOffset()`` polls each
+shard ONCE per planned batch to discover the range end — a pending-plan
+cache returns the already-planned end on Spark's extra latestOffset calls
+(prefetch, progress reporting) instead of re-polling, so the driver does
+exactly one bounded GetRecords pass per shard per batch and idle re-polls
+only when nothing was planned. Executors then re-read the concrete
+(start/at, end] range — over the EFO pipe when a consumer ARN is given, so
+the shared GetRecords quota is spent only on planning while record payload
+bandwidth rides the dedicated per-consumer throughput. End discovery
+itself must fetch records (Kinesis exposes no payload-free tail probe);
+the cache bounds that to once per batch rather than once per trigger.
 
-boto3 is NOT bundled in this environment: the client factory import-gates it
-with a clear error, and the offset machinery is unit-tested against a fake
+boto3 is NOT bundled in this environment: the client factory import-gates
+it with a clear error, and both read paths are unit-tested against a fake
 client (tests/test_kinesis_efo.py) — the SDK-free moral equivalent of the
 reference's FakeKinesis server tests.
 """
@@ -62,6 +83,7 @@ TRANSIENT_ERRORS = frozenset(
         "ServiceUnavailable",
         "RequestTimeout",
         "ResourceInUseException",  # consumer re-registering; reference retries this
+        "LimitExceededException",
     }
 )
 FATAL_ERRORS = frozenset(
@@ -91,20 +113,51 @@ def _default_client_factory(options: dict):
 def _error_code(exc: Exception) -> str | None:
     resp = getattr(exc, "response", None)
     if isinstance(resp, dict):
-        return (resp.get("Error") or {}).get("Code")
+        code = (resp.get("Error") or {}).get("Code")
+        if code:
+            return code
     return getattr(exc, "error_code", None)
 
 
+def _http_status(exc: Exception) -> int | None:
+    resp = getattr(exc, "response", None)
+    if isinstance(resp, dict):
+        status = (resp.get("ResponseMetadata") or {}).get("HTTPStatusCode")
+        if status is not None:
+            return int(status)
+    status = getattr(exc, "status", None)
+    return int(status) if status is not None else None
+
+
+def _is_transient(exc: Exception) -> bool:
+    """A10 taxonomy, mirroring `subscribe_to_shard.ex:250-269`:
+
+    - AWS-coded errors classify by code (the parsed ``__type`` of a 4xx);
+    - un-coded 3xx (redirect) and 5xx (server) responses are
+      transient-with-delay (the reference turns both into ``:http_error``
+      and retries on pacing, `producer.ex:107-114`);
+    - un-coded 4xx and anything unidentifiable is fatal — surface it.
+    """
+    code = _error_code(exc)
+    if code in TRANSIENT_ERRORS:
+        return True
+    if code in FATAL_ERRORS:
+        return False
+    status = _http_status(exc)
+    if status is not None and (300 <= status < 400 or status >= 500):
+        return True
+    return False
+
+
 def _call_with_retry(fn, *, delay_ms: int, max_attempts: int, sleep=time.sleep):
-    """A10/A13: retry transient AWS faults with the reference's fixed delay;
+    """A10/A13: retry transient faults with the reference's fixed delay;
     raise fatal ones immediately (Spark task retry is the outer loop)."""
     last: Exception | None = None
     for attempt in range(max_attempts):
         try:
             return fn()
         except Exception as exc:  # noqa: BLE001 - classified below
-            code = _error_code(exc)
-            if code in FATAL_ERRORS or code not in TRANSIENT_ERRORS:
+            if not _is_transient(exc):
                 raise
             last = exc
             if attempt < max_attempts - 1:
@@ -113,10 +166,29 @@ def _call_with_retry(fn, *, delay_ms: int, max_attempts: int, sleep=time.sleep):
     raise last
 
 
+# -- offset entries --------------------------------------------------------
+# Per-shard offset values are {"seq": last_sequence, "at": first_sequence}
+# dicts; legacy plain-string entries (just the last sequence) and None
+# (unresolved) are accepted on the start side for compatibility.
+
+
+def _entry_seq(entry) -> str | None:
+    if isinstance(entry, dict):
+        return entry.get("seq")
+    return entry
+
+
+def _entry_at(entry) -> str | None:
+    if isinstance(entry, dict):
+        return entry.get("at")
+    return None
+
+
 @dataclass
 class _ShardRange(InputPartition):
     shard_id: str
-    start_seq: str | None  # None -> resolve from starting position
+    start_seq: str | None  # concrete cursor: read AFTER this sequence
+    at_seq: str | None  # pinned first sequence of the range (read AT this)
     end_seq: str
     stream_name: str
     consumer_arn: str | None
@@ -139,6 +211,7 @@ class KinesisEfoStreamReader(DataSourceStreamReader):
         self.delay_ms = int(options.get("reconnectDelayMs", DEFAULT_RECONNECT_DELAY_MS))
         self.max_attempts = int(options.get("maxRetries", DEFAULT_MAX_ATTEMPTS))
         self._client = None
+        self._pending: dict[str, dict] = {}
 
     # -- SDK plumbing -----------------------------------------------------
 
@@ -163,24 +236,32 @@ class KinesisEfoStreamReader(DataSourceStreamReader):
             if not token:
                 return sorted(shards)
 
-    def _iterator(self, shard_id: str, *, after_seq: str | None):
+    def _position_kwargs(self) -> dict:
+        """GetShardIterator kwargs for the configured starting position."""
+        pos = self.position
+        if pos.kind in ("latest", "trim_horizon"):
+            return {"ShardIteratorType": pos.kind.upper()}
+        if pos.kind == "at_timestamp":
+            return {"ShardIteratorType": "AT_TIMESTAMP", "Timestamp": float(pos.value)}
+        return {
+            "ShardIteratorType": pos.kind.upper(),
+            "StartingSequenceNumber": pos.value,
+        }
+
+    def _iterator(self, shard_id: str, *, after_seq: str | None, at_seq: str | None = None):
         cli = self._cli()
         if after_seq is not None:
             kw = {
                 "ShardIteratorType": "AFTER_SEQUENCE_NUMBER",
                 "StartingSequenceNumber": after_seq,
             }
+        elif at_seq is not None:
+            kw = {
+                "ShardIteratorType": "AT_SEQUENCE_NUMBER",
+                "StartingSequenceNumber": at_seq,
+            }
         else:
-            pos = self.position
-            if pos.kind in ("latest", "trim_horizon"):
-                kw = {"ShardIteratorType": pos.kind.upper()}
-            elif pos.kind == "at_timestamp":
-                kw = {"ShardIteratorType": "AT_TIMESTAMP", "Timestamp": float(pos.value)}
-            else:
-                kw = {
-                    "ShardIteratorType": pos.kind.upper(),
-                    "StartingSequenceNumber": pos.value,
-                }
+            kw = self._position_kwargs()
         resp = self._retry(
             lambda: cli.get_shard_iterator(
                 StreamName=self.stream_name, ShardId=shard_id, **kw
@@ -188,67 +269,212 @@ class KinesisEfoStreamReader(DataSourceStreamReader):
         )
         return resp["ShardIterator"]
 
-    def _poll(self, shard_id: str, after_seq: str | None, limit: int):
-        """Bounded get_records scan; returns (records, shard_closed)."""
+    def _poll(
+        self,
+        shard_id: str,
+        after_seq: str | None,
+        limit: int,
+        at_seq: str | None = None,
+        start_iter: str | None = None,
+    ):
+        """Bounded get_records scan; returns (records, shard_closed, next_iter).
+
+        ``start_iter`` continues an existing iterator chain (see
+        latestOffset's floating-position handling); an expired iterator is
+        re-resolved once from the concrete cursor.
+        """
         cli = self._cli()
-        it = self._iterator(shard_id, after_seq=after_seq)
+        it = start_iter or self._iterator(shard_id, after_seq=after_seq, at_seq=at_seq)
         records: list[dict] = []
+        refreshed = False
         while it and len(records) < limit:
-            resp = self._retry(
-                lambda it=it: cli.get_records(ShardIterator=it, Limit=min(limit - len(records), 10_000))
-            )
+            try:
+                resp = self._retry(
+                    lambda it=it: cli.get_records(
+                        ShardIterator=it, Limit=min(limit - len(records), 10_000)
+                    )
+                )
+            except Exception as exc:
+                if _error_code(exc) == "ExpiredIteratorException" and not refreshed:
+                    refreshed = True
+                    it = self._iterator(shard_id, after_seq=after_seq, at_seq=at_seq)
+                    continue
+                raise
             records += resp.get("Records", [])
             it = resp.get("NextShardIterator")  # None => shard closed (A7)
             if resp.get("MillisBehindLatest") == 0 and not resp.get("Records"):
                 break  # caught up
-        return records[:limit], it is None
+        return records[:limit], it is None, it
+
+    def _subscribe_position(self, partition: _ShardRange) -> dict:
+        """SubscribeToShard StartingPosition for a planned range
+        (`subscribe_to_shard.ex:423-435` encoding, as the SDK dict)."""
+        if partition.start_seq is not None:
+            return {"Type": "AFTER_SEQUENCE_NUMBER", "SequenceNumber": partition.start_seq}
+        if partition.at_seq is not None:
+            return {"Type": "AT_SEQUENCE_NUMBER", "SequenceNumber": partition.at_seq}
+        pos = self.position
+        if pos.kind in ("latest", "trim_horizon"):
+            return {"Type": pos.kind.upper()}
+        if pos.kind == "at_timestamp":
+            return {"Type": "AT_TIMESTAMP", "Timestamp": float(pos.value)}
+        return {"Type": pos.kind.upper(), "SequenceNumber": pos.value}
+
+    def _subscribe_range(self, partition: _ShardRange) -> list[dict]:
+        """A1: consume the planned range over the EFO push event stream.
+
+        Mirrors the reference's streaming loop (`subscribe_to_shard.ex`):
+        each SubscribeToShardEvent advances the resume position to
+        AFTER its ContinuationSequenceNumber; a null continuation means the
+        shard closed (A7); the server ending the stream without error (the
+        5-minute subscription limit) triggers a re-subscribe from the last
+        continuation — or from the ORIGINAL position if no events arrived
+        (`subscribe_to_shard_test.exs:145-189`); exception events classify
+        through the A10 taxonomy (transient → paced re-subscribe, fatal →
+        raise).
+        """
+        cli = self._cli()
+        original = self._subscribe_position(partition)
+        pos = original
+        got_event = False
+        out: list[dict] = []
+        errors = 0
+        idle_rounds = 0
+        while True:
+            resp = self._retry(
+                lambda pos=pos: cli.subscribe_to_shard(
+                    ConsumerARN=partition.consumer_arn,
+                    ShardId=partition.shard_id,
+                    StartingPosition=pos,
+                )
+            )
+            progressed = False
+            try:
+                for event in resp["EventStream"]:
+                    ev = event.get("SubscribeToShardEvent")
+                    if ev is None:
+                        continue  # initial-response etc. (subscribe_to_shard.ex:341)
+                    got_event = True
+                    progressed = True
+                    recs = ev.get("Records", [])
+                    out += recs
+                    if any(r["SequenceNumber"] == partition.end_seq for r in recs):
+                        return out
+                    cont = ev.get("ContinuationSequenceNumber")
+                    if cont is None:
+                        return out  # shard closed mid-range (A7)
+                    pos = {"Type": "AFTER_SEQUENCE_NUMBER", "SequenceNumber": cont}
+            except Exception as exc:  # exception event mid-stream (A5/A10)
+                if not _is_transient(exc):
+                    raise
+                errors += 1
+                if errors >= self.max_attempts:
+                    raise
+                time.sleep(self.delay_ms / 1000.0)
+                continue
+            # Stream ended without error (server-side time limit): re-request
+            # from the continuation, or the original position if nothing
+            # arrived yet. Bound consecutive empty streams so a planning bug
+            # can't spin forever against a quiet shard.
+            if not got_event:
+                pos = original
+            idle_rounds = 0 if progressed else idle_rounds + 1
+            if idle_rounds >= self.max_attempts:
+                raise RuntimeError(
+                    f"subscribe_to_shard: planned end {partition.end_seq!r} not "
+                    f"reached on {partition.shard_id} after {idle_rounds} empty streams"
+                )
 
     # -- DataSourceStreamReader contract ----------------------------------
 
     def initialOffset(self) -> dict:
         # Sequence cursors are opaque: the initial offset marks "unresolved";
-        # the first batch resolves each shard from the starting position.
+        # the first planned batch pins each shard to the concrete sequence
+        # number of the first record the driver observes (the "at" entry),
+        # so even a 'latest' start replays deterministically.
         return {shard: None for shard in self._shard_ids()}
 
     def latestOffset(self) -> dict:
         base = getattr(self, "_last_end", None) or {}
-        out: dict[str, str | None] = {}
+        pending = getattr(self, "_pending", None) or {}
+        live = getattr(self, "_live_iters", None)
+        if live is None:
+            live = self._live_iters = {}
+        out: dict[str, dict | str | None] = {}
         for shard in self._shard_ids():
-            cursor = base.get(shard)
-            records, _closed = self._poll(shard, cursor, self.max_per_batch)
-            out[shard] = records[-1]["SequenceNumber"] if records else cursor
+            if shard in pending:
+                # Already planned, not yet consumed by partitions(): return
+                # the cached end instead of re-downloading the same range
+                # (Spark calls latestOffset more often than it plans).
+                out[shard] = pending[shard]
+                continue
+            cursor_entry = base.get(shard)
+            cursor = _entry_seq(cursor_entry)
+            # For a shard with no concrete cursor yet, continue the SAME
+            # iterator chain across triggers: re-resolving a floating LATEST
+            # each trigger would skip every record that arrived in between.
+            start_iter = live.get(shard) if cursor is None else None
+            records, _closed, nxt = self._poll(
+                shard, cursor, self.max_per_batch, start_iter=start_iter
+            )
+            if records:
+                ent = {
+                    "seq": records[-1]["SequenceNumber"],
+                    "at": records[0]["SequenceNumber"],
+                }
+                out[shard] = ent
+                self._pending[shard] = ent
+                live.pop(shard, None)  # concrete cursor takes over
+            else:
+                out[shard] = cursor_entry  # unchanged -> no batch for shard
+                if cursor is None and nxt is not None:
+                    live[shard] = nxt
         return out
 
     def partitions(self, start: dict, end: dict):
+        self._pending = {}
         known = getattr(self, "_last_end", None) or {}
         self._last_end = {**known, **{s: v for s, v in end.items() if v is not None}}
-        return [
-            _ShardRange(
-                shard_id=s,
-                start_seq=start.get(s),
-                end_seq=end[s],
-                stream_name=self.stream_name,
-                consumer_arn=self.consumer_arn,
-                options=self.options,
+        parts = []
+        for s, e in end.items():
+            if e is None or _entry_seq(e) == _entry_seq(start.get(s)):
+                continue
+            parts.append(
+                _ShardRange(
+                    shard_id=s,
+                    start_seq=_entry_seq(start.get(s)),
+                    at_seq=_entry_at(e),
+                    end_seq=_entry_seq(e),
+                    stream_name=self.stream_name,
+                    consumer_arn=self.consumer_arn,
+                    options=self.options,
+                )
             )
-            for s in end
-            if end[s] is not None and end[s] != start.get(s)
-        ]
+        return parts
 
     def read(self, partition: _ShardRange):
-        """Deterministic range re-read (start_seq, end_seq] on the executor."""
+        """Deterministic range re-read on the executor: AFTER start_seq when
+        a prior cursor exists, else AT the pinned first sequence — never a
+        floating LATEST resolution at task time. EFO push pipe when a
+        consumer ARN is configured, get_records otherwise."""
         reader = KinesisEfoStreamReader.__new__(KinesisEfoStreamReader)
         reader.__init__(None, partition.options)
-        records, _closed = reader._poll(
-            partition.shard_id, partition.start_seq, reader.max_per_batch
-        )
+        if partition.consumer_arn:
+            records = reader._subscribe_range(partition)
+        else:
+            records, _closed, _it = reader._poll(
+                partition.shard_id,
+                partition.start_seq,
+                reader.max_per_batch,
+                at_seq=partition.at_seq,
+            )
+        from datetime import datetime, timezone
+
         for rec in records:
             seq = rec["SequenceNumber"]
             arrival = rec.get("ApproximateArrivalTimestamp")
             if arrival is not None and not isinstance(arrival, (int, float)):
                 arrival = arrival.timestamp()
-            from datetime import datetime, timezone
-
             yield (
                 seq,
                 rec.get("PartitionKey"),
