@@ -40,6 +40,13 @@ from broadway_kinesis_spark.session import build_session  # noqa: E402
 # set ops, dedup, and the LLM-pipeline ops. Names absent from the
 # registry (not yet implemented) are skipped so bench never breaks
 # mid-build.
+#
+# Round 2 additions (keeping all 16 round-1 queries for comparability):
+# - similarity_ann_ivf_probe: the ANN scale path is now tracked round over
+#   round, not just the brute-force exact baseline.
+# - dedup_ngram_jaccard: the second real-compute dedup operator (inverted
+#   index + DF-capped verify); together with minhash these are the queries
+#   where engine work, not per-query fixed cost, dominates the wall-clock.
 HEADLINE = [
     "pricing_summary",
     "join_inner",
@@ -53,7 +60,9 @@ HEADLINE = [
     "setops_except",
     "dedup_exact_rows",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "similarity_topk_cosine",
+    "similarity_ann_ivf_probe",
     "text_token_stats",
     "asof_join",
     "stream_tumbling_window",

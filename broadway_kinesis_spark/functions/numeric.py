@@ -83,3 +83,54 @@ def sql_davg(expr: str, alias: str) -> str:
     return (
         f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(38,{_SCALE}))), {_AVG_SCALE}) AS DOUBLE) / COUNT(*) AS {alias}"
     )
+
+
+# -- scaled-integer money sums (the fast exact path) -----------------------
+#
+# For money-like columns whose values carry <= 6 decimal digits (prices,
+# 2-decimal rates, and their 2-3-term products), the sum can stay in LONG:
+# scale each row to an exact integer of 1e-6 units (the double error after
+# *1e6 is ~1e-5 of a unit, far below the 0.5 rounding threshold, so
+# floor(x*1e6 + 0.5) recovers the true scaled integer in both engines from
+# the bit-identical double), then SUM the longs — a whole-stage-codegen
+# primitive sum, measured ~3x faster than the decimal(38,8) path and just
+# as order-independent since integer addition is exact.
+#
+# Range analysis: long holds +/-9.2e18 scaled units = 9.2e12 whole units
+# per aggregation group. A TPC-H-shaped revenue group crosses that around
+# sf~10000 (~10 TB per group); beyond it, use dsum() — same semantics,
+# decimal accumulator, no overflow until 1e30. The engine keeps both and
+# callers choose by the group-cardinality/magnitude bound they can prove.
+# (Spark's non-ANSI long sum wraps silently on overflow — do NOT use lsum
+# past the proven bound.)
+
+_LS = 1_000_000  # 1e-6 units: exact for <=6-decimal money values
+
+
+def lscale(col: Column) -> Column:
+    """Exact scaled-integer of a <=6-decimal double (1e-6 units)."""
+    return F.floor(col * float(_LS) + F.lit(0.5)).cast("long")
+
+
+def sql_lscale(expr: str) -> str:
+    """DuckDB twin of :func:`lscale`."""
+    return f"CAST(FLOOR(({expr}) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def lsum_round(sum_col: str, scale: int) -> Column:
+    """ROUND(scaled-long sum, ``scale``) surfaced as DOUBLE.
+
+    Integer-rounds the 1e-6-unit sum to ``scale`` decimals (half-up;
+    positive sums), keeping the value <= 2^53 before the double cast so the
+    conversion is exact in both engines.
+    """
+    q = 10 ** (6 - scale)
+    return (
+        F.expr(f"(({sum_col}) + {q // 2}) div {q}").cast("double") / float(10**scale)
+    )
+
+
+def sql_lsum_round(sum_expr: str, scale: int) -> str:
+    """DuckDB twin of :func:`lsum_round`."""
+    q = 10 ** (6 - scale)
+    return f"CAST((({sum_expr}) + {q // 2}) // {q} AS DOUBLE) / {float(10 ** scale)}"

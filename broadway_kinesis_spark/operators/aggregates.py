@@ -13,9 +13,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from broadway_kinesis_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from broadway_kinesis_spark.functions.numeric import (
+    davg,
+    dsum,
+    lscale,
+    lsum_round,
+    sql_davg,
+    sql_dsum,
+    sql_lscale,
+    sql_lsum_round,
+)
 from broadway_kinesis_spark.registry import query
-from broadway_kinesis_spark.session import load, rebalance_small_scan
+from broadway_kinesis_spark.session import load
 
 _CUTOFF = "2000-09-02 00:00:00"
 
@@ -24,21 +33,21 @@ _CUTOFF = "2000-09-02 00:00:00"
     "pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(ROUND(_sq, 2) AS DOUBLE) AS sum_qty,
-           CAST(ROUND(_sp, 2) AS DOUBLE) AS sum_base_price,
-           CAST(ROUND(_sd, 2) AS DOUBLE) AS sum_disc_price,
-           CAST(ROUND(_sc, 2) AS DOUBLE) AS sum_charge,
-           CAST(ROUND(_sq, 4) AS DOUBLE) / count_order AS avg_qty,
-           CAST(ROUND(_sp, 4) AS DOUBLE) / count_order AS avg_price,
-           CAST(ROUND(_sdisc, 4) AS DOUBLE) / count_order AS avg_disc,
+           {sql_lsum_round("_sq", 2)} AS sum_qty,
+           {sql_lsum_round("_sp", 2)} AS sum_base_price,
+           {sql_lsum_round("_sd", 2)} AS sum_disc_price,
+           {sql_lsum_round("_sc", 2)} AS sum_charge,
+           {sql_lsum_round("_sq", 4)} / count_order AS avg_qty,
+           {sql_lsum_round("_sp", 4)} / count_order AS avg_price,
+           {sql_lsum_round("_sdisc", 4)} / count_order AS avg_disc,
            count_order
     FROM (
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(l_quantity AS DECIMAL(38,8))) AS _sq,
-               SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS _sp,
-               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,8))) AS _sd,
-               SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,8))) AS _sc,
-               SUM(CAST(l_discount AS DECIMAL(38,8))) AS _sdisc,
+               SUM({sql_lscale("l_quantity")}) AS _sq,
+               SUM({sql_lscale("l_extendedprice")}) AS _sp,
+               SUM({sql_lscale("l_extendedprice * (1 - l_discount)")}) AS _sd,
+               SUM({sql_lscale("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}) AS _sc,
+               SUM({sql_lscale("l_discount")}) AS _sdisc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '{_CUTOFF}'
@@ -53,37 +62,43 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-value (returnflag, linestatus) keys → sort. At 100 TB the map-side
     partial agg collapses each input partition to ≤6 rows before the
     shuffle, so the exchange is trivially small regardless of input size.
-    Each decimal sum is aggregated ONCE; the rounded sum and the avg
-    numerator are derived projections (5 stabilized sums instead of 7) —
-    same exact-decimal semantics as dsum/davg in functions/numeric.py.
+
+    Sums ride the scaled-long fast path (functions/numeric.py lsum notes):
+    each ≤6-decimal money term becomes an exact 1e-6-unit integer in the
+    projection, the aggregate is a codegen primitive long sum (measured ~3x
+    the decimal path's throughput), and rounding happens in integer space
+    so the final double cast is exact in both engines. Each sum is
+    aggregated ONCE; the 2-dp sum and 4-dp avg numerator are derived
+    projections (5 sums instead of 7). Deployments where one group's sum
+    could exceed 9.2e12 whole units switch these to dsum/davg (see range
+    analysis in numeric.py).
     """
-    l = rebalance_small_scan(load(spark, sf_dir, "lineitem"))
+    l = load(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice")
     disc = F.col("l_discount")
     tax = F.col("l_tax")
-    dec = "decimal(38,8)"
     summed = (
         l.filter(F.col("l_shipdate") <= F.lit(_CUTOFF).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(dec)).alias("_sq"),
-            F.sum(price.cast(dec)).alias("_sp"),
-            F.sum((price * (1 - disc)).cast(dec)).alias("_sd"),
-            F.sum((price * (1 - disc) * (1 + tax)).cast(dec)).alias("_sc"),
-            F.sum(disc.cast(dec)).alias("_sdisc"),
+            F.sum(lscale(F.col("l_quantity"))).alias("_sq"),
+            F.sum(lscale(price)).alias("_sp"),
+            F.sum(lscale(price * (1 - disc))).alias("_sd"),
+            F.sum(lscale(price * (1 - disc) * (1 + tax))).alias("_sc"),
+            F.sum(lscale(disc)).alias("_sdisc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
     return summed.select(
         "l_returnflag",
         "l_linestatus",
-        F.round("_sq", 2).cast("double").alias("sum_qty"),
-        F.round("_sp", 2).cast("double").alias("sum_base_price"),
-        F.round("_sd", 2).cast("double").alias("sum_disc_price"),
-        F.round("_sc", 2).cast("double").alias("sum_charge"),
-        (F.round("_sq", 4).cast("double") / F.col("count_order")).alias("avg_qty"),
-        (F.round("_sp", 4).cast("double") / F.col("count_order")).alias("avg_price"),
-        (F.round("_sdisc", 4).cast("double") / F.col("count_order")).alias("avg_disc"),
+        lsum_round("_sq", 2).alias("sum_qty"),
+        lsum_round("_sp", 2).alias("sum_base_price"),
+        lsum_round("_sd", 2).alias("sum_disc_price"),
+        lsum_round("_sc", 2).alias("sum_charge"),
+        (lsum_round("_sq", 4) / F.col("count_order")).alias("avg_qty"),
+        (lsum_round("_sp", 4) / F.col("count_order")).alias("avg_price"),
+        (lsum_round("_sdisc", 4) / F.col("count_order")).alias("avg_disc"),
         "count_order",
     ).orderBy("l_returnflag", "l_linestatus")
 
@@ -144,9 +159,9 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_rollup",
-    oracle="""
+    oracle=f"""
     SELECT n_name, o_orderstatus, COUNT(*) AS n_orders,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,8))), 2) AS DOUBLE) AS total_price
+           {sql_lsum_round(f"SUM({sql_lscale('o_totalprice')})", 2)} AS total_price
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -155,14 +170,25 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over a star join — Expand node feeds one shuffle; grouping-set
-    rows share the same two-phase aggregate."""
+    rows share the same two-phase aggregate. The money sum rides the
+    scaled-long fast path (2-decimal input, grand-total well under the
+    lsum range bound — numeric.py)."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     joined = o.join(c, o.o_custkey == c.c_custkey).join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-    return joined.rollup("n_name", "o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        dsum(F.col("o_totalprice"), "total_price"),
+    return (
+        joined.rollup("n_name", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(lscale(F.col("o_totalprice"))).alias("_tp"),
+        )
+        .select(
+            "n_name",
+            "o_orderstatus",
+            "n_orders",
+            lsum_round("_tp", 2).alias("total_price"),
+        )
     )
 
 

@@ -296,7 +296,8 @@ N_PROBE = 2  # clusters probed per query in the centroid IVF
         SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e
     ), cdim AS (
         SELECT label, pos,
-               CAST(ROUND(SUM(CAST(x AS DECIMAL(38,18))), 6) AS DOUBLE) / COUNT(*) AS c
+               CAST(SUM(CAST(FLOOR(x * 1099511627776.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1099511627776.0 / COUNT(*) AS c
         FROM expl GROUP BY label, pos
     ), cent AS (
         SELECT label, list(c ORDER BY pos) AS cv FROM cdim GROUP BY label
@@ -340,10 +341,17 @@ def similarity_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("embedding").cast("array<double>")
     e = e.select("vec_id", "label", v.alias("v"), F.sqrt(_dot(v, v)).alias("nrm"))
 
+    # Centroid means on the scaled-long fast path: quantize each component
+    # to 2^-40 units (floor(x*2^40+0.5) — exact integer in both engines from
+    # the bit-identical double), primitive long sum, then /2^40 (a POWER OF
+    # TWO: the double division is exact, no rounding step needed at all).
+    # The 2^-41-per-dim quantization is far below float32 input precision.
+    _S = float(1 << 40)
     expl = e.select("label", F.posexplode("v").alias("pos", "x"))
     cdim = expl.groupBy("label", "pos").agg(
         (
-            F.round(F.sum(F.col("x").cast("decimal(38,18)")), 6).cast("double")
+            F.sum(F.floor(F.col("x") * _S + F.lit(0.5)).cast("long")).cast("double")
+            / _S
             / F.count(F.lit(1))
         ).alias("c")
     )
