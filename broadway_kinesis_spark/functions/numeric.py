@@ -134,3 +134,29 @@ def sql_lsum_round(sum_expr: str, scale: int) -> str:
     """DuckDB twin of :func:`lsum_round`."""
     q = 10 ** (6 - scale)
     return f"CAST((({sum_expr}) + {q // 2}) // {q} AS DOUBLE) / {float(10 ** scale)}"
+
+
+def lsum(expr_sql: str, alias: str, scale: int = 2) -> Column:
+    """One-expression scaled-long SUM for ≤6-decimal NON-NEGATIVE money
+    columns, surfaced as DOUBLE rounded to ``scale`` decimals — the drop-in
+    fast twin of :func:`dsum` (see range analysis above; negative sums would
+    diverge between Spark's truncating ``div`` and DuckDB's flooring ``//``,
+    so signed data stays on dsum).
+
+    ``expr_sql`` is a Spark-SQL scalar expression (same string works in the
+    oracle through :func:`sql_lsum`).
+    """
+    q = 10 ** (6 - scale)
+    scaled = f"sum(cast(floor(({expr_sql}) * 1000000.0 + 0.5) as bigint))"
+    return (
+        F.expr(f"(({scaled}) + {q // 2}) div {q}").cast("double") / float(10**scale)
+    ).alias(alias)
+
+
+def sql_lsum(expr: str, alias: str, scale: int = 2) -> str:
+    """DuckDB twin of :func:`lsum`."""
+    q = 10 ** (6 - scale)
+    return (
+        f"CAST((SUM({sql_lscale(expr)}) + {q // 2}) // {q} AS DOUBLE)"
+        f" / {float(10 ** scale)} AS {alias}"
+    )

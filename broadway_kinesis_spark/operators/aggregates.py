@@ -17,10 +17,12 @@ from broadway_kinesis_spark.functions.numeric import (
     davg,
     dsum,
     lscale,
+    lsum,
     lsum_round,
     sql_davg,
     sql_dsum,
     sql_lscale,
+    sql_lsum,
     sql_lsum_round,
 )
 from broadway_kinesis_spark.registry import query
@@ -194,10 +196,10 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_cube",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_items,
-           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,8))), 2) AS DOUBLE) AS sum_qty
+           {sql_lsum("l_quantity", "sum_qty")}
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -207,16 +209,16 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     return l.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_items"),
-        dsum(F.col("l_quantity"), "sum_qty"),
+        lsum("l_quantity", "sum_qty"),
     )
 
 
 @query(
     "agg_filtered_first_last",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,8))) FILTER (WHERE l_tax > 0.04), 2) AS DOUBLE) AS taxed_price,
+           CAST((SUM({sql_lscale("l_extendedprice")}) FILTER (WHERE l_tax > 0.04) + 5000) // 10000 AS DOUBLE) / 100.0 AS taxed_price,
            MIN(l_shipdate) AS first_ship,
            MAX(l_shipdate) AS last_ship
     FROM lineitem
@@ -224,12 +226,17 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_filtered_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filtered aggregates (agg-level predicates) + min/max over timestamps."""
+    """Filtered aggregates (agg-level predicates) + min/max over timestamps.
+    The conditional money sum rides the scaled-long path (numeric.py)."""
     l = load(spark, sf_dir, "lineitem")
-    dec = "decimal(38,8)"
     return l.groupBy("l_returnflag").agg(
         F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
-        F.round(F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice").cast(dec))), 2).cast("double").alias("taxed_price"),
+        (
+            F.expr(
+                "(sum(case when l_tax > 0.04 then cast(floor(l_extendedprice * 1000000.0 + 0.5) as bigint) end) + 5000) div 10000"
+            ).cast("double")
+            / 100.0
+        ).alias("taxed_price"),
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )
@@ -307,10 +314,10 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_salted_skew",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            COUNT(*) AS n_items,
-           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,8))), 2) AS DOUBLE) AS sum_qty
+           {sql_lsum("l_quantity", "sum_qty")}
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -320,18 +327,19 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     when one grouping key dominates (AQE splits skewed JOINS but a skewed
     AGG key still lands on one reducer): stage 1 groups by (key, salt) so
     the hot key spreads over SALT_BUCKETS reducers, stage 2 merges the
-    partials. Decimal partials make the two-stage result bit-identical to
-    the one-stage oracle regardless of how the salt splits rows."""
+    partials. Exact integer partials (scaled-long, numeric.py) make the
+    two-stage result bit-identical to the one-stage oracle regardless of
+    how the salt splits rows."""
     SALT_BUCKETS = 8
     l = load(spark, sf_dir, "lineitem")
     salted = l.withColumn("_salt", F.pmod(F.col("l_orderkey"), F.lit(SALT_BUCKETS)))
     partial = salted.groupBy("l_returnflag", "_salt").agg(
         F.count(F.lit(1)).alias("pn"),
-        F.sum(F.col("l_quantity").cast("decimal(38,8)")).alias("psum"),
+        F.sum(lscale(F.col("l_quantity"))).alias("psum"),
     )
     return partial.groupBy("l_returnflag").agg(
         F.sum("pn").alias("n_items"),
-        F.round(F.sum("psum"), 2).cast("double").alias("sum_qty"),
+        lsum_round("sum(psum)", 2).alias("sum_qty"),
     )
 
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from broadway_kinesis_spark.functions.numeric import dsum, sql_dsum
+from broadway_kinesis_spark.functions.numeric import lsum, sql_lsum
 from broadway_kinesis_spark.registry import query
 from broadway_kinesis_spark.session import load
 
@@ -37,7 +37,7 @@ _Q10_LO, _Q10_HI = "1997-01-01", "1997-07-01"
     "composite_shipping_priority",
     oracle=f"""
     SELECT l_orderkey,
-           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+           {sql_lsum("l_extendedprice * (1 - l_discount)", "revenue")},
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -71,7 +71,7 @@ def composite_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, o.o_orderkey == l.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(lsum("l_extendedprice * (1 - l_discount)", "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -82,7 +82,7 @@ def composite_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "composite_local_supplier_volume",
     oracle=f"""
     SELECT n_name,
-           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+           {sql_lsum("l_extendedprice * (1 - l_discount)", "revenue")}
     FROM region
     JOIN nation   ON n_regionkey = r_regionkey
     JOIN customer ON c_nationkey = n_nationkey
@@ -128,7 +128,7 @@ def composite_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFra
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
         .groupBy("n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(lsum("l_extendedprice * (1 - l_discount)", "revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -197,7 +197,7 @@ def composite_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "composite_returned_items",
     oracle=f"""
     SELECT c_custkey, c_name,
-           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+           {sql_lsum("l_extendedprice * (1 - l_discount)", "revenue")},
            c_acctbal, n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -232,7 +232,7 @@ def composite_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, o.o_orderkey == l.l_orderkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(lsum("l_extendedprice * (1 - l_discount)", "revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from broadway_kinesis_spark.functions.numeric import dsum, sql_dsum
+from broadway_kinesis_spark.functions.numeric import lsum, sql_lsum
 from broadway_kinesis_spark.registry import query
 from broadway_kinesis_spark.session import load
 
@@ -23,7 +23,7 @@ from broadway_kinesis_spark.session import load
     oracle=f"""
     SELECT n_name,
            COUNT(*) AS n_orders,
-           {sql_dsum("o_totalprice", "revenue")}
+           {sql_lsum("o_totalprice", "revenue")}
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -43,7 +43,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.count(F.lit(1)).alias("n_orders"), dsum(F.col("o_totalprice"), "revenue"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), lsum("o_totalprice", "revenue"))
     )
 
 
@@ -52,7 +52,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT p_brand,
            COUNT(*) AS n_items,
-           {sql_dsum("l_quantity", "sum_qty")}
+           {sql_lsum("l_quantity", "sum_qty")}
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
     WHERE p_size <= 25
@@ -67,7 +67,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy("p_brand")
-        .agg(F.count(F.lit(1)).alias("n_items"), dsum(F.col("l_quantity"), "sum_qty"))
+        .agg(F.count(F.lit(1)).alias("n_items"), lsum("l_quantity", "sum_qty"))
     )
 
 

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from broadway_kinesis_spark.functions.numeric import dsum, sql_dsum
+from broadway_kinesis_spark.functions.numeric import lsum, sql_lsum
 from broadway_kinesis_spark.registry import query
 from broadway_kinesis_spark.session import load
 
@@ -46,7 +46,7 @@ _30MIN_US = 30 * 60 * 1_000_000
     SELECT (epoch_us(ts) // {_5MIN_US}) * {_5MIN_US} AS window_start_us,
            event_type,
            COUNT(*) AS n_events,
-           {sql_dsum("value", "sum_value")}
+           {sql_lsum("value", "sum_value")}
     FROM events
     GROUP BY 1, 2
     """,
@@ -59,7 +59,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), lsum("value", "sum_value"))
         .select(
             F.unix_micros("w.start").alias("window_start_us"),
             "event_type",
@@ -72,7 +72,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_sliding_window",
     oracle=f"""
-    SELECT window_start_us, COUNT(*) AS n_events, {sql_dsum("value", "sum_value")}
+    SELECT window_start_us, COUNT(*) AS n_events, {sql_lsum("value", "sum_value")}
     FROM (
         SELECT UNNEST([
                    (epoch_us(ts) // {_5MIN_US}) * {_5MIN_US} - {_5MIN_US},
@@ -91,7 +91,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), lsum("value", "sum_value"))
         .select(F.unix_micros("w.start").alias("window_start_us"), "n_events", "sum_value")
     )
 
@@ -118,7 +118,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(t) AS session_start_us,
            MAX(t) + {_30MIN_US} AS session_end_us,
            COUNT(*) AS n_events,
-           {sql_dsum("value", "sum_value")}
+           {sql_lsum("value", "sum_value")}
     FROM s
     GROUP BY user_id, sid
     """,
@@ -132,7 +132,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), lsum("value", "sum_value"))
         .select(
             "user_id",
             F.unix_micros("w.start").alias("session_start_us"),
