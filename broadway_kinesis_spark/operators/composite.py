@@ -237,3 +237,77 @@ def composite_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang, n_chars, text,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), quality AS (
+        SELECT * FROM scored WHERE n_tokens >= 20 AND n_chars >= 100
+    ), dedup AS (
+        SELECT doc_id, lang, n_tokens FROM (
+            SELECT doc_id, lang, n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM quality
+        ) WHERE rn = 1
+    ), split AS (
+        SELECT doc_id, lang, n_tokens,
+               CASE
+                   WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                   WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM dedup
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(doc_id) AS min_doc_id
+    FROM split
+    GROUP BY split
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning pipeline in ONE declarative plan:
+    quality gate (token/char floors) → exact dedup keep-first (md5 grouping,
+    so only 16-byte hashes shuffle, never bodies) → deterministic 80/10/10
+    hash split → per-split stats. The stages compose lazily: Catalyst fuses
+    the quality filter into the scan, the dedup window and the final agg
+    each take one shuffle, and the split assignment stays a map-side
+    projection (relational.sample_hash_split). This is the composition
+    story for the LLM-data operators: each stage is the same operator a
+    user would run standalone, chained without materialization barriers —
+    at 100 TB insert a checkpoint/write between dedup and split only if the
+    lineage gets too deep to replay cheaply."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", "n_chars", "text",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    quality = scored.filter((F.col("n_tokens") >= 20) & (F.col("n_chars") >= 100))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = (
+        quality.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return (
+        dedup.select("doc_id", "lang", "n_tokens", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )

@@ -419,3 +419,97 @@ def similarity_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(unit, F.lit(0.0), lambda acc, x: acc + x).alias("unit_sum"),
         F.size("v").alias("n_dims"),
     )
+
+
+_KM_S = float(1 << 40)  # binary centroid quantum (exact /2^40, see ann_ivf_probe)
+_SQL_KM_MEAN = (
+    "CAST(SUM(CAST(FLOOR(x * 1099511627776.0 + 0.5) AS BIGINT)) AS DOUBLE)"
+    " / 1099511627776.0 / COUNT(*)"
+)
+_SQL_KM_D2 = "list_sum(list_transform(list_zip({v}, {cv}), x -> (x[1]-x[2])*(x[1]-x[2])))"
+
+
+@query(
+    "similarity_kmeans",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    c0d AS (
+        SELECT label AS cl, pos, {_SQL_KM_MEAN} AS c
+        FROM (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e)
+        GROUP BY 1, 2
+    ),
+    c0 AS (SELECT cl, list(c ORDER BY pos) AS cv FROM c0d GROUP BY cl),
+    a1 AS (
+        SELECT vec_id, cl FROM (
+            SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+            FROM (SELECT e.vec_id, c.cl, {_SQL_KM_D2.format(v="e.v", cv="c.cv")} AS d2
+                  FROM e CROSS JOIN c0 c)
+        ) WHERE rn = 1
+    ),
+    c1d AS (
+        SELECT cl, pos, {_SQL_KM_MEAN} AS c
+        FROM (SELECT a1.cl, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS x
+              FROM a1 JOIN e ON a1.vec_id = e.vec_id)
+        GROUP BY 1, 2
+    ),
+    c1 AS (SELECT cl, list(c ORDER BY pos) AS cv FROM c1d GROUP BY cl)
+    SELECT vec_id, cl AS cluster, d2 FROM (
+        SELECT vec_id, cl, d2, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+        FROM (SELECT e.vec_id, c.cl, {_SQL_KM_D2.format(v="e.v", cv="c.cv")} AS d2
+              FROM e CROSS JOIN c1 c)
+    ) WHERE rn = 1
+    """,
+)
+def similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd's algorithm), two unrolled iterations — the iterative-
+    algorithm pattern on Spark: each iteration is assign (broadcast the k
+    centroids, argmin of squared L2 per vector) then update (per-cluster
+    mean). Deterministic end to end: init = per-`label` means, centroid
+    means on the exact binary-scaled-long path (/2^40 is exact), distances
+    as the sequential float64 fold — every intermediate is bitwise-equal in
+    both engines, so even this 2-round iterative pipeline hash-matches.
+
+    Scale shape: per iteration one broadcast (k x dim centroids — tiny at
+    any data scale), one argmin window per vector (k rows each), one
+    explode + map-side-combinable mean. A driver LOOP over iterations only
+    extends the plan (or checkpoints between rounds at high iteration
+    counts); no data ever collects to the driver."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    e = e.select("vec_id", "label", v.alias("v"))
+
+    def means(assigned: DataFrame) -> DataFrame:
+        expl = assigned.select("cl", F.posexplode("v").alias("pos", "x"))
+        cdim = expl.groupBy("cl", "pos").agg(
+            (
+                F.sum(F.floor(F.col("x") * _KM_S + F.lit(0.5)).cast("long")).cast("double")
+                / _KM_S
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        return cdim.groupBy("cl").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cl")
+        return (
+            e.crossJoin(F.broadcast(cent))
+            .select("vec_id", "v", "cl", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    cent0 = means(e.select(F.col("label").alias("cl"), "v"))
+    a1 = assign(cent0)
+    cent1 = means(a1.select("cl", "v"))
+    a2 = assign(cent1)
+    return a2.select("vec_id", F.col("cl").alias("cluster"), "d2")

@@ -110,12 +110,14 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_math", "sample_hash_split", "agg_collect",
     "multimodal_metadata_stats", "multimodal_byte_features",
     "multimodal_frame_sample", "agg_approx_distinct", "agg_approx_percentile",
+    # new this round (never driver-checked)
+    "stream_stream_join_twin", "similarity_kmeans", "pipeline_clean_corpus",
     # proven-green representatives so every family keeps a row in the window
-    "pricing_summary", "agg_distinct_counts", "agg_rollup",
+    "pricing_summary", "agg_rollup",
     "asof_join", "composite_shipping_priority",
     "dedup_minhash_lsh", "dedup_exact_rows",
-    "join_inner", "join_broadcast", "join_range_interval",
-    "scan_project_filter", "sort_limit_topk", "setops_except",
+    "join_inner", "join_broadcast",
+    "scan_project_filter", "sort_limit_topk",
     "scalar_string",
 )
 

@@ -172,3 +172,49 @@ def stream_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "stream_stream_join_twin",
+    oracle=f"""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           epoch_us(c.ts) AS click_us,
+           epoch_us(p.ts) AS purchase_us
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) > epoch_us(c.ts)
+     AND epoch_us(p.ts) <= epoch_us(c.ts) + {_10MIN_US}
+    """,
+)
+def stream_stream_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch twin: clicks joined to the same
+    user's purchases within 10 minutes AFTER the click — the batch plan of
+    ``clicks.join(buys, expr(...interval...))`` with watermarks on both
+    sides (the live streaming version, state bounded by the watermark
+    horizon, runs in tests/test_stream_stream_join.py). Equi-key on
+    user_id carries the join; the interval predicate filters post-match,
+    so the plan is a hash join, not a cartesian. Bucket math in integer
+    µs (module determinism contract)."""
+    e = load(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("click_us"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.unix_micros("ts").alias("purchase_us"),
+    )
+    joined = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_us") > F.col("click_us"))
+        & (F.col("purchase_us") <= F.col("click_us") + _10MIN_US),
+    )
+    return joined.select("click_id", "purchase_id", "user_id", "click_us", "purchase_us")
