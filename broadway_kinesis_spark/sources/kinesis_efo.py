@@ -105,8 +105,8 @@ def _default_client_factory(options: dict):
     kwargs = {}
     if options.get("region"):
         kwargs["region_name"] = options["region"]
-    if options.get("endpointUrl"):
-        kwargs["endpoint_url"] = options["endpointUrl"]
+    if options.get("endpointurl"):
+        kwargs["endpoint_url"] = options["endpointurl"]
     return boto3.client("kinesis", **kwargs)
 
 
@@ -200,16 +200,33 @@ class KinesisEfoStreamReader(DataSourceStreamReader):
     client_factory = staticmethod(_default_client_factory)
 
     def __init__(self, schema, options):
-        self.options = dict(options)
-        self.stream_name = options.get("streamName")
+        # Spark's option pipeline is case-insensitive and hands the Python
+        # DataSource lower-cased keys; unit tests pass plain camelCase
+        # dicts. Normalize once so both paths (and the executor re-init
+        # from partition.options) read the same keys.
+        self.options = {str(k).lower(): v for k, v in dict(options).items()}
+        options = self.options
+        self.stream_name = options.get("streamname")
         if not self.stream_name:
             raise ValueError("kinesis_efo requires .option('streamName', ...)")
-        self.consumer_arn = options.get("consumerArn")
-        self.position = parse_starting_position(options.get("startingPosition"))
-        mrb = options.get("maxRecordsPerBatch")
+        # 'module:callable' dotted path overriding the boto3 client factory.
+        # Resolved by IMPORT (not object injection) so it works in the
+        # executor-side Python runner process too — read() re-imports it
+        # from the partition's options. Used by hermetic end-to-end tests;
+        # a production deployment could point it at a custom-configured
+        # boto3 session factory the same way.
+        factory_path = options.get("clientfactory")
+        if factory_path:
+            import importlib
+
+            mod_name, fn_name = factory_path.split(":", 1)
+            self.client_factory = getattr(importlib.import_module(mod_name), fn_name)
+        self.consumer_arn = options.get("consumerarn")
+        self.position = parse_starting_position(options.get("startingposition"))
+        mrb = options.get("maxrecordsperbatch")
         self.max_per_batch = int(mrb) if mrb else 10_000
-        self.delay_ms = int(options.get("reconnectDelayMs", DEFAULT_RECONNECT_DELAY_MS))
-        self.max_attempts = int(options.get("maxRetries", DEFAULT_MAX_ATTEMPTS))
+        self.delay_ms = int(options.get("reconnectdelayms", DEFAULT_RECONNECT_DELAY_MS))
+        self.max_attempts = int(options.get("maxretries", DEFAULT_MAX_ATTEMPTS))
         self._client = None
         self._pending: dict[str, dict] = {}
 

@@ -1,0 +1,113 @@
+"""File-backed fake Kinesis client, importable by NAME from both the driver
+and Spark's executor-side Python runner (namespace package `tests` on
+PYTHONPATH, set pre-JVM in conftest).
+
+This is what makes hermetic END-TO-END streaming tests of the `kinesis_efo`
+source possible: the source's `clientFactory` option carries the dotted path
+`tests.fake_kinesis_service:factory`, each process imports it independently,
+and every instance reconstructs an identical in-memory stream from the JSON
+shard files under ``options["fakeDataDir"]`` — the same trick the replay
+source uses, but speaking the SDK surface (list_shards / get_shard_iterator /
+get_records / subscribe_to_shard) instead of raw envelope files.
+
+Calls are appended to ``options["callLogDir"]/calls.log`` (one line per SDK
+call, prefixed by pid) so tests can assert WHICH API served the data and
+from which side of the driver/executor boundary.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+
+
+def _load_shards(data_dir: str) -> dict[str, list[dict]]:
+    shards: dict[str, list[dict]] = {}
+    for fn in sorted(os.listdir(data_dir)):
+        if not fn.endswith(".json"):
+            continue
+        with open(os.path.join(data_dir, fn), encoding="utf-8") as f:
+            recs = json.load(f)
+        for r in recs:
+            if isinstance(r.get("Data"), str):
+                r["Data"] = base64.b64decode(r["Data"])
+        shards[fn[: -len(".json")]] = recs
+    return shards
+
+
+class FileBackedKinesisClient:
+    def __init__(self, data_dir: str, call_log_dir: str | None = None):
+        self.shards = _load_shards(data_dir)
+        self.call_log = os.path.join(call_log_dir, "calls.log") if call_log_dir else None
+
+    def _log(self, method: str) -> None:
+        if self.call_log:
+            with open(self.call_log, "a", encoding="utf-8") as f:
+                f.write(f"{os.getpid()} {method}\n")
+
+    def list_shards(self, **kw):
+        self._log("list_shards")
+        return {"Shards": [{"ShardId": s} for s in self.shards]}
+
+    def _index(self, recs, kind: str, seq: str | None = None, ts: float | None = None) -> int:
+        if kind == "TRIM_HORIZON":
+            return 0
+        if kind == "LATEST":
+            return len(recs)
+        if kind == "AT_TIMESTAMP":
+            return next(
+                (i for i, r in enumerate(recs) if r["ApproximateArrivalTimestamp"] >= ts),
+                len(recs),
+            )
+        idx = next(i for i, r in enumerate(recs) if r["SequenceNumber"] == seq)
+        return idx + 1 if kind == "AFTER_SEQUENCE_NUMBER" else idx
+
+    def get_shard_iterator(self, StreamName, ShardId, ShardIteratorType, **kw):
+        self._log(f"get_shard_iterator:{ShardIteratorType}")
+        idx = self._index(
+            self.shards[ShardId],
+            ShardIteratorType,
+            seq=kw.get("StartingSequenceNumber"),
+            ts=kw.get("Timestamp"),
+        )
+        return {"ShardIterator": f"{ShardId}:{idx}"}
+
+    def get_records(self, ShardIterator, Limit=10_000):
+        self._log("get_records")
+        shard_id, idx = ShardIterator.rsplit(":", 1)
+        recs = self.shards[shard_id]
+        out = recs[int(idx) : int(idx) + Limit]
+        nxt = int(idx) + len(out)
+        return {
+            "Records": out,
+            "NextShardIterator": f"{shard_id}:{nxt}",
+            "MillisBehindLatest": 0,
+        }
+
+    def subscribe_to_shard(self, ConsumerARN, ShardId, StartingPosition):
+        self._log("subscribe_to_shard")
+        recs = self.shards[ShardId]
+        idx = self._index(
+            recs,
+            StartingPosition["Type"],
+            seq=StartingPosition.get("SequenceNumber"),
+            ts=StartingPosition.get("Timestamp"),
+        )
+        out = recs[idx:]
+        ev = {
+            "Records": out,
+            "ContinuationSequenceNumber": out[-1]["SequenceNumber"] if out else "tip",
+            "MillisBehindLatest": 0,
+        }
+        return {"EventStream": iter([{"SubscribeToShardEvent": ev}])}
+
+
+def factory(options: dict):
+    """`clientFactory` entry point: options -> SDK-shaped client.
+
+    Keys arrive lower-cased (the source normalizes Spark's case-insensitive
+    option map before handing options to the factory)."""
+    return FileBackedKinesisClient(
+        options["fakedatadir"], options.get("calllogdir")
+    )

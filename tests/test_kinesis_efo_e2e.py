@@ -1,0 +1,103 @@
+"""END-TO-END Structured Streaming runs of the `kinesis_efo` source against
+the file-backed fake SDK client (tests/fake_kinesis_service.py) — the full
+MicroBatchExecution path: initialOffset → latestOffset → partitions →
+executor-side read() in Spark's Python runner process → sink → commit.
+
+This is the live twin of the unit matrix in test_kinesis_efo.py, and the
+closest hermetic analogue of the reference's Bypass-server integration tests
+(subscribe_to_shard_test.exs:67-128)."""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+
+from broadway_kinesis_spark.sources.kinesis_efo import KinesisEfoDataSource
+
+FACTORY = "tests.fake_kinesis_service:factory"
+
+
+def write_fake_shard(data_dir: str, shard: str, recs: list[tuple[int, bytes]]) -> None:
+    os.makedirs(data_dir, exist_ok=True)
+    payload = [
+        {
+            "SequenceNumber": str(seq),
+            "PartitionKey": "pk",
+            "Data": base64.b64encode(data).decode(),
+            "ApproximateArrivalTimestamp": 1000.0 + seq,
+        }
+        for seq, data in recs
+    ]
+    with open(os.path.join(data_dir, f"{shard}.json"), "w", encoding="utf-8") as f:
+        json.dump(payload, f)
+
+
+def run_query(spark, tmp_path, **extra_opts):
+    spark.dataSource.register(KinesisEfoDataSource)
+    log_dir = str(tmp_path / "calls")
+    os.makedirs(log_dir, exist_ok=True)
+    reader = (
+        spark.readStream.format("kinesis_efo")
+        .option("streamName", "fake-stream")
+        .option("clientFactory", FACTORY)
+        .option("fakeDataDir", str(tmp_path / "data"))
+        .option("callLogDir", log_dir)
+        .option("startingPosition", "trim_horizon")
+        .option("reconnectDelayMs", "1")
+    )
+    for k, v in extra_opts.items():
+        reader = reader.option(k, v)
+    out = str(tmp_path / "out")
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    with open(os.path.join(log_dir, "calls.log"), encoding="utf-8") as f:
+        calls = [line.strip().split(" ", 1) for line in f if line.strip()]
+    return rows, calls
+
+
+def test_e2e_get_records_path(spark, tmp_path):
+    d = str(tmp_path / "data")
+    write_fake_shard(d, "shard-0001", [(1, b"alpha"), (2, b"beta")])
+    write_fake_shard(d, "shard-0002", [(10, b"gamma")])
+    rows, calls = run_query(spark, tmp_path)
+    got = sorted((r.shard_id, r.sequence_number, bytes(r.data)) for r in rows)
+    assert got == [
+        ("shard-0001", "1", b"alpha"),
+        ("shard-0001", "2", b"beta"),
+        ("shard-0002", "10", b"gamma"),
+    ]
+    assert all(r.stream_name == "fake-stream" for r in rows)
+    assert not any(m == "subscribe_to_shard" for _pid, m in calls)
+
+
+def test_e2e_efo_subscribe_path(spark, tmp_path):
+    """With a consumerArn the executor reads ride subscribe_to_shard — and
+    from a DIFFERENT pid than the driver's planning calls (proving the
+    factory resolves inside the Python runner process)."""
+    d = str(tmp_path / "data")
+    write_fake_shard(d, "shard-0001", [(1, b"efo-a"), (2, b"efo-b")])
+    rows, calls = run_query(
+        spark,
+        tmp_path,
+        consumerArn="arn:aws:kinesis:us-east-1:1:stream/fake/consumer/c:1",
+    )
+    assert sorted(bytes(r.data) for r in rows) == [b"efo-a", b"efo-b"]
+    sub_pids = {pid for pid, m in calls if m == "subscribe_to_shard"}
+    assert sub_pids, "subscribe_to_shard never called"
+    # all reader methods run in Spark's Python runner processes, never the
+    # test (driver JVM's client) process itself
+    assert str(os.getpid()) not in sub_pids
+    # planning (latestOffset end-discovery) stays on get_records; the data
+    # itself rode the subscription (records delivered despite planning and
+    # reading happening in different runner processes = the offset pin and
+    # clientFactory re-import both work across the process boundary)
+    assert any(m == "get_records" for _pid, m in calls)
