@@ -218,7 +218,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_returnflag,
            COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
-           CAST((SUM({sql_lscale("l_extendedprice")}) FILTER (WHERE l_tax > 0.04) + 5000) // 10000 AS DOUBLE) / 100.0 AS taxed_price,
+           {sql_lsum_round(f"SUM({sql_lscale('l_extendedprice')}) FILTER (WHERE l_tax > 0.04)", 2)} AS taxed_price,
            MIN(l_shipdate) AS first_ship,
            MAX(l_shipdate) AS last_ship
     FROM lineitem
@@ -231,11 +231,9 @@ def agg_filtered_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
-        (
-            F.expr(
-                "(sum(case when l_tax > 0.04 then cast(floor(l_extendedprice * 1000000.0 + 0.5) as bigint) end) + 5000) div 10000"
-            ).cast("double")
-            / 100.0
+        lsum_round(
+            "sum(case when l_tax > 0.04 then cast(floor(l_extendedprice * 1000000.0 + 0.5) as bigint) end)",
+            2,
         ).alias("taxed_price"),
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),

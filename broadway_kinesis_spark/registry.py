@@ -127,7 +127,8 @@ def _ordered() -> list[Query]:
     missing = [n for n in _PRIORITY if n not in REGISTRY]
     if missing:  # registration drift — fail loudly, not silently reorder
         raise KeyError(f"_PRIORITY names not registered: {missing}")
-    rest = [q for n, q in REGISTRY.items() if n not in set(_PRIORITY)]
+    prio = set(_PRIORITY)
+    rest = [q for n, q in REGISTRY.items() if n not in prio]
     return [REGISTRY[n] for n in _PRIORITY] + rest
 
 

@@ -115,40 +115,13 @@ def build_session(
     return spark
 
 
-def rebalance_small_scan(df: DataFrame) -> DataFrame:
-    """Redistribute an unsplittable small scan before CPU-heavy stages.
-
-    At scale this is a no-op: a 100 TB parquet scan has thousands of input
-    splits (>= cores), so the guard short-circuits and no shuffle is added.
-    The fixture files are single-row-group parquet, which Spark cannot split
-    — every downstream expression (e.g. BigDecimal-backed decimal sums) then
-    inherits 1-task parallelism. When scan partitions < cores, one explicit
-    round-robin exchange moves the ~MB-scale input once and buys cores-wide
-    parallelism for the partial aggregate (measured 1.2 s -> 0.7 s on the
-    pricing summary at sf0.1).
-
-    The guard reads Catalyst's scan-size estimate (O(1); converting the plan
-    to an RDD just to count partitions costs ~1 s of planning per call) and
-    estimates split count as size / maxPartitionBytes. Fewer than cores/4
-    estimated splits → the scan can't keep the host busy and the exchange
-    wins; at or above that the scan parallelizes natively (measured: the
-    same exchange turned a 10x-corpus scan with 14-way split parallelism
-    ~25% SLOWER) and no shuffle is added.
-    """
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    try:
-        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        max_pb = int(str(raw).lower().rstrip("b").rstrip("m") or "134217728")
-        if str(raw).lower().endswith(("m", "mb")):
-            max_pb <<= 20
-    except Exception:  # stats unavailable (non-classic session) -> leave plan alone
-        return df
-    est_splits = size // max_pb + 1
-    if est_splits < max(1, target // 4):
-        return df.repartition(target)
-    return df
+# NOTE: an earlier revision carried rebalance_small_scan() here — an
+# O(1)-guarded round-robin exchange for CPU-heavy stages over unsplittable
+# single-row-group files. The scaled-long sum rewrite (functions/numeric.py)
+# made every former call site faster WITHOUT the exchange (primitive long
+# sums don't need cores-wide parallelism at fixture scale, and the exchange
+# cost more than it saved), so the helper was removed; see git history if a
+# future decimal/percentile-heavy operator needs it back.
 
 
 _SCHEMA_CACHE: dict[tuple[int, str], object] = {}
@@ -160,16 +133,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Declarative scan so Catalyst keeps predicate pushdown / column pruning /
     partition pruning available to whatever plan consumes it.
 
-    The inferred schema is memoized per (session, path): schema inference
-    runs a 1-task footer-reading Spark job on EVERY ``read.parquet`` call,
-    which is pure fixed overhead when the same table is loaded by many
-    queries (and would show up as a driver-side job in query construction).
-    Repeat loads pass the cached schema explicitly — zero jobs.
+    The inferred schema is memoized per (session, path, file mtime+size):
+    schema inference runs a 1-task footer-reading Spark job on EVERY
+    ``read.parquet`` call, which is pure fixed overhead when the same table
+    is loaded by many queries (and would show up as a driver-side job in
+    query construction). Repeat loads pass the cached schema explicitly —
+    zero jobs. The stat component invalidates the entry if the file is
+    rewritten (and makes an id()-recycled session harmless: a stale hit
+    would still describe the same file version).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (id(spark), path)
+    try:
+        st = os.stat(path)
+        key = (id(spark), path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (id(spark), path, 0, 0)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)

@@ -184,6 +184,16 @@ def _entry_at(entry) -> str | None:
     return None
 
 
+def _seq_int(seq) -> int | None:
+    """Kinesis sequence numbers are decimal strings of a 128-bit counter —
+    numerically ordered. None for anything non-numeric (test fakes may use
+    arbitrary tokens; ordering guards then downgrade to equality checks)."""
+    try:
+        return int(seq)
+    except (TypeError, ValueError):
+        return None
+
+
 @dataclass
 class _ShardRange(InputPartition):
     shard_id: str
@@ -293,12 +303,16 @@ class KinesisEfoStreamReader(DataSourceStreamReader):
         limit: int,
         at_seq: str | None = None,
         start_iter: str | None = None,
+        refresh_at_ts: float | None = None,
     ):
         """Bounded get_records scan; returns (records, shard_closed, next_iter).
 
         ``start_iter`` continues an existing iterator chain (see
         latestOffset's floating-position handling); an expired iterator is
-        re-resolved once from the concrete cursor.
+        re-resolved once — from the concrete cursor when one exists, else
+        from ``refresh_at_ts`` (the chain's last poll time) so an expired
+        idle chain on a floating position does NOT re-resolve LATEST and
+        silently skip records that arrived during the gap.
         """
         cli = self._cli()
         it = start_iter or self._iterator(shard_id, after_seq=after_seq, at_seq=at_seq)
@@ -314,7 +328,17 @@ class KinesisEfoStreamReader(DataSourceStreamReader):
             except Exception as exc:
                 if _error_code(exc) == "ExpiredIteratorException" and not refreshed:
                     refreshed = True
-                    it = self._iterator(shard_id, after_seq=after_seq, at_seq=at_seq)
+                    if after_seq is None and at_seq is None and refresh_at_ts is not None:
+                        it = self._retry(
+                            lambda: cli.get_shard_iterator(
+                                StreamName=self.stream_name,
+                                ShardId=shard_id,
+                                ShardIteratorType="AT_TIMESTAMP",
+                                Timestamp=refresh_at_ts,
+                            )
+                        )["ShardIterator"]
+                    else:
+                        it = self._iterator(shard_id, after_seq=after_seq, at_seq=at_seq)
                     continue
                 raise
             records += resp.get("Records", [])
@@ -377,6 +401,19 @@ class KinesisEfoStreamReader(DataSourceStreamReader):
                     out += recs
                     if any(r["SequenceNumber"] == partition.end_seq for r in recs):
                         return out
+                    # Overshoot guard: if sequences are numerically PAST the
+                    # planned end without ever matching it (record expired /
+                    # skipped between planning and a task retry), fail loudly
+                    # instead of accumulating the live stream forever.
+                    end_i = _seq_int(partition.end_seq)
+                    if end_i is not None and any(
+                        (_seq_int(r["SequenceNumber"]) or -1) > end_i for r in recs
+                    ):
+                        raise RuntimeError(
+                            f"subscribe_to_shard: stream passed planned end "
+                            f"{partition.end_seq!r} on {partition.shard_id} "
+                            "without delivering it"
+                        )
                     cont = ev.get("ContinuationSequenceNumber")
                     if cont is None:
                         return out  # shard closed mid-range (A7)
@@ -430,9 +467,13 @@ class KinesisEfoStreamReader(DataSourceStreamReader):
             # For a shard with no concrete cursor yet, continue the SAME
             # iterator chain across triggers: re-resolving a floating LATEST
             # each trigger would skip every record that arrived in between.
-            start_iter = live.get(shard) if cursor is None else None
+            chain = live.get(shard) if cursor is None else None
             records, _closed, nxt = self._poll(
-                shard, cursor, self.max_per_batch, start_iter=start_iter
+                shard,
+                cursor,
+                self.max_per_batch,
+                start_iter=chain["it"] if chain else None,
+                refresh_at_ts=chain["ts"] if chain else None,
             )
             if records:
                 ent = {
@@ -445,28 +486,44 @@ class KinesisEfoStreamReader(DataSourceStreamReader):
             else:
                 out[shard] = cursor_entry  # unchanged -> no batch for shard
                 if cursor is None and nxt is not None:
-                    live[shard] = nxt
+                    live[shard] = {"it": nxt, "ts": time.time()}
         return out
 
     def partitions(self, start: dict, end: dict):
         self._pending = {}
         known = getattr(self, "_last_end", None) or {}
-        self._last_end = {**known, **{s: v for s, v in end.items() if v is not None}}
+        merged = dict(known)
         parts = []
         for s, e in end.items():
-            if e is None or _entry_seq(e) == _entry_seq(start.get(s)):
+            s_entry = start.get(s)
+            s_seq, e_seq = _entry_seq(s_entry), _entry_seq(e)
+            if e is not None:
+                merged[s] = e
+            # Restart guard: a freshly restarted reader has no _last_end, so
+            # its first latestOffset may have re-polled from the ORIGINAL
+            # starting position and produced an end BEHIND the committed
+            # start (Spark plans on offset INEQUALITY, not ordering). Plan
+            # nothing for such a shard and re-anchor the cursor to the
+            # committed start so the next trigger polls forward from it —
+            # no backwards batch, no re-delivery.
+            si, ei = _seq_int(s_seq), _seq_int(e_seq)
+            if si is not None and ei is not None and ei <= si:
+                merged[s] = s_entry
+                continue
+            if e is None or e_seq == s_seq:
                 continue
             parts.append(
                 _ShardRange(
                     shard_id=s,
-                    start_seq=_entry_seq(start.get(s)),
+                    start_seq=s_seq,
                     at_seq=_entry_at(e),
-                    end_seq=_entry_seq(e),
+                    end_seq=e_seq,
                     stream_name=self.stream_name,
                     consumer_arn=self.consumer_arn,
                     options=self.options,
                 )
             )
+        self._last_end = merged
         return parts
 
     def read(self, partition: _ShardRange):
@@ -479,12 +536,22 @@ class KinesisEfoStreamReader(DataSourceStreamReader):
         if partition.consumer_arn:
             records = reader._subscribe_range(partition)
         else:
-            records, _closed, _it = reader._poll(
+            records, closed, _it = reader._poll(
                 partition.shard_id,
                 partition.start_seq,
                 reader.max_per_batch,
                 at_seq=partition.at_seq,
             )
+            if not closed and not any(
+                r["SequenceNumber"] == partition.end_seq for r in records
+            ):
+                # Never silently truncate a planned range: the batch would
+                # commit end_seq while the tail was never emitted (lost
+                # data). Loud failure -> Spark task retry / surfaced error.
+                raise RuntimeError(
+                    f"kinesis_efo: planned end {partition.end_seq!r} not reached on "
+                    f"{partition.shard_id} ({len(records)} records read)"
+                )
         from datetime import datetime, timezone
 
         for rec in records:

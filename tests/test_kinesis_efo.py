@@ -505,3 +505,72 @@ def test_retry_paces_on_http_5xx():
 
     assert _call_with_retry(flaky, delay_ms=70_000, max_attempts=3, sleep=sleeps.append) == "ok"
     assert sleeps == [70.0]
+
+
+# -- at-least-once guards (restart / truncation / expired-chain classes) ----
+
+
+def test_partitions_skips_backwards_batch_and_reanchors():
+    """Restart guard: a freshly restarted reader's first latestOffset can
+    produce an end BEHIND the committed start (it re-polled from the
+    original position). partitions() must plan NOTHING for that shard and
+    re-anchor the cursor at the committed start — never a backwards batch."""
+    r = make_reader(FakeKinesisClient(SHARDS), startingPosition="trim_horizon")
+    parts = r.partitions({"shard-0001": {"seq": "3", "at": "1"}}, {"shard-0001": {"seq": "1", "at": "1"}})
+    assert parts == []
+    end = r.latestOffset()  # anchored at committed seq 3 -> nothing new
+    assert end["shard-0001"] == {"seq": "3", "at": "1"}
+
+
+def test_read_raises_instead_of_truncating_planned_range(monkeypatch):
+    """A planned range whose tail can't be fetched within the batch cap must
+    fail loudly — committing end_seq after a silent truncation would lose
+    the tail forever."""
+    client = FakeKinesisClient(SHARDS)
+    monkeypatch.setattr(
+        KinesisEfoStreamReader, "client_factory", staticmethod(lambda opts: client)
+    )
+    r = make_reader(client, startingPosition="trim_horizon", maxRecordsPerBatch="2")
+    parts = r.partitions({}, {"shard-0001": "3"})
+    with pytest.raises(RuntimeError, match="not reached"):
+        list(r.read(parts[0]))
+
+
+def test_expired_chain_iterator_refreshes_at_timestamp_not_latest():
+    """An expired idle iterator chain on a floating 'latest' position must
+    re-resolve AT_TIMESTAMP(last poll time), not a fresh LATEST — a fresh
+    LATEST would skip every record that arrived during the expiry gap."""
+    shards = {"shard-0001": list(SHARDS["shard-0001"])}
+    client = FakeKinesisClient(shards)
+    r = make_reader(client, startingPosition="latest")
+    assert r.latestOffset() == {"shard-0001": None}  # chain established at tip
+    shards["shard-0001"].append(rec(4, b"late", arrival=99999.0))
+    orig_get_records = client.get_records
+    state = {"raised": False}
+
+    def expired_once(ShardIterator, Limit=10_000):
+        if not state["raised"]:
+            state["raised"] = True
+            raise AwsError("ExpiredIteratorException")
+        return orig_get_records(ShardIterator, Limit)
+
+    client.get_records = expired_once
+    r.latestOffset()
+    assert "get_shard_iterator:AT_TIMESTAMP" in client.calls
+    assert "get_shard_iterator:LATEST" == client.calls[1]  # only the initial resolve
+
+
+def test_subscribe_overshoot_raises(monkeypatch):
+    """EFO stream sails numerically past the planned end without delivering
+    it (record expired between planning and a retry): bounded loud failure,
+    not an unbounded accumulation loop."""
+    subs = [
+        [{"SubscribeToShardEvent": {"Records": [rec(5, b"x"), rec(6, b"y")], "ContinuationSequenceNumber": "6"}}],
+    ]
+    client = FakeKinesisClient(SHARDS, subscriptions=subs)
+    monkeypatch.setattr(
+        KinesisEfoStreamReader, "client_factory", staticmethod(lambda opts: client)
+    )
+    r = make_reader(client)
+    with pytest.raises(RuntimeError, match="passed planned end"):
+        list(r.read(efo_part(start_seq="1", at_seq=None, end_seq="3")))
