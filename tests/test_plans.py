@@ -181,3 +181,31 @@ def test_tfidf_construction_launches_no_jobs(spark, sf_dir):
     jobs = sc.statusTracker().getJobIdsForGroup(group)
     assert jobs == [], f"construction launched jobs: {jobs}"
     assert df.columns == ["doc_id", "token", "score"]
+
+
+def test_stream_stream_join_twin_is_hash_join_not_cartesian(spark, sf_dir):
+    """The interval predicate must ride an equi hash/sort-merge join on
+    user_id, never a nested-loop cartesian."""
+    plan = formatted_plan(QUERIES["stream_stream_join_twin"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+    assert pushed_filters(QUERIES["stream_stream_join_twin"](spark, sf_dir)), (
+        "event_type filters should push to the scans"
+    )
+
+
+def test_kmeans_broadcasts_centroids(spark, sf_dir):
+    """Both Lloyd iterations must broadcast the k x dim centroid table (a
+    conditionless crossJoin plans as BroadcastNestedLoopJoin-Cross building
+    the tiny centroid side); the vector side itself never shuffles for the
+    assign step, and nothing plans a CartesianProduct."""
+    plan = formatted_plan(QUERIES["similarity_kmeans"](spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_pipeline_clean_corpus_pushes_quality_gate(spark, sf_dir):
+    """The n_chars quality floor is a plain column predicate — it must reach
+    the parquet scan so unqualified docs are never materialized."""
+    df = QUERIES["pipeline_clean_corpus"](spark, sf_dir)
+    assert any("n_chars" in f for f in pushed_filters(df)), pushed_filters(df)
