@@ -38,8 +38,14 @@ def _load_shards(data_dir: str) -> dict[str, list[dict]]:
 
 class FileBackedKinesisClient:
     def __init__(self, data_dir: str, call_log_dir: str | None = None):
+        self.data_dir = data_dir
         self.shards = _load_shards(data_dir)
         self.call_log = os.path.join(call_log_dir, "calls.log") if call_log_dir else None
+
+    def _closed(self, shard_id: str) -> bool:
+        """A `{shard}.closed` marker file = the shard was split/merged away
+        (A7): get_records returns a null NextShardIterator once drained."""
+        return os.path.exists(os.path.join(self.data_dir, f"{shard_id}.closed"))
 
     def _log(self, method: str) -> None:
         if self.call_log:
@@ -79,9 +85,10 @@ class FileBackedKinesisClient:
         recs = self.shards[shard_id]
         out = recs[int(idx) : int(idx) + Limit]
         nxt = int(idx) + len(out)
+        drained_and_closed = nxt >= len(recs) and self._closed(shard_id)
         return {
             "Records": out,
-            "NextShardIterator": f"{shard_id}:{nxt}",
+            "NextShardIterator": None if drained_and_closed else f"{shard_id}:{nxt}",
             "MillisBehindLatest": 0,
         }
 

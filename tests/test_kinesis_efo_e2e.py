@@ -101,3 +101,41 @@ def test_e2e_efo_subscribe_path(spark, tmp_path):
     # reading happening in different runner processes = the offset pin and
     # clientFactory re-import both work across the process boundary)
     assert any(m == "get_records" for _pid, m in calls)
+
+
+def test_e2e_restart_resumes_from_committed_cursor(spark, tmp_path):
+    """Stop after consuming the stream, append records, restart on the SAME
+    checkpoint: only the new records are emitted (offset log owns the
+    cursor, the reader re-anchors instead of re-reading from the horizon)."""
+    d = str(tmp_path / "data")
+    write_fake_shard(d, "shard-0001", [(1, b"one"), (2, b"two")])
+    rows1, _ = run_query(spark, tmp_path)
+    assert sorted(bytes(r.data) for r in rows1) == [b"one", b"two"]
+
+    write_fake_shard(
+        d, "shard-0001", [(1, b"one"), (2, b"two"), (3, b"three"), (4, b"four")]
+    )
+    rows2, _ = run_query(spark, tmp_path)  # same checkpoint + sink dirs
+    datas = sorted(bytes(r.data) for r in rows2)
+    # parquet sink accumulates: old rows persist, new rows appended EXACTLY once
+    assert datas == [b"four", b"one", b"three", b"two"], datas
+
+
+def test_e2e_shard_split_discovers_child_and_stops_parent(spark, tmp_path):
+    """A7/A11 live: parent shard closes (split/merge), a child shard appears
+    — the next run stops advancing the parent and picks the child up via
+    fresh list_shards discovery (children read from the configured starting
+    position; strict parent-before-child ordering is documented as not
+    enforced, matching the reference's non-transparent split handling,
+    subscribe_to_shard.ex moduledoc)."""
+    d = str(tmp_path / "data")
+    write_fake_shard(d, "shard-p", [(1, b"p1"), (2, b"p2")])
+    rows1, _ = run_query(spark, tmp_path)
+    assert sorted(bytes(r.data) for r in rows1) == [b"p1", b"p2"]
+
+    open(os.path.join(d, "shard-p.closed"), "w").close()
+    write_fake_shard(d, "shard-q", [(5, b"q1"), (6, b"q2")])
+    rows2, _ = run_query(spark, tmp_path)
+    datas = sorted(bytes(r.data) for r in rows2)
+    assert datas == [b"p1", b"p2", b"q1", b"q2"], datas
+    assert {r.shard_id for r in rows2} == {"shard-p", "shard-q"}
