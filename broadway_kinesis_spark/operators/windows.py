@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from broadway_kinesis_spark.functions.numeric import lsum, sql_lsum
 from broadway_kinesis_spark.registry import query
 from broadway_kinesis_spark.session import load
 
@@ -217,4 +218,72 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
+    )
+
+
+_HR_US = 3_600_000_000  # one hour in epoch-µs
+
+
+@query(
+    "window_forward_fill",
+    oracle=f"""
+    WITH agg AS (
+        SELECT user_id, epoch_us(ts) // {_HR_US} AS hr,
+               COUNT(*) AS n_events,
+               {sql_lsum("value", "hour_value")}
+        FROM events
+        WHERE user_id < 40
+        GROUP BY 1, 2
+    ), b AS (
+        SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM agg GROUP BY user_id
+    ), spine AS (
+        SELECT user_id, UNNEST(range(h0, h1 + 1)) AS hr FROM b
+    )
+    SELECT s.user_id, s.hr,
+           COALESCE(a.n_events, 0) AS n_events,
+           last_value(a.hour_value IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.hr
+                     ROWS UNBOUNDED PRECEDING) AS locf_value
+    FROM spine s LEFT JOIN agg a ON s.user_id = a.user_id AND s.hr = a.hr
+    """,
+)
+def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap fill: per-user HOURLY buckets over each
+    user's own [first, last] hour, empty hours filled by last-observation-
+    carried-forward (LOCF) — the standard densification step before
+    training on regularly-sampled series.
+
+    Shape: one aggregate per (user, hour); the spine is generated IN-PLAN
+    from per-user bounds via ``sequence``+``explode`` (no driver-side range
+    materialization); the left join is an equi-join on (user, hour); LOCF is
+    ``last(ignorenulls)`` over an unbounded-preceding row frame — one
+    shuffle on user for the spine + window. Spine size = users x their own
+    span (never global min..max x all users), so sparse users stay cheap at
+    scale. Integer-hour bucket math; first spine row always has data (the
+    span starts at an observed hour), so locf_value is never NULL."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    hr = (F.unix_micros("ts") / _HR_US).cast("long")
+    agg = e.groupBy("user_id", hr.alias("hr")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        lsum("value", "hour_value"),
+    )
+    bounds = agg.groupBy("user_id").agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hr")
+    )
+    joined = spine.join(
+        agg.select(F.col("user_id").alias("a_uid"), F.col("hr").alias("a_hr"), "n_events", "hour_value"),
+        (F.col("user_id") == F.col("a_uid")) & (F.col("hr") == F.col("a_hr")),
+        "left",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hr",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("hour_value", ignorenulls=True).over(w).alias("locf_value"),
     )
