@@ -118,7 +118,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh", "dedup_exact_rows",
     "join_inner", "join_broadcast",
     "scan_project_filter", "sort_limit_topk",
-    "scalar_string",
+    "window_forward_fill",
 )
 
 

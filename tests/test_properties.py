@@ -146,3 +146,50 @@ def test_roundtrip_event_lines_parse():
     # JSONL encoding used by the replay fixtures is loss-free for the shapes
     ev = _event(7, 123.5)
     assert json.loads(json.dumps(ev)) == ev
+
+
+# -- scaled-long money-sum toolkit (functions/numeric.py) -------------------
+
+
+@given(
+    st.lists(
+        st.decimals(
+            min_value="0", max_value="999999.999999", places=6, allow_nan=False
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_lscale_recovers_exact_scaled_integer(values):
+    """floor(float(v)*1e6 + 0.5) must recover the TRUE 1e-6-unit integer of
+    any non-negative <=6-decimal value despite double representation error —
+    the invariant every lsum-based aggregate rests on."""
+    import math
+
+    for v in values:
+        assert math.floor(float(v) * 1e6 + 0.5) == int(v.scaleb(6))
+
+
+@given(
+    st.lists(
+        st.decimals(min_value="0", max_value="99999.99", places=2, allow_nan=False),
+        min_size=1,
+        max_size=200,
+    ),
+    st.sampled_from([2, 4]),
+)
+def test_lsum_round_matches_decimal_half_up(values, scale):
+    """Integer-space rounding of the scaled-long sum == Decimal HALF_UP of
+    the exact sum (the dsum semantics lsum replaces)."""
+    import decimal
+    import math
+
+    s = sum(math.floor(float(v) * 1e6 + 0.5) for v in values)  # scaled-long sum
+    q = 10 ** (6 - scale)
+    got = float((s + q // 2) // q) / float(10**scale)
+    want = float(
+        sum(values).quantize(
+            decimal.Decimal(1).scaleb(-scale), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+    assert got == want, (s, got, want)
