@@ -394,3 +394,45 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.md5("text").alias("text_md5")).withColumn(
         "n_dups", F.count(F.lit(1)).over(Window.partitionBy("text_md5"))
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH existing AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 400
+    ), incoming AS (
+        SELECT doc_id, md5(text) AS text_md5 FROM documents WHERE doc_id >= 400
+    )
+    SELECT doc_id, text_md5 FROM (
+        SELECT i.doc_id, i.text_md5,
+               ROW_NUMBER() OVER (PARTITION BY i.text_md5 ORDER BY i.doc_id) AS rn
+        FROM incoming i
+        WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.h = i.text_md5)
+    ) WHERE rn = 1
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the daily-ingest shape: an INCOMING batch
+    is deduplicated (a) against the EXISTING corpus via a left-anti join on
+    content hash, then (b) within itself keep-first. Only 16-byte hashes
+    ever move: the existing side projects to distinct md5s before the join
+    (at 100 TB that projection is the persisted dedup index you'd maintain
+    incrementally rather than recompute), the anti-join is a hash join on
+    the digest, and the within-batch pass is one window. The doc_id split
+    stands in for yesterday's corpus vs today's drop."""
+    d = load(spark, sf_dir, "documents")
+    existing = (
+        d.filter(F.col("doc_id") < 400).select(F.md5("text").alias("text_md5")).distinct()
+    )
+    incoming = d.filter(F.col("doc_id") >= 400).select(
+        "doc_id", F.md5("text").alias("text_md5")
+    )
+    fresh = incoming.join(existing, "text_md5", "left_anti")
+    w = Window.partitionBy("text_md5").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .select("doc_id", "text_md5")
+    )
