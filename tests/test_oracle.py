@@ -30,3 +30,27 @@ def test_query_vs_oracle(spark, sf_dir, name):
         # rows-only contract: must run and return a stable schema
         assert len(pdf) >= 0
         assert len(pdf.columns) > 0
+
+
+def test_no_query_emits_non_atomic_columns(spark, sf_dir):
+    """The driver's canonicalizer (pandas sort_values + value hash) crashes
+    on array/map cells (round-1 postmortem: unhashable numpy.ndarray) and
+    struct cells hash engine-specifically. Guard the whole surface at the
+    SCHEMA level: every registered query must emit only atomic columns —
+    serialize collections (array_join / to_json) inside the plan instead.
+    Construction-only: no jobs run."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    import __spark_entry__ as entrymod
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        schema = fn(spark, sf_dir).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"non-atomic output columns would crash driver canon: {offenders}"
