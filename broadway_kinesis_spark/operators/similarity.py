@@ -115,14 +115,44 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= K).drop("rn")
 
 
-@query("similarity_topk_cosine_pandas")  # rows-only: numpy matmul sum order ≠ fold order
+_PANDAS_TOPK_BUF = 8  # matmul candidate margin over K (error ~1e-15 << gaps)
+
+
+@query(
+    "similarity_topk_cosine_pandas",
+    oracle=f"""
+    WITH e AS ({_SQL_E}),
+         q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES})
+    SELECT query_id, cand_id, cos_sim FROM (
+        SELECT query_id, cand_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, cand_id) AS rn
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   {_sql_dot('q.v', 'c.v')} / (q.nrm * c.nrm) AS cos_sim
+            FROM q CROSS JOIN e c
+            WHERE c.vec_id <> q.vec_id
+        )
+    ) WHERE rn <= {K}
+    """,
+)
 def similarity_topk_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force top-k through an Arrow-batched pandas UDF: the query
-    matrix rides into every task as a broadcast numpy array and each Arrow
-    batch of candidates is scored with one float64 matmul — the vectorized
-    Python path (~10-100x a row-at-a-time UDF). Registered rows-only: BLAS
-    reassociates the reduction, so the last ULP differs from the
-    fold-ordered oracle."""
+    """Brute-force top-k through an Arrow-batched pandas UDF, two-tier:
+
+    1. CANDIDATES — the query matrix rides into every task as a broadcast
+       numpy array; each Arrow batch of candidates is scored with ONE
+       float64 matmul and only the per-batch top (K + {_PANDAS_TOPK_BUF})
+       ids per query leave the UDF (a map-side partial top-k: the
+       vectorized Python path, ~10-100x a row-at-a-time UDF).
+    2. RERANK — candidates re-join their vectors and the final top-{K} is
+       ranked by the exact sequential-fold cosine, so the output is
+       bitwise-equal to the fold-ordered oracle (BLAS reassociation error
+       ~1e-15 cannot reorder across the {_PANDAS_TOPK_BUF}-candidate
+       margin, so the true top-{K} always survives tier 1).
+
+    Same candidates-then-verify shape as dedup_embedding_cosine — and what
+    you'd actually run at 100 TB: matmul throughput for the scan, exact
+    math only on survivors."""
     import numpy as np
     import pandas as pd
 
@@ -136,29 +166,45 @@ def similarity_topk_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame
     q_mat = np.array([r.v for r in qrows], dtype=np.float64)
     q_nrm = np.linalg.norm(q_mat, axis=1)
     bc = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm))
+    keep = K + _PANDAS_TOPK_BUF
 
-    def score(batches):
+    def candidates(batches):
         ids, mat, nrm = bc.value
         for pdf in batches:
             c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             c_nrm = np.linalg.norm(c_mat, axis=1)
-            sims = (c_mat @ mat.T) / np.outer(c_nrm, nrm)  # (batch, nq)
-            nq = len(ids)
-            out = pd.DataFrame(
+            sims = (mat @ c_mat.T) / np.outer(nrm, c_nrm)  # (nq, batch)
+            sims[np.equal.outer(ids, c_ids)] = -np.inf  # self-pairs out
+            top = min(keep, sims.shape[1])
+            part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            yield pd.DataFrame(
                 {
-                    "query_id": np.tile(ids, len(c_ids)),
-                    "cand_id": np.repeat(c_ids, nq),
-                    "cos_sim": sims.reshape(-1),
+                    "query_id": np.repeat(ids, top),
+                    "cand_id": c_ids[part.reshape(-1)],
                 }
             )
-            yield out[out.query_id != out.cand_id]
 
-    scored = emb.select("vec_id", "embedding").mapInPandas(
-        score, "query_id long, cand_id long, cos_sim double"
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        candidates, "query_id long, cand_id long"
+    )
+    e = _with_norm(emb)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), "v", "nrm")
+    rescored = (
+        cand.filter(F.col("query_id") != F.col("cand_id"))
+        .join(F.broadcast(q), "query_id")
+        .join(c, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= K).drop("rn")
+    return rescored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= K).drop("rn")
 
 
 @query(
