@@ -287,3 +287,53 @@ def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.last("hour_value", ignorenulls=True).over(w).alias("locf_value"),
     )
+
+
+_30MIN_US_W = 30 * 60 * 1_000_000
+
+
+@query(
+    "window_time_range",
+    oracle=f"""
+    SELECT user_id, event_id, t_us,
+           COUNT(*) OVER w AS n_30m,
+           CAST(SUM(sv) OVER w AS DOUBLE) / 1000000.0 AS sum_30m
+    FROM (
+        SELECT user_id, event_id, epoch_us(ts) AS t_us,
+               CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS sv
+        FROM events WHERE user_id < 25
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+                 RANGE BETWEEN {_30MIN_US_W} PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per event, count and sum of the same
+    user's events in the TRAILING 30 minutes — the frame is bounded by the
+    ORDER-BY VALUE (epoch-µs), not a row count, so the aggregate window
+    stretches and shrinks with event density (the moving-aggregate shape
+    ROWS frames cannot express). Scaled-long value sums keep the frame
+    arithmetic exact: the per-frame long sum casts to double losslessly
+    (bounded by frame size x max scaled value << 2^53), and /1e6 matches
+    the oracle's expression shape. One shuffle on user_id; in-partition
+    sort; rows with equal t_us share a frame in both engines (RANGE peers).
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    base = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("sv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-_30MIN_US_W, Window.currentRow)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        "t_us",
+        F.count(F.lit(1)).over(w).alias("n_30m"),
+        (F.sum("sv").over(w).cast("double") / 1e6).alias("sum_30m"),
+    )
