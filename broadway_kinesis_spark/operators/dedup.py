@@ -436,3 +436,62 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .select("doc_id", "text_md5")
     )
+
+
+EDIT_T = 12      # max prefix edit distance for a fuzzy pair
+PREFIX_N = 40    # chars of normalized prefix compared
+
+
+@query(
+    "dedup_fuzzy_prefix",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, lang, n_chars // 50 AS size_bucket,
+               substr(lower(text), 1, {PREFIX_N}) AS pfx
+        FROM documents
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           levenshtein(a.pfx, b.pfx) AS edit_dist
+    FROM p a
+    JOIN p b ON a.lang = b.lang AND a.size_bucket = b.size_bucket
+            AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pfx, b.pfx) <= {EDIT_T}
+    """,
+)
+def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) dedup — the fourth near-dup family: docs whose
+    normalized {PREFIX_N}-char prefixes are within {EDIT_T} edits, blocked
+    on (lang, size bucket) so the O(block²) pair generation never goes
+    corpus-wide and each Levenshtein runs on a fixed-size prefix (full-text
+    edit distance is O(len²) per pair — never do that at scale; prefix or
+    sketch first). `levenshtein` is the same classic DP in both engines, so
+    the integer distances hash exactly. At 100 TB the blocking key tightens
+    (lang, length bucket, first-token hash) to hold block² x {PREFIX_N}²
+    within task budgets."""
+    d = load(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 50).cast("long").alias("size_bucket"),
+        F.substring(F.lower("text"), 1, PREFIX_N).alias("pfx"),
+    )
+    a = p.select(
+        F.col("doc_id").alias("d1"), "lang", "size_bucket", F.col("pfx").alias("pfx1")
+    )
+    b = p.select(
+        F.col("doc_id").alias("d2"),
+        F.col("lang").alias("lang2"),
+        F.col("size_bucket").alias("sb2"),
+        F.col("pfx").alias("pfx2"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("lang") == F.col("lang2"))
+        & (F.col("size_bucket") == F.col("sb2"))
+        & (F.col("d1") < F.col("d2")),
+    )
+    dist = F.levenshtein("pfx1", "pfx2")
+    return (
+        pairs.select("d1", "d2", dist.alias("edit_dist"))
+        .filter(F.col("edit_dist") <= EDIT_T)
+    )
