@@ -110,15 +110,18 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_math", "sample_hash_split", "agg_collect",
     "multimodal_metadata_stats", "multimodal_byte_features",
     "multimodal_frame_sample", "agg_approx_distinct", "agg_approx_percentile",
-    # new this round (never driver-checked)
+    # new or rewritten this round (never driver-checked in current form)
     "stream_stream_join_twin", "similarity_kmeans", "pipeline_clean_corpus",
-    # proven-green representatives so every family keeps a row in the window
+    "window_forward_fill", "window_time_range",
+    "dedup_incremental", "dedup_fuzzy_prefix",
+    "similarity_topk_cosine_pandas",
+    # proven-green representatives, all materially CHANGED this round
+    # (scaled-long sums / schema-cache path), so their rows re-verify the
+    # changes; unchanged round-1-green queries rotated out to 51+.
     "pricing_summary", "agg_rollup",
-    "asof_join", "composite_shipping_priority",
-    "dedup_minhash_lsh", "dedup_exact_rows",
-    "join_inner", "join_broadcast",
-    "scan_project_filter", "sort_limit_topk",
-    "window_forward_fill",
+    "asof_join",
+    "dedup_minhash_lsh", "dedup_embedding_cosine",
+    "join_inner",
 )
 
 
