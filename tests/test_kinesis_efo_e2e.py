@@ -139,3 +139,52 @@ def test_e2e_shard_split_discovers_child_and_stops_parent(spark, tmp_path):
     datas = sorted(bytes(r.data) for r in rows2)
     assert datas == [b"p1", b"p2", b"q1", b"q2"], datas
     assert {r.shard_id for r in rows2} == {"shard-p", "shard-q"}
+
+
+def test_e2e_max_records_per_batch_paces_multiple_batches(spark, tmp_path):
+    """maxRecordsPerBatch bounds each micro-batch through REAL triggers (A16)
+    while the pending-plan cache keeps planning to one poll per batch:
+    5 records with a cap of 2 need >= 3 batches, each record exactly once."""
+    import time
+
+    d = str(tmp_path / "data")
+    write_fake_shard(d, "shard-0001", [(i, f"r{i}".encode()) for i in range(1, 6)])
+    spark.dataSource.register(KinesisEfoDataSource)
+    log_dir = str(tmp_path / "calls")
+    os.makedirs(log_dir, exist_ok=True)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("kinesis_efo")
+        .option("streamName", "fake-stream")
+        .option("clientFactory", FACTORY)
+        .option("fakeDataDir", d)
+        .option("callLogDir", log_dir)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", "2")
+        .option("reconnectDelayMs", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        seen: set[bytes] = set()
+        while time.time() < deadline and len(seen) < 5:
+            try:
+                seen = {bytes(r.data) for r in spark.read.parquet(out).collect()}
+            except Exception:
+                pass  # sink not materialized yet
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert seen == {b"r1", b"r2", b"r3", b"r4", b"r5"}
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 5  # exactly once into the sink, no replays
+    batch_sizes = sorted(
+        len([r for r in rows if r.sequence_number in grp])
+        for grp in (("1", "2"), ("3", "4"), ("5",))
+    )
+    assert batch_sizes == [1, 2, 2]  # the 2-record pacing cap held
