@@ -434,3 +434,35 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias("priorities"),
         F.countDistinct("o_orderpriority").alias("n_priorities"),
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group, with a DETERMINISTIC tiebreak
+    (count desc, then value asc) — built-in mode()/max_by() break frequency
+    ties arbitrarily and engine-specifically, so the portable shape is
+    count + row_number: one hash-agg + one tiny window over group-cardinality
+    rows. At scale the window input is |groups x distinct values|, not rows."""
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("n"), F.asc("o_orderpriority"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n")
+    )

@@ -311,3 +311,43 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+
+
+VOCAB_K = 100
+
+
+@query(
+    "text_vocab_topk",
+    oracle=f"""
+    SELECT token, df, tf FROM (
+        SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf,
+               ROW_NUMBER() OVER (ORDER BY COUNT(DISTINCT doc_id) DESC,
+                                           COUNT(*) DESC, token) AS rn
+        FROM (
+            SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token
+            FROM documents
+        )
+        GROUP BY token
+    ) WHERE rn <= {VOCAB_K}
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary extraction: top-{VOCAB_K} tokens by document frequency
+    (ties: term frequency desc, then token) — the tokenizer-training /
+    stopword-mining primitive. One explode + one hash-agg keyed by token
+    (map-side combinable), then a global top-k over |vocabulary| rows —
+    at 100 TB the agg output is vocabulary-sized, so the final ordering
+    is trivial regardless of corpus size."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    counts = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df"), F.count(F.lit(1)).alias("tf")
+    )
+    w = Window.orderBy(F.desc("df"), F.desc("tf"), F.asc("token"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= VOCAB_K)
+        .drop("rn")
+    )
