@@ -117,46 +117,65 @@ def sql_lscale(expr: str) -> str:
     return f"CAST(FLOOR(({expr}) * 1000000.0 + 0.5) AS BIGINT)"
 
 
+def _round_div(expr: str, scale: int, div_op: str) -> str:
+    """Shared SQL shape: round-half-away-from-zero division of a scaled-long
+    sum by ``10^(6-scale)``, valid for ANY sign.
+
+    Each CASE branch feeds the integer division a NON-NEGATIVE operand, where
+    Spark's truncating ``div`` and DuckDB's truncating ``//`` (both verified
+    truncate-toward-zero on BIGINT/HUGEINT — tests/test_numeric_signed.py)
+    coincide with flooring — so the two engines agree bitwise by
+    construction. The naive ``(s + q/2) div q`` is NOT a rounding for
+    negative sums (off by up to ~1.5 units: -123.455 -> -122); this is.
+    """
+    q = 10 ** (6 - scale)
+    h = q // 2
+    e = f"({expr})"
+    return (
+        f"(case when {e} >= 0 then ({e} + {h}) {div_op} {q}"
+        f" else -((-{e} + {h}) {div_op} {q}) end)"
+    )
+
+
 def lsum_round(sum_col: str, scale: int) -> Column:
     """ROUND(scaled-long sum, ``scale``) surfaced as DOUBLE.
 
-    Integer-rounds the 1e-6-unit sum to ``scale`` decimals (half-up;
-    positive sums), keeping the value <= 2^53 before the double cast so the
-    conversion is exact in both engines.
+    Integer-rounds the 1e-6-unit sum to ``scale`` decimals — sign-safe
+    round-half-away-from-zero (Decimal HALF_UP semantics) via
+    :func:`_round_div` — keeping the value <= 2^53 before the double cast so
+    the conversion is exact in both engines.
     """
-    q = 10 ** (6 - scale)
-    return (
-        F.expr(f"(({sum_col}) + {q // 2}) div {q}").cast("double") / float(10**scale)
+    return F.expr(_round_div(sum_col, scale, "div")).cast("double") / float(
+        10**scale
     )
 
 
 def sql_lsum_round(sum_expr: str, scale: int) -> str:
     """DuckDB twin of :func:`lsum_round`."""
-    q = 10 ** (6 - scale)
-    return f"CAST((({sum_expr}) + {q // 2}) // {q} AS DOUBLE) / {float(10 ** scale)}"
+    return f"CAST({_round_div(sum_expr, scale, '//')} AS DOUBLE) / {float(10 ** scale)}"
 
 
 def lsum(expr_sql: str, alias: str, scale: int = 2) -> Column:
-    """One-expression scaled-long SUM for ≤6-decimal NON-NEGATIVE money
-    columns, surfaced as DOUBLE rounded to ``scale`` decimals — the drop-in
-    fast twin of :func:`dsum` (see range analysis above; negative sums would
-    diverge between Spark's truncating ``div`` and DuckDB's flooring ``//``,
-    so signed data stays on dsum).
+    """One-expression scaled-long SUM for ≤6-decimal money columns,
+    surfaced as DOUBLE rounded to ``scale`` decimals — the drop-in fast twin
+    of :func:`dsum` (see range analysis above). Sign-safe by construction:
+    rounding goes through :func:`_round_div` (round-half-away-from-zero with
+    non-negative division operands), so negative sums are both semantically
+    rounded AND bitwise engine-identical — the former docstring-only
+    non-negativity precondition is gone (tests/test_numeric_signed.py).
 
     ``expr_sql`` is a Spark-SQL scalar expression (same string works in the
     oracle through :func:`sql_lsum`).
     """
-    q = 10 ** (6 - scale)
     scaled = f"sum(cast(floor(({expr_sql}) * 1000000.0 + 0.5) as bigint))"
     return (
-        F.expr(f"(({scaled}) + {q // 2}) div {q}").cast("double") / float(10**scale)
+        F.expr(_round_div(scaled, scale, "div")).cast("double") / float(10**scale)
     ).alias(alias)
 
 
 def sql_lsum(expr: str, alias: str, scale: int = 2) -> str:
     """DuckDB twin of :func:`lsum`."""
-    q = 10 ** (6 - scale)
     return (
-        f"CAST((SUM({sql_lscale(expr)}) + {q // 2}) // {q} AS DOUBLE)"
+        f"CAST({_round_div(f'SUM({sql_lscale(expr)})', scale, '//')} AS DOUBLE)"
         f" / {float(10 ** scale)} AS {alias}"
     )

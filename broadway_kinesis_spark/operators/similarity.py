@@ -177,7 +177,15 @@ def similarity_topk_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame
             sims = (mat @ c_mat.T) / np.outer(nrm, c_nrm)  # (nq, batch)
             sims[np.equal.outer(ids, c_ids)] = -np.inf  # self-pairs out
             top = min(keep, sims.shape[1])
-            part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            # Deterministic selection: order by (-sim, cand_id) so boundary
+            # TIES (exact duplicate embeddings) keep the smallest cand_ids —
+            # the ids the final (cos_sim DESC, cand_id ASC) rank prefers.
+            # Plain argpartition picks arbitrary tie members and can drop a
+            # true top-K candidate before the exact rerank.
+            order = np.lexsort(
+                (np.broadcast_to(c_ids, sims.shape), -sims), axis=-1
+            )
+            part = order[:, :top]
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(ids, top),

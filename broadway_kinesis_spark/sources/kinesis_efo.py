@@ -468,6 +468,12 @@ class KinesisEfoStreamReader(DataSourceStreamReader):
             # iterator chain across triggers: re-resolving a floating LATEST
             # each trigger would skip every record that arrived in between.
             chain = live.get(shard) if cursor is None else None
+            # Timestamp BEFORE the poll: if the idle chain later expires and
+            # is re-resolved via AT_TIMESTAMP(ts), a pre-poll ts can only
+            # DUPLICATE records that arrived during the poll (fine under
+            # at-least-once); a post-poll ts would permanently skip a record
+            # that landed between the server-side read point and time.time().
+            poll_ts = time.time()
             records, _closed, nxt = self._poll(
                 shard,
                 cursor,
@@ -486,7 +492,7 @@ class KinesisEfoStreamReader(DataSourceStreamReader):
             else:
                 out[shard] = cursor_entry  # unchanged -> no batch for shard
                 if cursor is None and nxt is not None:
-                    live[shard] = {"it": nxt, "ts": time.time()}
+                    live[shard] = {"it": nxt, "ts": poll_ts}
         return out
 
     def partitions(self, start: dict, end: dict):
