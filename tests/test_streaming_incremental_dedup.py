@@ -1,0 +1,140 @@
+"""End-to-end: incremental dedup as a foreachBatch sink over the replay
+source (VERDICT r2 #6) — documents stream in paced micro-batches; duplicates
+are dropped WITHIN a batch, ACROSS batches, and ACROSS query restarts (the
+digest index persists, the checkpoint owns the cursor)."""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from broadway_kinesis_spark.sources.replay import ReplayDataSource
+from broadway_kinesis_spark.streaming.incremental import incremental_dedup_sink
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def _write_docs(d: str, docs: list[tuple[int, str]], append: bool = False) -> None:
+    os.makedirs(d, exist_ok=True)
+    mode = "a" if append else "w"
+    start = 1
+    if append:
+        with open(os.path.join(d, "shard-0001.jsonl"), encoding="utf-8") as f:
+            start = sum(1 for _ in f) + 1
+    with open(os.path.join(d, "shard-0001.jsonl"), mode, encoding="utf-8") as f:
+        for i, (doc_id, text) in enumerate(docs, start=start):
+            payload = {"doc_id": doc_id, "text": text}
+            ev = {
+                "ContinuationSequenceNumber": str(i),
+                "MillisBehindLatest": 0,
+                "Records": [
+                    {
+                        "SequenceNumber": str(i),
+                        "PartitionKey": str(doc_id),
+                        "ApproximateArrivalTimestamp": 1.7e9 + i,
+                        "Data": base64.b64encode(json.dumps(payload).encode()).decode(),
+                    }
+                ],
+            }
+            f.write(json.dumps(ev) + "\n")
+
+
+def _stream(spark, src_dir: str, paced: bool):
+    reader = (
+        spark.readStream.format("kinesis_replay")
+        .option("path", src_dir)
+        .option("startingPosition", "trim_horizon")
+    )
+    if paced:
+        # AvailableNow falls back to single-batch for Python sources; paced
+        # multi-batch runs need a processingTime trigger + polling (same
+        # pattern as the kinesis_efo pacing e2e).
+        reader = reader.option("maxRecordsPerBatch", "2")
+    return (
+        reader.load()
+        .select(F.from_json(F.col("data").cast("string"), DOC_SCHEMA).alias("j"))
+        .select("j.doc_id", "j.text")
+    )
+
+
+def _run_paced(spark, src_dir: str, ck: str, index: str, accepted: str, want: int):
+    import time
+
+    q = (
+        _stream(spark, src_dir, paced=True)
+        .writeStream.foreachBatch(incremental_dedup_sink(index, accepted))
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if len(_accepted_ids(spark, accepted)) >= want:
+                    break
+            except Exception:
+                pass  # accepted dir not written yet
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+
+def _run_available_now(spark, src_dir: str, ck: str, index: str, accepted: str):
+    q = (
+        _stream(spark, src_dir, paced=False)
+        .writeStream.foreachBatch(incremental_dedup_sink(index, accepted))
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+
+def _accepted_ids(spark, accepted: str) -> list[int]:
+    return sorted(
+        r.doc_id for r in spark.read.parquet(accepted).select("doc_id").collect()
+    )
+
+
+def test_incremental_dedup_within_across_batches_and_restarts(spark, tmp_path):
+    spark.dataSource.register(ReplayDataSource)
+    src = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    index = str(tmp_path / "index")
+    accepted = str(tmp_path / "accepted")
+
+    # 6 docs, paced 2/batch -> 3 micro-batches:
+    #   batch 1: 1:"alpha", 2:"beta"          -> both accepted
+    #   batch 2: 3:"alpha" (cross-batch dup), 4:"gamma" -> only 4
+    #   batch 3: 5:"delta", 6:"delta" (within-batch dup) -> only 5 (keep-first)
+    _write_docs(
+        src,
+        [
+            (1, "alpha"),
+            (2, "beta"),
+            (3, "alpha"),
+            (4, "gamma"),
+            (5, "delta"),
+            (6, "delta"),
+        ],
+    )
+    _run_paced(spark, src, ck, index, accepted, want=4)
+    assert _accepted_ids(spark, accepted) == [1, 2, 4, 5]
+
+    # Restart the query: new events appended AFTER the first run stopped.
+    # 7 duplicates doc 1 from the PREVIOUS run (index must reject it);
+    # 8 is genuinely new. Checkpoint resumes past the six consumed events.
+    _write_docs(src, [(7, "alpha"), (8, "epsilon")], append=True)
+    _run_available_now(spark, src, ck, index, accepted)
+    assert _accepted_ids(spark, accepted) == [1, 2, 4, 5, 8]
+
+    # The persisted index holds exactly the accepted digests (16-byte md5
+    # hex), one per unique content.
+    digests = {r.text_md5 for r in spark.read.parquet(index).collect()}
+    assert len(digests) == 5
