@@ -36,6 +36,19 @@ def _load_shards(data_dir: str) -> dict[str, list[dict]]:
     return shards
 
 
+class FakeClientError(Exception):
+    """botocore.ClientError-shaped: carries the parsed AWS ``__type`` code
+    and HTTP status in ``.response``, which is all the source's A10 taxonomy
+    (`kinesis_efo._error_code`/`_http_status`) reads."""
+
+    def __init__(self, code: str, message: str, status: int = 400):
+        super().__init__(f"{code}: {message}")
+        self.response = {
+            "Error": {"Code": code, "Message": message},
+            "ResponseMetadata": {"HTTPStatusCode": status},
+        }
+
+
 class FileBackedKinesisClient:
     def __init__(self, data_dir: str, call_log_dir: str | None = None):
         self.data_dir = data_dir
@@ -93,7 +106,17 @@ class FileBackedKinesisClient:
         }
 
     def subscribe_to_shard(self, ConsumerARN, ShardId, StartingPosition):
-        self._log("subscribe_to_shard")
+        self._log(f"subscribe_to_shard:{ShardId}")
+        # An `consumer.expired` marker = the EFO consumer was deregistered /
+        # its ARN expired: AWS answers the subscribe call with a 4xx
+        # ResourceNotFoundException (the reference surfaces these as fatal
+        # AWS-typed errors, subscribe_to_shard.ex:250-269 / test :249-281).
+        if os.path.exists(os.path.join(self.data_dir, "consumer.expired")):
+            raise FakeClientError(
+                "ResourceNotFoundException",
+                f"Consumer {ConsumerARN} not found.",
+                status=400,
+            )
         recs = self.shards[ShardId]
         idx = self._index(
             recs,
@@ -102,9 +125,16 @@ class FileBackedKinesisClient:
             ts=StartingPosition.get("Timestamp"),
         )
         out = recs[idx:]
+        # A closed (split/merged-away) shard ends its subscription with a
+        # null continuation after the remaining records (A7 on the push path).
+        closed = self._closed(ShardId)
         ev = {
             "Records": out,
-            "ContinuationSequenceNumber": out[-1]["SequenceNumber"] if out else "tip",
+            "ContinuationSequenceNumber": (
+                None
+                if closed
+                else (out[-1]["SequenceNumber"] if out else "tip")
+            ),
             "MillisBehindLatest": 0,
         }
         return {"EventStream": iter([{"SubscribeToShardEvent": ev}])}

@@ -76,7 +76,7 @@ def test_e2e_get_records_path(spark, tmp_path):
         ("shard-0002", "10", b"gamma"),
     ]
     assert all(r.stream_name == "fake-stream" for r in rows)
-    assert not any(m == "subscribe_to_shard" for _pid, m in calls)
+    assert not any(m.startswith("subscribe_to_shard") for _pid, m in calls)
 
 
 def test_e2e_efo_subscribe_path(spark, tmp_path):
@@ -91,7 +91,7 @@ def test_e2e_efo_subscribe_path(spark, tmp_path):
         consumerArn="arn:aws:kinesis:us-east-1:1:stream/fake/consumer/c:1",
     )
     assert sorted(bytes(r.data) for r in rows) == [b"efo-a", b"efo-b"]
-    sub_pids = {pid for pid, m in calls if m == "subscribe_to_shard"}
+    sub_pids = {pid for pid, m in calls if m.startswith("subscribe_to_shard")}
     assert sub_pids, "subscribe_to_shard never called"
     # all reader methods run in Spark's Python runner processes, never the
     # test (driver JVM's client) process itself
@@ -139,6 +139,84 @@ def test_e2e_shard_split_discovers_child_and_stops_parent(spark, tmp_path):
     datas = sorted(bytes(r.data) for r in rows2)
     assert datas == [b"p1", b"p2", b"q1", b"q2"], datas
     assert {r.shard_id for r in rows2} == {"shard-p", "shard-q"}
+
+
+def test_e2e_resharding_on_the_push_path(spark, tmp_path):
+    """A7/A11 on the EFO push path (VERDICT r2 #7): the parent shard is fully
+    consumed over subscribe_to_shard BEFORE it closes (run 1); after the
+    split closes the parent and surfaces a child, the restarted query
+    discovers the child and subscribes to IT, while the drained-and-closed
+    parent plans no further batches (its subscription is never re-issued).
+    Parent records therefore all precede child records in the sink — the
+    parent/child ordering a split must preserve when the parent is drained
+    before children are consumed."""
+    arn = "arn:aws:kinesis:us-east-1:1:stream/fake/consumer/c:1"
+    d = str(tmp_path / "data")
+    write_fake_shard(d, "shard-p", [(1, b"p1"), (2, b"p2")])
+    rows1, calls1 = run_query(spark, tmp_path, consumerArn=arn)
+    assert sorted(bytes(r.data) for r in rows1) == [b"p1", b"p2"]
+    assert any(m == "subscribe_to_shard:shard-p" for _pid, m in calls1)
+
+    # The split: parent closes, child appears with the post-split records.
+    open(os.path.join(d, "shard-p.closed"), "w").close()
+    write_fake_shard(d, "shard-q", [(5, b"q1"), (6, b"q2")])
+    # calls.log is append-only across runs — truncate so calls2 is run 2 only
+    open(os.path.join(str(tmp_path / "calls"), "calls.log"), "w").close()
+    rows2, calls2 = run_query(spark, tmp_path, consumerArn=arn)
+    datas = sorted(bytes(r.data) for r in rows2)
+    assert datas == [b"p1", b"p2", b"q1", b"q2"], datas
+    # Child consumed over the push pipe; closed parent never re-subscribed.
+    assert any(m == "subscribe_to_shard:shard-q" for _pid, m in calls2)
+    assert not any(m == "subscribe_to_shard:shard-p" for _pid, m in calls2)
+    # Every parent row was written by run 1, before any child row existed —
+    # parent-before-child ordering held through the split.
+    assert {r.shard_id for r in rows1} == {"shard-p"}
+    assert {r.shard_id for r in rows2 if bytes(r.data).startswith(b"q")} == {"shard-q"}
+
+
+def test_e2e_expired_consumer_arn_is_fatal(spark, tmp_path):
+    """A10 4xx case on the push path (subscribe_to_shard_test.exs:249-281
+    analogue): a deregistered/expired consumer ARN makes subscribe_to_shard
+    answer 400 ResourceNotFoundException — a FATAL AWS-typed error. The
+    query must fail fast, surfacing the code, with NO paced retry of the
+    subscribe call (fatal classification skips the 70 s backoff loop)."""
+    import pyspark.errors
+
+    arn = "arn:aws:kinesis:us-east-1:1:stream/fake/consumer/gone:1"
+    d = str(tmp_path / "data")
+    write_fake_shard(d, "shard-0001", [(1, b"a"), (2, b"b")])
+    open(os.path.join(d, "consumer.expired"), "w").close()
+
+    spark.dataSource.register(KinesisEfoDataSource)
+    log_dir = str(tmp_path / "calls")
+    os.makedirs(log_dir, exist_ok=True)
+    q = (
+        spark.readStream.format("kinesis_efo")
+        .option("streamName", "fake-stream")
+        .option("clientFactory", FACTORY)
+        .option("fakeDataDir", d)
+        .option("callLogDir", log_dir)
+        .option("startingPosition", "trim_horizon")
+        .option("reconnectDelayMs", "1")
+        .option("consumerArn", arn)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        raise AssertionError("query succeeded despite expired consumer ARN")
+    except pyspark.errors.exceptions.captured.StreamingQueryException as exc:
+        assert "ResourceNotFoundException" in str(exc)
+    with open(os.path.join(log_dir, "calls.log"), encoding="utf-8") as f:
+        calls = [line.strip().split(" ", 1) for line in f if line.strip()]
+    # exactly one subscribe attempt per task attempt — fatal errors are
+    # raised immediately, never retried on the reconnect delay
+    n_sub = sum(1 for _pid, m in calls if m.startswith("subscribe_to_shard"))
+    assert n_sub == 1, calls
 
 
 def test_e2e_max_records_per_batch_paces_multiple_batches(spark, tmp_path):
