@@ -75,3 +75,65 @@ def running_totals(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+FUNNEL_STAGES = ("signup", "click", "purchase")
+FUNNEL_OUTPUT_SCHEMA = "uid long, stage int, stage_name string, reached_at timestamp"
+
+
+def funnel_progress_v1(
+    events: DataFrame,
+    *,
+    key_col: str = "uid",
+    type_col: str = "etype",
+    time_col: str = "ets",
+    stages: tuple[str, ...] = FUNNEL_STAGES,
+) -> DataFrame:
+    """Protobuf-free twin of ``stateful_v2.funnel_progress``: the SAME
+    per-user funnel state machine (monotone stage advance, no skipping,
+    event-time order within a batch) on ``applyInPandasWithState`` —
+    runnable in environments where transformWithState's state-server
+    protocol dependency (google.protobuf) is unavailable, like this test
+    container. tests/test_stateful.py asserts both implementations emit
+    identical progress rows on identical batched input.
+    """
+    import pandas as pd
+
+    rank = {name: i + 1 for i, name in enumerate(stages)}
+
+    def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            return
+        stage = state.get[0] if state.exists else 0
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("ets")
+        out_stage, out_name, out_ts = [], [], []
+        for etype, ets in zip(pdf["etype"], pdf["ets"]):
+            nxt = rank.get(etype)
+            if nxt is not None and nxt == stage + 1:  # no stage skipping
+                stage = nxt
+                out_stage.append(stage)
+                out_name.append(etype)
+                out_ts.append(ets)
+        if out_stage:
+            state.update((stage,))
+            yield pd.DataFrame(
+                {
+                    "uid": [key[0]] * len(out_stage),
+                    "stage": out_stage,
+                    "stage_name": out_name,
+                    "reached_at": out_ts,
+                }
+            )
+
+    cols = events.select(
+        events[key_col].alias("uid"),
+        events[type_col].alias("etype"),
+        events[time_col].alias("ets"),
+    )
+    return cols.groupBy("uid").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType="stage int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

