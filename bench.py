@@ -12,13 +12,18 @@ same oracle SQL is timed in DuckDB and reported under "duckdb_queries" for
 local comparison (extra keys; driver reads metric/value/unit/queries/sf).
 
 Spark JVM startup is excluded (session built before timing). Per-query time
-is the min of 2 runs (plan + execution + fetch): run 1 pays one-time JIT /
-whole-stage-codegen compilation of the query shape (measured 2-8x the
+is the min of N_RUNS runs (plan + execution + fetch): run 1 pays one-time
+JIT / whole-stage-codegen compilation of the query shape (measured 2-8x the
 steady-state time at sf0.1 — e.g. minhash 9.6 s cold vs 1.2 s warm), which
 is a per-query-shape constant, not throughput; the min is the steady-state
-number that scales with data. The first-run total is still reported under
+number that scales with data. N_RUNS=5 since round 3 (VERDICT r2 #4):
+run-to-run noise on this host reaches ~20-50%, larger than most
+round-over-round deltas, and min-of-5 pins the steady state tightly enough
+to compare rounds. The first-run total is still reported under
 "cold_total_sec" for transparency, and DuckDB (when enabled) gets the same
-min-of-2 treatment. AQE is off for bench runs only — see build_session().
+min-of-N treatment. AQE is off for bench runs only — see build_session();
+note registry.query's tune() wrapper is a no-op here because build_session
+marks its session pre-tuned, so nothing re-enables AQE mid-bench.
 """
 
 from __future__ import annotations
@@ -47,6 +52,8 @@ from broadway_kinesis_spark.session import build_session  # noqa: E402
 # - dedup_ngram_jaccard: the second real-compute dedup operator (inverted
 #   index + DF-capped verify); together with minhash these are the queries
 #   where engine work, not per-query fixed cost, dominates the wall-clock.
+N_RUNS = 5
+
 HEADLINE = [
     "pricing_summary",
     "join_inner",
@@ -90,7 +97,7 @@ def main() -> None:
     cold: dict[str, float] = {}
     for name in names:
         runs = []
-        for _ in range(2):
+        for _ in range(N_RUNS):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
@@ -104,6 +111,7 @@ def main() -> None:
         "queries": per_query,
         "sf": sf_val,
         "cold_total_sec": round(sum(cold.values()), 4),
+        "n": N_RUNS,
     }
 
     if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB"):
@@ -121,7 +129,7 @@ def main() -> None:
             if name not in oracles:
                 continue
             runs = []
-            for _ in range(2):
+            for _ in range(N_RUNS):
                 t0 = time.perf_counter()
                 con.execute(oracles[name]).fetchall()
                 runs.append(time.perf_counter() - t0)
