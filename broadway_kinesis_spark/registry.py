@@ -72,6 +72,7 @@ def _load_all_modules() -> None:
         dedup,
         joins,
         multimodal,
+        pipeline_ops,
         relational,
         sampling,
         scalars,
@@ -121,12 +122,13 @@ _PRIORITY: tuple[str, ...] = (
     "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
     # (4) new operators this round
     "dedup_cluster_cc", "sample_stratified",
+    "dedup_decontaminate", "pack_sequences", "text_repetition_score",
+    "agg_histogram", "similarity_quantize_int8",
     # (5) proven-green filler from untouched files
     "asof_join", "dedup_minhash_lsh", "dedup_embedding_cosine",
     "dedup_incremental", "dedup_fuzzy_prefix", "pipeline_clean_corpus",
-    "window_ranking", "window_forward_fill", "funnel_conversion",
+    "window_forward_fill",
     "text_token_stats", "text_tfidf_topk", "udf_table_function",
-    "scalar_math", "scalar_json", "multimodal_byte_features",
     "sample_hash_split",
 )
 

@@ -209,3 +209,35 @@ def test_pipeline_clean_corpus_pushes_quality_gate(spark, sf_dir):
     the parquet scan so unqualified docs are never materialized."""
     df = QUERIES["pipeline_clean_corpus"](spark, sf_dir)
     assert any("n_chars" in f for f in pushed_filters(df)), pushed_filters(df)
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """The held-out benchmark gram set is tiny vs the corpus; the
+    contamination probe must be a broadcast join on gram (never a shuffled
+    join of two exploded gram tables), and the doc_id filters that split
+    bench from corpus must reach the scans."""
+    df = QUERIES["dedup_decontaminate"](spark, sf_dir)
+    assert broadcast_join_count(df) >= 1, formatted_plan(df)
+    assert pushed_filters(df), "bench/corpus doc_id split not pushed to scan"
+
+
+def test_pack_sequences_single_window_shuffle(spark, sf_dir):
+    """Packing shuffles once on the (lang, shard) window key; the chunk agg
+    is keyed by a superset (lang, shard, chunk_id) of the window key, so the
+    exchange is reused — 1 shuffle total, not 2."""
+    df = QUERIES["pack_sequences"](spark, sf_dir)
+    assert shuffle_count(df) <= 1, formatted_plan(df)
+
+
+def test_quantize_int8_is_shuffle_free_projection(spark, sf_dir):
+    """int8 quantization is a pure per-row projection: zero exchanges, and
+    the scan reads only (vec_id, embedding)."""
+    df = QUERIES["similarity_quantize_int8"](spark, sf_dir)
+    assert shuffle_count(df) == 0, formatted_plan(df)
+    assert all(len(cols) <= 2 for cols in read_schemas(df)), read_schemas(df)
+
+
+def test_histogram_reads_two_columns_only(spark, sf_dir):
+    df = QUERIES["agg_histogram"](spark, sf_dir)
+    assert all(len(cols) <= 2 for cols in read_schemas(df)), read_schemas(df)
+    assert shuffle_count(df) <= 1, formatted_plan(df)
