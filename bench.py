@@ -73,6 +73,11 @@ HEADLINE = [
     "text_token_stats",
     "asof_join",
     "stream_tumbling_window",
+    # Round 3 additions (16 round-1 + 2 round-2 queries unchanged for
+    # comparability): the two real-compute training-pipeline stages —
+    # 8-gram benchmark decontamination and repetition-gate scoring.
+    "dedup_decontaminate",
+    "text_repetition_score",
 ]
 
 
