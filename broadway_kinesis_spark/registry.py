@@ -69,6 +69,7 @@ def _load_all_modules() -> None:
         asof,
         clustering,
         composite,
+        curation,
         dedup,
         joins,
         multimodal,
@@ -119,17 +120,23 @@ _PRIORITY: tuple[str, ...] = (
     "pricing_summary", "agg_rollup",
     "join_inner", "join_broadcast",
     "window_time_range",
-    "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
+    "stream_tumbling_window",
+    # (2b) round-2 rows gone stale: the post-r2-run commit that added
+    # agg_mode/text_vocab_topk also touched aggregates.py and textops.py,
+    # so every query those files implement needs a current-form row — the
+    # agg_* set above covers aggregates.py's window entries; these are the
+    # remaining out-of-window ones from both files
+    "agg_approx_distinct", "agg_collect", "agg_approx_percentile",
+    "text_lang_id", "text_quality_score", "text_fingerprint",
+    "text_bpe_tokens",
     # (4) new operators this round
     "dedup_cluster_cc", "sample_stratified",
     "dedup_decontaminate", "pack_sequences", "text_repetition_score",
     "agg_histogram", "similarity_quantize_int8",
+    "pii_scrub", "sample_epoch_shuffle", "data_mix_weighted",
     # (5) proven-green filler from untouched files
-    "asof_join", "dedup_minhash_lsh", "dedup_embedding_cosine",
-    "dedup_incremental", "dedup_fuzzy_prefix", "pipeline_clean_corpus",
-    "window_forward_fill",
-    "text_token_stats", "text_tfidf_topk", "udf_table_function",
-    "sample_hash_split",
+    "dedup_minhash_lsh",
+    "text_token_stats", "text_tfidf_topk",
 )
 
 

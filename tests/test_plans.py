@@ -241,3 +241,34 @@ def test_histogram_reads_two_columns_only(spark, sf_dir):
     df = QUERIES["agg_histogram"](spark, sf_dir)
     assert all(len(cols) <= 2 for cols in read_schemas(df)), read_schemas(df)
     assert shuffle_count(df) <= 1, formatted_plan(df)
+
+
+def test_pii_scrub_is_pushed_shuffle_free_projection(spark, sf_dir):
+    """Pseudonymization + redaction is pure per-row work: the event_id
+    bound reaches the scan, only the three referenced columns are read,
+    and nothing exchanges."""
+    df = QUERIES["pii_scrub"](spark, sf_dir)
+    assert any("event_id" in f for f in pushed_filters(df)), pushed_filters(df)
+    assert all(len(cols) <= 3 for cols in read_schemas(df)), read_schemas(df)
+    assert shuffle_count(df) == 0, formatted_plan(df)
+
+
+def test_epoch_shuffle_is_sharded_not_single_partition(spark, sf_dir):
+    """The training-order shuffle must hash-partition on shard_id and sort
+    within shards — exactly one exchange, and NEVER the single-partition
+    exchange a global row_number() would plan (the 100 TB non-starter)."""
+    df = QUERIES["sample_epoch_shuffle"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_data_mix_broadcasts_weights_no_cartesian(spark, sf_dir):
+    """The 4-row weight dim must broadcast onto the corpus scan (the fact
+    side never shuffles for it); the only exchanges are the per-source
+    audit aggregations, and nothing plans a cartesian."""
+    df = QUERIES["data_mix_weighted"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert shuffle_count(df) <= 4, plan
