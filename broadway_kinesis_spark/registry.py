@@ -78,6 +78,8 @@ def _load_all_modules() -> None:
         sampling,
         scalars,
         similarity,
+        skew,
+        subqueries,
         textops,
         windows,
     )
@@ -118,7 +120,7 @@ _PRIORITY: tuple[str, ...] = (
     # rep per lsum-consuming module re-verifies the shared helper —
     # aggregates, joins, windows, batch_twins, composite (composites above)
     "pricing_summary", "agg_rollup",
-    "join_inner", "join_broadcast",
+    "join_inner",
     "window_time_range",
     "stream_tumbling_window",
     # (2b) round-2 rows gone stale: the post-r2-run commit that added
@@ -134,8 +136,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_decontaminate", "pack_sequences", "text_repetition_score",
     "agg_histogram", "similarity_quantize_int8",
     "pii_scrub", "sample_epoch_shuffle", "data_mix_weighted",
+    "join_salted_skew", "subquery_correlated_avg",
     # (5) proven-green filler from untouched files
-    "dedup_minhash_lsh",
     "text_token_stats", "text_tfidf_topk",
 )
 

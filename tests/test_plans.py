@@ -272,3 +272,27 @@ def test_data_mix_broadcasts_weights_no_cartesian(spark, sf_dir):
     assert broadcast_join_count(df) >= 1, plan
     assert "CartesianProduct" not in plan, plan
     assert shuffle_count(df) <= 4, plan
+
+
+def test_salted_join_is_shuffled_on_salt_not_broadcast(spark, sf_dir):
+    """The salting demo must run in the regime it exists for: a shuffled
+    sort-merge join whose key includes the salt (spreading any hot suppkey
+    across SALTS tasks). A broadcast would make the salt meaningless and a
+    cartesian would mean the equi-key was lost."""
+    df = QUERIES["join_salted_skew"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) == 0, plan
+    assert "SortMergeJoin" in plan, plan
+    assert "_salt" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_correlated_subquery_is_decorrelated(spark, sf_dir):
+    """Catalyst must rewrite the two correlated scalar subqueries into
+    grouped aggregates joined back on o_custkey — never a per-row
+    re-execution (no nested cartesian / loop join in the plan)."""
+    df = QUERIES["subquery_correlated_avg"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan
+    assert broadcast_join_count(df) + plan.count("SortMergeJoin") >= 1, plan
