@@ -80,6 +80,14 @@ def _run_paced(spark, src_dir: str, ck: str, index: str, accepted: str, want: in
             except Exception:
                 pass  # accepted dir not written yet
             time.sleep(0.5)
+        # Drain before stop(): the want-th accepted row becomes visible
+        # mid-batch (before the index append + offset commit), and stopping
+        # there would exercise the crash path instead of the happy path.
+        while time.time() < deadline:
+            st = q.status
+            if not st["isDataAvailable"] and not st["isTriggerActive"]:
+                break
+            time.sleep(0.2)
     finally:
         q.stop()
 
@@ -138,3 +146,38 @@ def test_incremental_dedup_within_across_batches_and_restarts(spark, tmp_path):
     # hex), one per unique content.
     digests = {r.text_md5 for r in spark.read.parquet(index).collect()}
     assert len(digests) == 5
+
+
+def test_crash_between_appends_heals_and_stays_effectively_once(spark, tmp_path):
+    """Simulate the crash window the marker/heal protocol exists for: a
+    batch whose accepted append landed but whose index append (and marker
+    removal) did not. The replayed batch must NOT re-accept that content,
+    and the index must be healed to contain its digest."""
+    import pandas as pd
+
+    index = str(tmp_path / "index")
+    accepted = str(tmp_path / "accepted")
+    marker_dir = accepted + "_inflight"
+    os.makedirs(marker_dir)
+
+    # interrupted batch state: doc 5 ("delta") reached accepted, not index
+    first = spark.createDataFrame(pd.DataFrame({"doc_id": [5]})).select(
+        "doc_id", F.md5(F.lit("delta")).alias("text_md5")
+    )
+    first.write.parquet(accepted)
+    open(os.path.join(marker_dir, "batch"), "w").close()
+
+    # the replayed batch re-delivers doc 5 plus a genuinely new doc 6
+    from broadway_kinesis_spark.streaming.incremental import (
+        dedup_batch_against_index,
+    )
+
+    replay = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [5, 6], "text": ["delta", "epsilon"]})
+    )
+    n = dedup_batch_against_index(replay, index, accepted)
+    assert n == 1  # only doc 6
+    assert _accepted_ids(spark, accepted) == [5, 6]  # no duplicate doc 5
+    digests = {r.text_md5 for r in spark.read.parquet(index).collect()}
+    assert len(digests) == 2  # healed "delta" + new "epsilon"
+    assert not os.listdir(marker_dir)  # marker cleared
