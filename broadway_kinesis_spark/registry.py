@@ -88,57 +88,58 @@ def _load_all_modules() -> None:
 
 
 # The grading driver checks the FIRST 50 entries of queries() against their
-# oracles. Rotation policy (round 3): the window covers, in order,
-#   (1) queries with NO driver row ever (added after the round-2 run),
-#   (2) queries whose round-1 green row predates a rewrite of their
-#       implementing module (aggregates.py/composite.py/dedup.py in round 2),
-#   (3) queries whose implementing or shared-dependency module changed THIS
-#       round (similarity.py tier-1 tie-break; functions/numeric.py sign-safe
-#       lsum touches every money aggregate),
-#   (4) new operators added this round,
-#   (5) proven-green filler from files untouched since their last green row.
+# oracles. Rotation policy (round 4): the window covers, in order,
+#   (1) queries whose only green driver row predates their current code form
+#       (VERDICT r3 "stale": join_broadcast's dsum→lsum rewrite and the
+#       unpivot_measures/scalar_datetime oracle dtype CASTs all landed in
+#       round 2 AFTER their round-1 rows — never rotated back in until now),
+#   (2) queries whose implementing module changes THIS round (curation.py
+#       shard parameterization + single-pass mix audit; subqueries.py
+#       namespaced temp view; multimodal.py real image decode),
+#   (3) new operators added this round,
+#   (4) proven-green filler from files untouched since their last green row,
+#       oldest green round first — refreshing round-1/round-2 rows to
+#       current so signal currency improves across the whole registry.
 # Queries 51+ are exclusively ones with a green driver row for their current
-# code form. tests/test_registry_window.py enforces the invariant
-# mechanically against CORRECTNESS_r*.json.
+# code form. tests/test_registry_window.py enforces both invariants
+# mechanically: never-green ⇒ in-window (against CORRECTNESS_r*.json) and
+# changed-since-last-green ⇒ in-window (against git, per implementing file).
 _PRIORITY: tuple[str, ...] = (
-    # (1) never driver-checked (landed after the round-2 run)
-    "agg_mode", "text_vocab_topk",
-    # (2) round-1 rows gone stale: aggregates.py scaled-long rewrite
-    "agg_distinct_counts", "agg_cube", "agg_grouping_sets",
-    "agg_filtered_first_last", "agg_stats", "agg_string_concat",
-    "agg_pivot", "agg_salted_skew",
-    # (2) composite.py rewrite
-    "composite_shipping_priority", "composite_local_supplier_volume",
-    "composite_returned_items", "composite_user_retention",
-    # (2) dedup.py rewrite
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_exact_docs",
-    # (3) similarity.py changed this round (deterministic tier-1 tie-break)
-    "similarity_topk_cosine_pandas", "similarity_topk_cosine",
-    "similarity_ann_ivf", "similarity_ann_ivf_probe", "similarity_ann_lsh",
-    "similarity_normalize", "similarity_kmeans",
-    # (3) functions/numeric.py changed this round (sign-safe lsum): one green
-    # rep per lsum-consuming module re-verifies the shared helper —
-    # aggregates, joins, windows, batch_twins, composite (composites above)
-    "pricing_summary", "agg_rollup",
-    "join_inner",
-    "window_time_range",
-    "stream_tumbling_window",
-    # (2b) round-2 rows gone stale: the post-r2-run commit that added
-    # agg_mode/text_vocab_topk also touched aggregates.py and textops.py,
-    # so every query those files implement needs a current-form row — the
-    # agg_* set above covers aggregates.py's window entries; these are the
-    # remaining out-of-window ones from both files
-    "agg_approx_distinct", "agg_collect", "agg_approx_percentile",
-    "text_lang_id", "text_quality_score", "text_fingerprint",
-    "text_bpe_tokens",
-    # (4) new operators this round
-    "dedup_cluster_cc", "sample_stratified",
-    "dedup_decontaminate", "pack_sequences", "text_repetition_score",
-    "agg_histogram", "similarity_quantize_int8",
+    # (1) stale round-1 rows (VERDICT r3 top item)
+    "join_broadcast", "unpivot_measures", "scalar_datetime",
+    # (2) curation.py edited this round (epoch-shuffle shard param,
+    # single-pass mixture audit)
     "pii_scrub", "sample_epoch_shuffle", "data_mix_weighted",
-    "join_salted_skew", "subquery_correlated_avg",
-    # (5) proven-green filler from untouched files
-    "text_token_stats", "text_tfidf_topk",
+    # (2) subqueries.py edited this round (namespaced temp view, ADVICE r3)
+    "subquery_correlated_avg",
+    # (2) multimodal.py edited this round (real PPM/BMP decode path)
+    "multimodal_byte_features", "multimodal_frame_sample",
+    "multimodal_metadata_stats",
+    # (3) new operators this round (placeholders below swap out as each
+    # lands: multimodal_image_stats, similarity_ann_ivf_persisted,
+    # pipeline_epoch_build)
+    "udf_pandas_vectorized", "stream_sliding_window",
+    "stream_session_window",
+    # (4) filler, round-1 greens first: joins.py untouched since r1 rows
+    "join_left_outer", "join_right_outer", "join_full_outer",
+    "join_semi", "join_anti", "join_cross", "join_theta",
+    "join_range_interval",
+    # (4) relational.py round-1 greens
+    "scan_project_filter", "filter_null_semantics", "sort_limit_topk",
+    "setops_union_all", "setops_union_distinct", "setops_intersect",
+    "setops_except", "dedup_exact_rows", "dedup_keep_first",
+    # (4) scalars.py round-1 green
+    "scalar_string",
+    # (4) round-2 greens: scalars / relational stragglers
+    "scalar_math", "scalar_conditional", "scalar_array", "scalar_json",
+    "scalar_map", "sample_hash_split",
+    # (4) windows.py round-2 greens
+    "window_ranking", "window_analytic", "window_running",
+    "window_topk_per_group", "funnel_conversion", "window_distribution",
+    "window_forward_fill",
+    # (4) asof / dedup / composite round-2 greens
+    "asof_join", "dedup_minhash_lsh", "dedup_embedding_cosine",
+    "dedup_incremental", "dedup_fuzzy_prefix", "pipeline_clean_corpus",
 )
 
 
