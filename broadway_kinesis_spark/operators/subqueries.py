@@ -33,24 +33,48 @@ from broadway_kinesis_spark.session import load
 # exact 1e-6-unit integer space: price*2*n(cust) > 3*sum(cust). Range: a
 # ~6e11 scaled price times 2n stays far under 2^63 for any realistic
 # per-customer order count (overflow only past ~7.6e6 orders/customer).
-_SQL = f"""
-SELECT o_orderkey, o_custkey, {sql_lscale("o_totalprice")} AS price_mu
-FROM orders o
-WHERE {sql_lscale("o.o_totalprice")} * 2 *
-      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
-    > 3 * (SELECT SUM({sql_lscale("o2.o_totalprice")})
-           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+# The table name is templated: DuckDB reads the driver-registered `orders`
+# view, Spark reads a namespaced temp view (ADVICE r3: registering a view
+# literally named 'orders' silently shadowed the name in the shared
+# session catalog for every later spark.sql in the same session).
+_SQL_TEMPLATE = """
+SELECT o_orderkey, o_custkey, {price_mu} AS price_mu
+FROM {tbl} o
+WHERE {price_mu_o} * 2 *
+      (SELECT COUNT(*) FROM {tbl} o2 WHERE o2.o_custkey = o.o_custkey)
+    > 3 * (SELECT SUM({price_mu_o2})
+           FROM {tbl} o2 WHERE o2.o_custkey = o.o_custkey)
 """
 
 
-@query("subquery_correlated_avg", oracle=_SQL)
+def _sql(tbl: str) -> str:
+    return _SQL_TEMPLATE.format(
+        tbl=tbl,
+        price_mu=sql_lscale("o_totalprice"),
+        price_mu_o=sql_lscale("o.o_totalprice"),
+        price_mu_o2=sql_lscale("o2.o_totalprice"),
+    )
+
+
+_SPARK_VIEW = "_bks_orders_subq"
+
+
+@query("subquery_correlated_avg", oracle=_sql("orders"))
 def subquery_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders >1.5x their customer's average price, written as two
     correlated scalar subqueries over the same correlation key and handed
-    to Catalyst verbatim. The optimizer decorrelates both into one grouped
-    aggregate on o_custkey joined back to orders — the plan that survives
-    100 TB — and the integer cross-multiplied predicate keeps the
-    qualifying row set bit-identical across engines.
+    to Catalyst verbatim (identical SQL text both engines, up to the view
+    name). The optimizer decorrelates both into one grouped aggregate on
+    o_custkey joined back to orders — the plan that survives 100 TB — and
+    the integer cross-multiplied predicate keeps the qualifying row set
+    bit-identical across engines.
+
+    The temp view is namespaced and dropped before returning: ``spark.sql``
+    analyzes eagerly, so the returned DataFrame's resolved plan no longer
+    needs the catalog entry and the shared session is left unchanged.
     """
-    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_SQL)
+    load(spark, sf_dir, "orders").createOrReplaceTempView(_SPARK_VIEW)
+    try:
+        return spark.sql(_sql(_SPARK_VIEW))
+    finally:
+        spark.catalog.dropTempView(_SPARK_VIEW)

@@ -124,8 +124,14 @@ def build_session(
 # future decimal/percentile-heavy operator needs it back.
 
 
-_SCHEMA_CACHE: dict[tuple[int, str], object] = {}
-_DF_CACHE: dict[tuple[int, str, int, int], DataFrame] = {}
+# Both memo layers are keyed by (session, path) with the file's stat
+# signature stored NEXT TO the value: a rewritten file REPLACES its entry
+# rather than accreting a new key (ADVICE r3: the old
+# (session, path, mtime, size) keying never evicted, so rewritten fixtures
+# and sequential sessions pinned dead DataFrame/JVM handles for process
+# lifetime). Size is now bounded by live-sessions x TABLES.
+_SCHEMA_CACHE: dict[tuple[int, str], tuple[tuple[int, int], object]] = {}
+_DF_CACHE: dict[tuple[int, str], tuple[tuple[int, int], DataFrame]] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -134,8 +140,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Declarative scan so Catalyst keeps predicate pushdown / column pruning /
     partition pruning available to whatever plan consumes it.
 
-    Two memoization layers, both keyed per (session, path, file mtime+size)
-    so a rewritten file invalidates and an id()-recycled session is harmless:
+    Two memoization layers, keyed per (session, path) and invalidated on
+    file mtime+size change (an id()-recycled session can only collide with
+    a STOPPED session's id, and the first lookup under a changed file
+    signature replaces the entry):
 
     - the inferred schema: schema inference runs a 1-task footer-reading
       Spark job on EVERY ``read.parquet`` call — pure fixed overhead when
@@ -152,18 +160,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         st = os.stat(path)
-        key = (id(spark), path, st.st_mtime_ns, st.st_size)
+        sig = (st.st_mtime_ns, st.st_size)
     except OSError:
-        key = (id(spark), path, 0, 0)
+        sig = (0, 0)
+    key = (id(spark), path)
     cached = _DF_CACHE.get(key)
-    if cached is not None:
-        return cached
-    schema = _SCHEMA_CACHE.get(key)
-    if schema is None:
+    if cached is not None and cached[0] == sig:
+        return cached[1]
+    schema_entry = _SCHEMA_CACHE.get(key)
+    if schema_entry is None or schema_entry[0] != sig:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[key] = df.schema
+        _SCHEMA_CACHE[key] = (sig, df.schema)
     else:
-        df = spark.read.schema(schema).parquet(path)
+        df = spark.read.schema(schema_entry[1]).parquet(path)
     if name == "events":
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType, TimestampNTZType
@@ -180,5 +189,5 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # engine's UTC session; event-time functions (unix_micros,
             # window) require the TIMESTAMP type.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    _DF_CACHE[key] = df
+    _DF_CACHE[key] = (sig, df)
     return df

@@ -63,56 +63,66 @@ def main() -> None:
     psize = int(os.environ.get("INGEST_PAYLOAD", "1024"))
     payload = os.urandom(psize)
 
+    # try/finally so an aborted run leaks neither the SparkSession nor the
+    # temp dir (shards*records*payload ~ 1 GB at BASELINE sizing), and the
+    # checks raise real errors rather than asserts that vanish under -O
+    # (ADVICE r3).
     tmp = tempfile.mkdtemp(prefix="ingest_bench_")
-    data_dir = os.path.join(tmp, "data")
-    os.makedirs(data_dir)
-    for s in range(shards):
-        _write_shard(data_dir, f"shard-{s:04d}", n_recs, payload, base=1)
+    spark = None
+    try:
+        data_dir = os.path.join(tmp, "data")
+        os.makedirs(data_dir)
+        for s in range(shards):
+            _write_shard(data_dir, f"shard-{s:04d}", n_recs, payload, base=1)
 
-    spark = build_session("ingest-bench", shuffle_partitions=8)
-    spark.dataSource.register(KinesisEfoDataSource)
-    out = os.path.join(tmp, "out")
+        spark = build_session("ingest-bench", shuffle_partitions=8)
+        spark.dataSource.register(KinesisEfoDataSource)
+        out = os.path.join(tmp, "out")
 
-    t0 = time.perf_counter()
-    q = (
-        spark.readStream.format("kinesis_efo")
-        .option("streamName", "bench-stream")
-        .option("clientFactory", FACTORY)
-        .option("fakeDataDir", data_dir)
-        .option("startingPosition", "trim_horizon")
-        .option("reconnectDelayMs", "1")
-        .load()
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", os.path.join(tmp, "ck"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    ok = q.awaitTermination(600)
-    wall = time.perf_counter() - t0
-    assert ok, "streaming query did not terminate"
-
-    got = spark.read.parquet(out).count()
-    expect = shards * n_recs
-    assert got == expect, f"ingested {got} of {expect} records"
-
-    total_bytes = expect * psize
-    print(
-        json.dumps(
-            {
-                "metric": "ingest_throughput",
-                "mb_per_s": round(total_bytes / wall / 1e6, 2),
-                "records_per_s": round(expect / wall),
-                "records": expect,
-                "payload_bytes": psize,
-                "shards": shards,
-                "wall_s": round(wall, 2),
-                "unit": "MB/s",
-            }
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.format("kinesis_efo")
+            .option("streamName", "bench-stream")
+            .option("clientFactory", FACTORY)
+            .option("fakeDataDir", data_dir)
+            .option("startingPosition", "trim_horizon")
+            .option("reconnectDelayMs", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .trigger(availableNow=True)
+            .start()
         )
-    )
-    spark.stop()
-    shutil.rmtree(tmp, ignore_errors=True)
+        ok = q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+        if not ok:
+            raise RuntimeError("streaming query did not terminate within 600 s")
+
+        got = spark.read.parquet(out).count()
+        expect = shards * n_recs
+        if got != expect:
+            raise RuntimeError(f"ingested {got} of {expect} records")
+
+        total_bytes = expect * psize
+        print(
+            json.dumps(
+                {
+                    "metric": "ingest_throughput",
+                    "mb_per_s": round(total_bytes / wall / 1e6, 2),
+                    "records_per_s": round(expect / wall),
+                    "records": expect,
+                    "payload_bytes": psize,
+                    "shards": shards,
+                    "wall_s": round(wall, 2),
+                    "unit": "MB/s",
+                }
+            )
+        )
+    finally:
+        if spark is not None:
+            spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
