@@ -66,6 +66,7 @@ def _load_all_modules() -> None:
     # tests catch it.
     from broadway_kinesis_spark.operators import (  # noqa: F401
         aggregates,
+        ann_persist,
         asof,
         clustering,
         composite,
@@ -116,10 +117,9 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_byte_features", "multimodal_frame_sample",
     "multimodal_metadata_stats",
     # (3) new operators this round (placeholders below swap out as each
-    # lands: multimodal_image_stats, similarity_ann_ivf_persisted,
-    # pipeline_epoch_build)
+    # lands: multimodal_image_stats, pipeline_epoch_build)
+    "similarity_ann_ivf_persisted",
     "udf_pandas_vectorized", "stream_sliding_window",
-    "stream_session_window",
     # (4) filler, round-1 greens first: joins.py untouched since r1 rows
     "join_left_outer", "join_right_outer", "join_full_outer",
     "join_semi", "join_anti", "join_cross", "join_theta",
