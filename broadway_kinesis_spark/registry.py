@@ -72,6 +72,7 @@ def _load_all_modules() -> None:
         composite,
         curation,
         dedup,
+        epoch_build,
         joins,
         multimodal,
         pipeline_ops,
@@ -116,10 +117,10 @@ _PRIORITY: tuple[str, ...] = (
     # (2) multimodal.py edited this round (real PPM/BMP decode path)
     "multimodal_byte_features", "multimodal_frame_sample",
     "multimodal_metadata_stats",
-    # (3) new operators this round (placeholders below swap out as each
-    # lands: multimodal_image_stats, pipeline_epoch_build)
-    "similarity_ann_ivf_persisted",
-    "udf_pandas_vectorized", "stream_sliding_window",
+    # (3) new operators this round (placeholder below swaps out when
+    # multimodal_image_stats lands)
+    "similarity_ann_ivf_persisted", "pipeline_epoch_build",
+    "udf_pandas_vectorized",
     # (4) filler, round-1 greens first: joins.py untouched since r1 rows
     "join_left_outer", "join_right_outer", "join_full_outer",
     "join_semi", "join_anti", "join_cross", "join_theta",

@@ -62,6 +62,27 @@ def test_epoch_shuffle_is_deterministic_across_runs(spark, sf_dir):
     assert a == b
 
 
+def test_epoch_shuffle_helper_parameterized_shards(spark, sf_dir):
+    """n_shards is a real parameter (VERDICT r3 #6): an explicit count is
+    honored, and the default scales with cluster parallelism instead of
+    being pinned at 8."""
+    from broadway_kinesis_spark.operators.curation import epoch_shuffle
+    from broadway_kinesis_spark.session import load
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    three = epoch_shuffle(d, n_shards=3)
+    shards = {r.shard_id for r in three.select("shard_id").distinct().collect()}
+    assert shards <= set(range(3)) and len(shards) == 3
+
+    default = epoch_shuffle(d)
+    expected = 4 * spark.sparkContext.defaultParallelism
+    got = {r.shard_id for r in default.select("shard_id").distinct().collect()}
+    assert got <= set(range(expected))
+    # with hundreds of docs and tens of shards, the md5 spread should hit
+    # well over half the shard space
+    assert len(got) > expected // 2
+
+
 # ---------------------------------------------------------- data_mix_weighted
 def test_data_mix_cardinalities_track_weights(spark, sf_dir):
     from broadway_kinesis_spark.operators.curation import DEFAULT_W16, MIX_W16
@@ -78,6 +99,33 @@ def test_data_mix_cardinalities_track_weights(spark, sf_dir):
     for source, r in rows.items():
         if source not in MIX_W16:
             assert r.docs_out == r.docs_in, r
+
+
+def test_materialize_mixture_cardinality_equals_audit(spark, sf_dir):
+    """The actual explode produces exactly SUM(repeats) rows per source —
+    the invariant the single-pass audit reports in closed form — and
+    repeats=0 documents vanish rather than emitting a stray copy."""
+    from broadway_kinesis_spark.operators.curation import (
+        materialize_mixture,
+        weighted_repeats,
+    )
+    from broadway_kinesis_spark.session import load
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    base = weighted_repeats(d, spark)
+    audit = {r.source: r for r in QUERIES["data_mix_weighted"](spark, sf_dir).collect()}
+    mat = {
+        r.source: r.n
+        for r in materialize_mixture(base).groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for source, row in audit.items():
+        assert mat.get(source, 0) == row.docs_out, (source, row)
+    # copy_idx numbers the epoch copies 0..n-1 per doc
+    sample = materialize_mixture(base).groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("copy_idx").alias("mx"), F.min("copy_idx").alias("mn")
+    )
+    bad = sample.filter((F.col("mx") != F.col("n") - 1) | (F.col("mn") != 0)).count()
+    assert bad == 0
 
 
 # ------------------------------------------------------------ join_salted_skew

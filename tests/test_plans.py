@@ -265,13 +265,25 @@ def test_epoch_shuffle_is_sharded_not_single_partition(spark, sf_dir):
 
 def test_data_mix_broadcasts_weights_no_cartesian(spark, sf_dir):
     """The 4-row weight dim must broadcast onto the corpus scan (the fact
-    side never shuffles for it); the only exchanges are the per-source
-    audit aggregations, and nothing plans a cartesian."""
+    side never shuffles for it); the single-pass audit (VERDICT r3 #7)
+    leaves exactly ONE exchange — the per-source aggregation — and nothing
+    plans a cartesian."""
     df = QUERIES["data_mix_weighted"](spark, sf_dir)
     plan = formatted_plan(df)
     assert broadcast_join_count(df) >= 1, plan
     assert "CartesianProduct" not in plan, plan
-    assert shuffle_count(df) <= 4, plan
+    assert shuffle_count(df) <= 1, plan
+
+
+def test_epoch_build_is_one_exchange_pipeline(spark, sf_dir):
+    """Curate -> shuffle -> pack composes into ONE plan whose only
+    exchange is the shard hash: the gate is pushed into the scan side, the
+    packing window and the chunk aggregation ride the shuffle's
+    partitioning, and nothing plans a single-partition global sort."""
+    df = QUERIES["pipeline_epoch_build"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) == 1, plan
+    assert "SinglePartition" not in plan, plan
 
 
 def test_salted_join_is_shuffled_on_salt_not_broadcast(spark, sf_dir):
