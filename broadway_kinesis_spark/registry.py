@@ -117,10 +117,9 @@ _PRIORITY: tuple[str, ...] = (
     # (2) multimodal.py edited this round (real PPM/BMP decode path)
     "multimodal_byte_features", "multimodal_frame_sample",
     "multimodal_metadata_stats",
-    # (3) new operators this round (placeholder below swaps out when
-    # multimodal_image_stats lands)
-    "similarity_ann_ivf_persisted", "pipeline_epoch_build",
-    "udf_pandas_vectorized",
+    # (3) new operators this round
+    "multimodal_image_stats", "similarity_ann_ivf_persisted",
+    "pipeline_epoch_build",
     # (4) filler, round-1 greens first: joins.py untouched since r1 rows
     "join_left_outer", "join_right_outer", "join_full_outer",
     "join_semi", "join_anti", "join_cross", "join_theta",

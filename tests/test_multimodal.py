@@ -78,12 +78,99 @@ def test_frame_sample_match_python(spark, sf_dir):
         ]
 
 
-def test_decode_image_is_stubbed():
-    try:
-        import PIL  # noqa: F401
+def _bmp_bytes(img: np.ndarray, bottom_up: bool = True) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer (BITMAPINFOHEADER) for the
+    decoder tests: BGR samples, rows padded to 4 bytes."""
+    import struct
 
-        pytest.skip("imaging lib present; stub not applicable")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="stub"):
-        decode_image(b"\x89PNG\r\n")
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    order = range(h - 1, -1, -1) if bottom_up else range(h)
+    for y in order:
+        row = img[y, :, ::-1].tobytes()  # RGB -> BGR
+        rows.append(row + b"\x00" * (stride - len(row)))
+    pixel_data = b"".join(rows)
+    data_off = 14 + 40
+    file_size = data_off + len(pixel_data)
+    file_hdr = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h if bottom_up else -h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    return file_hdr + dib + pixel_data
+
+
+def _rand_img(h: int, w: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_ppm_roundtrip():
+    from broadway_kinesis_spark.operators.multimodal import encode_ppm
+
+    img = _rand_img(5, 3)
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+
+
+def test_ppm_header_comments_and_whitespace():
+    img = _rand_img(2, 4)
+    payload = b"P6 # binary ppm\n# another comment\n 4\t2 # dims\n255\n" + img.tobytes()
+    assert np.array_equal(decode_image(payload), img)
+
+
+def test_bmp_decode_bottom_up_and_top_down():
+    img = _rand_img(3, 5)  # w=5 -> 15-byte rows pad to 16 (exercises stride)
+    assert np.array_equal(decode_image(_bmp_bytes(img, bottom_up=True)), img)
+    assert np.array_equal(decode_image(_bmp_bytes(img, bottom_up=False)), img)
+
+
+@pytest.mark.parametrize(
+    "payload, match",
+    [
+        (b"\x89PNG\r\n", "unsupported image format"),
+        (b"P6\n4 2\n255\n" + b"\x00" * 10, "expected 24 pixel bytes"),
+        (b"P6\n4 2\n65535\n", "unsupported maxval"),
+        (b"BM" + b"\x00" * 20, "truncated header"),
+    ],
+)
+def test_decode_image_rejects_bad_payloads(payload, match):
+    with pytest.raises(ValueError, match=match):
+        decode_image(payload)
+
+
+def test_image_stats_match_python(spark, sf_dir):
+    """The mapInPandas decode path must equal a straight Python decode of
+    the same synthesized payloads."""
+    from broadway_kinesis_spark.operators.multimodal import (
+        IMG_W,
+        as_ppm_media,
+        multimodal_image_stats,
+    )
+
+    media = {
+        r.media_id: bytes(r.payload)
+        for r in as_ppm_media(load(spark, sf_dir, "documents"))
+        .orderBy("media_id")
+        .limit(5)
+        .collect()
+    }
+    got = {
+        r.media_id: r
+        for r in multimodal_image_stats(spark, sf_dir)
+        .filter(f"media_id in ({','.join(map(str, media))})")
+        .collect()
+    }
+    assert set(got) == set(media)
+    for mid, payload in media.items():
+        img = decode_image(payload)
+        h, w, _ = img.shape
+        assert w == IMG_W
+        r = got[mid]
+        assert (r.width, r.height) == (w, h)
+        sums = img.reshape(-1, 3).sum(axis=0, dtype="int64")
+        npx = float(h * w)
+        assert (r.mean_r, r.mean_g, r.mean_b) == (
+            sums[0] / npx,
+            sums[1] / npx,
+            sums[2] / npx,
+        )
