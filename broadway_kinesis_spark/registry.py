@@ -130,16 +130,21 @@ _PRIORITY: tuple[str, ...] = (
     "setops_except", "dedup_exact_rows", "dedup_keep_first",
     # (4) scalars.py round-1 green
     "scalar_string",
-    # (4) round-2 greens: scalars / relational stragglers
+    # (4) round-2 greens: scalars stragglers
     "scalar_math", "scalar_conditional", "scalar_array", "scalar_json",
-    "scalar_map", "sample_hash_split",
+    "scalar_map",
     # (4) windows.py round-2 greens
     "window_ranking", "window_analytic", "window_running",
     "window_topk_per_group", "funnel_conversion", "window_distribution",
     "window_forward_fill",
     # (4) asof / dedup / composite round-2 greens
-    "asof_join", "dedup_minhash_lsh", "dedup_embedding_cosine",
-    "dedup_incremental", "dedup_fuzzy_prefix", "pipeline_clean_corpus",
+    "asof_join", "dedup_minhash_lsh", "pipeline_clean_corpus",
+    # (4) batch_twins round-2 greens: batch_twins.py imports
+    # functions/numeric.py (changed r3), so the mechanical staleness rule
+    # (test_registry_window.py) requires a current-form row for every
+    # query in the module, not just the r3 lsum representative
+    "stream_sliding_window", "stream_session_window", "stream_dedup_twin",
+    "stream_stream_join_twin",
 )
 
 

@@ -1,4 +1,4 @@
-"""Driver-window invariants (ADVICE r2 #1).
+"""Driver-window invariants (ADVICE r2 #1, VERDICT r3 #2).
 
 The grading driver hash-checks only the FIRST 50 entries of ``queries()``.
 These tests make the rotation policy mechanical instead of conventional:
@@ -7,7 +7,19 @@ These tests make the rotation policy mechanical instead of conventional:
 2. every registered query that has never earned a green driver row (per the
    committed CORRECTNESS_r*.json scoreboard files) must sit inside the
    window — a query added this round can therefore never silently land at
-   position 51+ the way agg_mode/text_vocab_topk did in round 2.
+   position 51+ the way agg_mode/text_vocab_topk did in round 2;
+3. every query whose implementing code changed since its LAST green round
+   must sit inside the window — the rule that round 2 broke three times
+   (join_broadcast / unpivot_measures / scalar_datetime went stale for two
+   rounds because this check was manual convention). "Implementing code"
+   is the query's module plus its transitive intra-package imports (so a
+   ``functions/numeric.py`` rewrite stales every money aggregate, and an
+   ``operators/similarity.py`` change stales the persisted-index probe
+   that imports its math); change detection is ``git diff`` against the
+   commit that recorded the round's CORRECTNESS file. ``session.py`` /
+   ``registry.py`` are excluded as load-only plumbing: every in-window
+   query exercises them every round, so a breakage there fails 50 hard
+   rows rather than hiding in an unwindowed one.
 """
 
 from __future__ import annotations
@@ -15,16 +27,24 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
+import subprocess
 
 from broadway_kinesis_spark import registry
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
+_PLUMBING = {
+    "broadway_kinesis_spark/session.py",
+    "broadway_kinesis_spark/registry.py",
+}
 
-def _ever_green() -> set[str]:
-    ok: set[str] = set()
+
+def _green_rounds() -> dict[str, list[int]]:
+    out: dict[str, list[int]] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json", path).group(1))
         with open(path) as f:
             data = json.load(f)
         for name, row in data.items():
@@ -33,8 +53,80 @@ def _ever_green() -> set[str]:
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                ok.add(name)
-    return ok
+                out.setdefault(name, []).append(rnd)
+    return out
+
+
+def _ever_green() -> set[str]:
+    return set(_green_rounds())
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, capture_output=True, text=True, check=True
+    ).stdout
+
+
+_IMPORT_RE = re.compile(
+    r"^\s*(?:from|import)\s+(broadway_kinesis_spark(?:\.\w+)*)", re.MULTILINE
+)
+
+
+def _dep_closure(mod: str) -> set[str]:
+    """Repo-relative files whose change alters this module's behavior: the
+    module itself plus transitive intra-package imports (minus plumbing)."""
+    seen: set[str] = set()
+    stack = [mod.replace(".", "/") + ".py"]
+    while stack:
+        rel = stack.pop()
+        if rel in seen or rel in _PLUMBING:
+            continue
+        path = os.path.join(REPO, rel)
+        if not os.path.isfile(path):
+            continue
+        seen.add(rel)
+        with open(path) as f:
+            src = f.read()
+        for m in _IMPORT_RE.finditer(src):
+            stack.append(m.group(1).replace(".", "/") + ".py")
+    return seen
+
+
+def _recording_commit(rnd: int) -> str:
+    out = _git(
+        "log", "--reverse", "--format=%H", "--diff-filter=A", "--",
+        f"CORRECTNESS_r{rnd:02d}.json",
+    ).strip()
+    assert out, f"no commit adds CORRECTNESS_r{rnd:02d}.json"
+    return out.splitlines()[0]
+
+
+def test_every_stale_query_is_inside_the_window():
+    """changed-since-last-green => in-window, mechanically (VERDICT r3 #2)."""
+    greens = _green_rounds()
+    changed_since: dict[int, set[str]] = {}
+    for rnd in {max(rs) for rs in greens.values()}:
+        commit = _recording_commit(rnd)
+        changed_since[rnd] = {
+            line.strip()
+            for line in _git("diff", "--name-only", commit, "--", ".").splitlines()
+            if line.strip()
+        }
+    registry.queries()  # force lazy module registration before iterating
+    stale = []
+    for name, q in registry.REGISTRY.items():
+        rounds = greens.get(name)
+        if not rounds:
+            continue  # never green: covered by the never-verified test
+        deps = _dep_closure(q.fn.__module__)
+        if deps & changed_since[max(rounds)]:
+            stale.append(name)
+    outside = set(stale) - set(registry._PRIORITY)
+    assert not outside, (
+        "queries whose implementing code changed after their last green "
+        f"driver round sit outside the first-{WINDOW} window (their next "
+        f"driver row would never exist): {sorted(outside)}"
+    )
 
 
 def test_priority_is_exactly_the_window():
