@@ -78,6 +78,13 @@ HEADLINE = [
     # 8-gram benchmark decontamination and repetition-gate scoring.
     "dedup_decontaminate",
     "text_repetition_score",
+    # Round 4 additions: the persisted-index ANN probe (run 1 of the
+    # min-of-5 trains + writes the index, later runs serve probe-only from
+    # storage — the min is the steady-state serving number, which is the
+    # point of a persisted index) and the composed curate→shuffle→pack
+    # epoch build (one-exchange pipeline).
+    "similarity_ann_ivf_persisted",
+    "pipeline_epoch_build",
 ]
 
 
