@@ -103,6 +103,26 @@ def test_signature_agreement_separates_near_dups_from_distinct(spark):
     assert distinct < SIM_T, f"unrelated text must not (sim={distinct})"
 
 
+def test_short_docs_fall_back_to_exact_dedup(spark, tmp_path):
+    """Documents too short to shingle (<3 words) hash their whole text:
+    identical shorts are rejected, distinct shorts are both accepted —
+    near-dup detection degrades to exact-dup instead of either crashing on
+    an empty shingle set or waving every short doc through."""
+    import pandas as pd
+
+    index = str(tmp_path / "index")
+    accepted = str(tmp_path / "accepted")
+    batch1 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["hello world", "tiny"]})
+    )
+    assert neardup_batch_against_index(batch1, index, accepted) == 2
+    batch2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [3, 4], "text": ["hello world", "other short"]})
+    )
+    assert neardup_batch_against_index(batch2, index, accepted) == 1
+    assert _accepted_ids(spark, accepted) == [1, 2, 4]
+
+
 def test_neardup_within_across_batches_and_restarts(spark, tmp_path):
     spark.dataSource.register(ReplayDataSource)
     src = str(tmp_path / "in")
