@@ -68,6 +68,7 @@ def _load_all_modules() -> None:
         aggregates,
         ann_persist,
         asof,
+        bucketed,
         clustering,
         composite,
         curation,
@@ -83,6 +84,7 @@ def _load_all_modules() -> None:
         skew,
         subqueries,
         textops,
+        textstats,
         windows,
     )
     from broadway_kinesis_spark.functions import udfs  # noqa: F401
@@ -119,7 +121,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_metadata_stats",
     # (3) new operators this round
     "multimodal_image_stats", "similarity_ann_ivf_persisted",
-    "pipeline_epoch_build",
+    "pipeline_epoch_build", "join_bucketed", "text_vocab_coverage",
     # (4) filler, round-1 greens first: joins.py untouched since r1 rows
     "join_left_outer", "join_right_outer", "join_full_outer",
     "join_semi", "join_anti", "join_cross", "join_theta",
@@ -137,8 +139,10 @@ _PRIORITY: tuple[str, ...] = (
     "window_ranking", "window_analytic", "window_running",
     "window_topk_per_group", "funnel_conversion", "window_distribution",
     "window_forward_fill",
-    # (4) asof / dedup / composite round-2 greens
-    "asof_join", "dedup_minhash_lsh", "pipeline_clean_corpus",
+    # (4) composite round-2 green (asof_join / dedup_minhash_lsh rotated
+    # back out for the two late-round-4 operators above: both are r2-green
+    # on files untouched since, so their rows stay current)
+    "pipeline_clean_corpus",
     # (4) batch_twins round-2 greens: batch_twins.py imports
     # functions/numeric.py (changed r3), so the mechanical staleness rule
     # (test_registry_window.py) requires a current-form row for every

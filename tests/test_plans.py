@@ -286,6 +286,37 @@ def test_epoch_build_is_one_exchange_pipeline(spark, sf_dir):
     assert "SinglePartition" not in plan, plan
 
 
+def test_bucketed_join_query_is_exchange_free_smj(spark, sf_dir):
+    """The registered join_bucketed query must actually run from bucketed
+    storage: with broadcast disabled, the lineitem ⋈ orders join plans a
+    sort-merge join with NO exchange on either input — the only shuffle in
+    the whole plan is the final status aggregation."""
+    from broadway_kinesis_spark.plans import formatted_plan, shuffle_count
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["join_bucketed"](spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "SortMergeJoin" in plan, plan
+        assert shuffle_count(df) <= 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_vocab_coverage_topk_is_bounded_and_vocab_broadcasts(spark, sf_dir):
+    """The global vocabulary top-K must plan as TakeOrderedAndProject
+    (limit pushed through the rank window: partitions forward at most K
+    rows, so the rank window runs over K rows total, never the whole
+    vocabulary), and the K-row vocabulary must broadcast onto the token
+    stream rather than shuffling it."""
+    df = QUERIES["text_vocab_coverage"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert broadcast_join_count(df) >= 1, plan
+    assert shuffle_count(df) <= 3, plan
+
+
 def test_salted_join_is_shuffled_on_salt_not_broadcast(spark, sf_dir):
     """The salting demo must run in the regime it exists for: a shuffled
     sort-merge join whose key includes the salt (spreading any hot suppkey
