@@ -1,6 +1,7 @@
 """Property-based tests (hypothesis) for the engine's pure logic: replay
-offset resolution, starting-position parsing, and registry invariants —
-the reference's behavior matrix generalized from examples to properties."""
+offset resolution, starting-position parsing, registry invariants, and
+the round-4 image decoders — the reference's behavior matrix generalized
+from examples to properties."""
 
 from __future__ import annotations
 
@@ -193,3 +194,43 @@ def test_lsum_round_matches_decimal_half_up(values, scale):
         )
     )
     assert got == want, (s, got, want)
+
+
+# -- round-4 image decoders -------------------------------------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=9),   # height
+    st.integers(min_value=1, max_value=9),   # width (odd widths exercise BMP padding)
+    st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
+)
+@settings(max_examples=60, deadline=None)
+def test_ppm_roundtrip_any_shape(h, w, seed):
+    import numpy as np
+
+    from broadway_kinesis_spark.operators.multimodal import decode_image, encode_ppm
+
+    rng = np.random.RandomState(seed % (2**31))
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+
+
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.booleans(),  # bottom-up vs top-down row order
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_decode_any_shape(h, w, seed, bottom_up):
+    """Every (h, w) shape — including widths whose 3-byte rows need 4-byte
+    padding — must decode to exactly the source pixels in both row orders."""
+    import numpy as np
+
+    from broadway_kinesis_spark.operators.multimodal import decode_image
+
+    from tests.test_multimodal import _bmp_bytes
+
+    rng = np.random.RandomState(seed % (2**31))
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(_bmp_bytes(img, bottom_up=bottom_up)), img)
