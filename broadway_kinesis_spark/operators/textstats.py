@@ -1,4 +1,4 @@
-"""Corpus-relative text quality: vocabulary-coverage scoring.
+"""Corpus-relative text quality: vocabulary-coverage and unigram-LM scoring.
 
 A standard corpus-filter heuristic (C4/Gopher family): score each document
 by the fraction of its tokens that fall inside the corpus' top-K most
@@ -40,6 +40,9 @@ from broadway_kinesis_spark.session import load
 
 VOCAB_K = 100  # reference vocabulary size
 COVER_MIN = 0.5  # keep iff >= half the tokens are in-vocabulary
+
+LP_SCALE = 1_000_000.0  # per-token log-probs quantized to micro-nats
+LP_MIN = -8.0  # keep iff avg token log-prob >= this (perplexity <= e^8)
 
 
 @query(
@@ -102,4 +105,88 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("in_vocab").cast("double") / F.col("n_tok") >= COVER_MIN
             ).alias("keep"),
         )
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token
+              FROM documents)
+        GROUP BY doc_id, token
+    ), cnt AS (
+        SELECT token, SUM(tf) AS cnt FROM tf GROUP BY token
+    ), tot AS (
+        SELECT CAST(ROUND(LN(CAST(SUM(cnt) AS DOUBLE)) * {LP_SCALE}) AS BIGINT)
+                   AS ln_n6
+        FROM cnt
+    ), perdoc AS (
+        SELECT tf.doc_id,
+               CAST(SUM(tf.tf) AS BIGINT) AS n_tok,
+               CAST(SUM(tf.tf * CAST(ROUND(LN(CAST(cnt.cnt AS DOUBLE)) * {LP_SCALE})
+                                     AS BIGINT)) AS BIGINT) AS s6
+        FROM tf JOIN cnt USING (token)
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_tok,
+           CAST(s6 - n_tok * ln_n6 AS DOUBLE)
+               / (CAST(n_tok AS DOUBLE) * {LP_SCALE}) AS avg_logprob,
+           CAST(s6 - n_tok * ln_n6 AS DOUBLE)
+               / (CAST(n_tok AS DOUBLE) * {LP_SCALE}) >= {LP_MIN} AS keep
+    FROM perdoc, tot
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring (the classic perplexity-proxy quality
+    filter, CCNet/Gopher family): train a unigram language model on the
+    corpus itself — P(t) = cnt(t)/N — then score each document by its
+    average token log-probability. Natural prose made of common words
+    scores high; rare-token noise scores low; ``keep`` gates at
+    {LP_MIN} avg nats (perplexity e^{{{-LP_MIN}}}).
+
+    Exactness: per-token log-probs are quantized ONCE to integer
+    micro-nats — ``ROUND(LN(cnt) * 1e6)`` is a single transcendental per
+    DISTINCT corpus count, identical in both engines — and everything
+    after that is exact integer arithmetic (order-free sums), ending in
+    one final float division with identical expression shape. Summation
+    order can therefore never flip a ULP across the hash, which a naive
+    ``SUM(LN(...))`` could.
+
+    Scale posture: token stream shuffles once into per-(doc, token) tf;
+    the vocabulary table derives from tf (map-side-combinable); scoring
+    joins tf back to vocab on token — broadcastable when the vocab is
+    capped, plain equi-join otherwise — then one doc_id rollup. The
+    corpus total rides in as a broadcast single-row cross join. Same
+    two-pass shape as tf-idf: no all-pairs, no driver-side state."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    lp6 = F.round(F.ln(F.col("cnt").cast("double")) * F.lit(LP_SCALE)).cast("long")
+    # Corpus total straight off the documents scan (size of the split array
+    # == token count) — a shuffle-free projection instead of a third
+    # recomputation of the exploded-token subtree.
+    tot = docs.select(
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("nt")
+    ).agg(
+        F.round(F.ln(F.sum("nt").cast("double")) * F.lit(LP_SCALE))
+        .cast("long")
+        .alias("ln_n6")
+    )
+    perdoc = (
+        tf.join(cnt.withColumn("lp6", lp6).drop("cnt"), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tok"),
+            F.sum(F.col("tf") * F.col("lp6")).cast("long").alias("s6"),
+        )
+    )
+    score = F.col("s6") - F.col("n_tok") * F.col("ln_n6")
+    avg = score.cast("double") / (F.col("n_tok").cast("double") * F.lit(LP_SCALE))
+    return perdoc.crossJoin(F.broadcast(tot)).select(
+        "doc_id", "n_tok", avg.alias("avg_logprob"), (avg >= LP_MIN).alias("keep")
     )

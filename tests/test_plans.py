@@ -317,6 +317,17 @@ def test_vocab_coverage_topk_is_bounded_and_vocab_broadcasts(spark, sf_dir):
     assert shuffle_count(df) <= 3, plan
 
 
+def test_unigram_logprob_scalar_broadcasts_and_no_cartesian(spark, sf_dir):
+    """The corpus-total scalar must ride in as a broadcast nested-loop
+    cross join (one row), never a CartesianProduct; the scoring join and
+    the two aggregation passes bound the shuffle count."""
+    df = QUERIES["text_unigram_logprob"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert shuffle_count(df) <= 5, plan
+
+
 def test_salted_join_is_shuffled_on_salt_not_broadcast(spark, sf_dir):
     """The salting demo must run in the regime it exists for: a shuffled
     sort-merge join whose key includes the salt (spreading any hot suppkey
