@@ -317,6 +317,18 @@ def test_vocab_coverage_topk_is_bounded_and_vocab_broadcasts(spark, sf_dir):
     assert shuffle_count(df) <= 3, plan
 
 
+def test_semantic_dedup_assignment_broadcasts_pairs_stay_equi(spark, sf_dir):
+    """Centroid assignment must be a broadcast nested-loop over the K seed
+    rows (a projection of the vector stream, not a shuffle of it), and the
+    within-cluster pair generation must remain an equi-join on the cluster
+    id — a CartesianProduct would mean the learned blocking key was lost
+    and pair work went corpus-wide."""
+    df = QUERIES["dedup_semantic"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
 def test_unigram_logprob_scalar_broadcasts_and_no_cartesian(spark, sf_dir):
     """The corpus-total scalar must ride in as a broadcast nested-loop
     cross join (one row), never a CartesianProduct; the scoring join and
