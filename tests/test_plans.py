@@ -317,6 +317,17 @@ def test_vocab_coverage_topk_is_bounded_and_vocab_broadcasts(spark, sf_dir):
     assert shuffle_count(df) <= 3, plan
 
 
+def test_quality_funnel_is_single_scan_single_shuffle(spark, sf_dir):
+    """All four gates must reduce in ONE pass: a shuffle-free flag
+    projection, one map-side-combinable aggregation (the only exchange),
+    and a stack unpivot of the single survivor row — adding gates must
+    never add scans or shuffles."""
+    df = QUERIES["pipeline_quality_funnel"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) <= 1, plan
+    assert len(read_schemas(df)) == 1, plan
+
+
 def test_semantic_dedup_assignment_broadcasts_pairs_stay_equi(spark, sf_dir):
     """Centroid assignment must be a broadcast nested-loop over the K seed
     rows (a projection of the vector stream, not a shuffle of it), and the
