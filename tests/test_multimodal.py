@@ -174,3 +174,87 @@ def test_image_stats_match_python(spark, sf_dir):
             sums[1] / npx,
             sums[2] / npx,
         )
+
+
+# -- round-4 audio decoder ---------------------------------------------------
+
+
+def test_wav_roundtrip():
+    from broadway_kinesis_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.RandomState(11)
+    src = rng.randint(-32768, 32768, size=37, dtype=np.int16)
+    smp, rate = decode_wav(encode_wav(src, rate=8000))
+    assert rate == 8000
+    assert np.array_equal(smp, src)
+
+
+def test_wav_chunk_walker_skips_unknown_and_odd_chunks():
+    """Unknown chunks before `data` — including odd-size ones, which pad to
+    even offsets per the RIFF spec — must be walked over, not tripped on."""
+    import struct
+
+    from broadway_kinesis_spark.operators.multimodal import decode_wav, encode_wav
+
+    src = np.array([1, -2, 300, -400], dtype=np.int16)
+    base = encode_wav(src)
+    fmt_chunk = base[12:36]          # "fmt " + size + 16-byte body
+    data_chunk = base[36:]           # "data" + size + pcm
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded to even
+    body = fmt_chunk + odd + data_chunk
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    smp, rate = decode_wav(payload)
+    assert rate == 16000
+    assert np.array_equal(smp, src)
+
+
+@pytest.mark.parametrize(
+    "mutate, match",
+    [
+        (lambda p: b"OggS" + p[4:], "bad RIFF/WAVE magic"),
+        (lambda p: p[:22] + b"\x02" + p[23:], "only 16-bit mono PCM"),
+        (lambda p: p[:-3], "truncated b'data' chunk"),
+        (lambda p: p[:12] + p[36:] + p[12:36], "data chunk before fmt"),
+    ],
+)
+def test_decode_wav_rejects_bad_payloads(mutate, match):
+    from broadway_kinesis_spark.operators.multimodal import decode_wav, encode_wav
+
+    payload = mutate(encode_wav(np.array([5, -6], dtype=np.int16)))
+    with pytest.raises(ValueError, match=match):
+        decode_wav(payload)
+
+
+def test_audio_stats_match_python(spark, sf_dir):
+    """The mapInPandas decode path must equal a straight Python decode of
+    the same synthesized payloads."""
+    import math
+
+    from broadway_kinesis_spark.operators.multimodal import (
+        as_wav_media,
+        decode_wav,
+        multimodal_audio_stats,
+    )
+
+    media = {
+        r.media_id: bytes(r.payload)
+        for r in as_wav_media(load(spark, sf_dir, "documents"))
+        .orderBy("media_id")
+        .limit(5)
+        .collect()
+    }
+    got = {
+        r.media_id: r
+        for r in multimodal_audio_stats(spark, sf_dir)
+        .filter(f"media_id in ({','.join(map(str, media))})")
+        .collect()
+    }
+    assert set(got) == set(media)
+    for mid, payload in media.items():
+        smp, rate = decode_wav(payload)
+        s64 = smp.astype("int64")
+        r = got[mid]
+        assert (r.sample_rate, r.n_samples) == (rate, smp.size)
+        assert r.mean_amp == int(s64.sum()) / smp.size
+        assert r.peak == max(abs(int(smp.min())), abs(int(smp.max())))
+        assert r.rms == math.sqrt(int((s64 * s64).sum()) / smp.size)

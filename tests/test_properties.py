@@ -234,3 +234,23 @@ def test_bmp_decode_any_shape(h, w, seed, bottom_up):
     rng = np.random.RandomState(seed % (2**31))
     img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
     assert np.array_equal(decode_image(_bmp_bytes(img, bottom_up=bottom_up)), img)
+
+
+@given(
+    st.integers(min_value=0, max_value=64),          # sample count (0 = empty clip)
+    st.sampled_from([8000, 16000, 22050, 44100]),    # sample rate
+    st.integers(min_value=0, max_value=2**32 - 1),   # sample seed
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_any_length_and_rate(n, rate, seed):
+    """Every sample count (including zero) and common rate must survive the
+    encode->decode round trip bit-exactly, int16 range edges included."""
+    import numpy as np
+
+    from broadway_kinesis_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.RandomState(seed % (2**31))
+    src = rng.randint(-32768, 32768, size=n, dtype=np.int16)
+    smp, got_rate = decode_wav(encode_wav(src, rate=rate))
+    assert got_rate == rate
+    assert np.array_equal(smp, src)
