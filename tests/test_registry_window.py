@@ -101,8 +101,9 @@ def _recording_commit(rnd: int) -> str:
     return out.splitlines()[0]
 
 
-def test_every_stale_query_is_inside_the_window():
-    """changed-since-last-green => in-window, mechanically (VERDICT r3 #2)."""
+def _required() -> set[str]:
+    """Queries that demand a window slot: never-green ones plus every query
+    whose implementing code changed since its last green round."""
     greens = _green_rounds()
     changed_since: dict[int, set[str]] = {}
     for rnd in {max(rs) for rs in greens.values()}:
@@ -113,20 +114,47 @@ def test_every_stale_query_is_inside_the_window():
             if line.strip()
         }
     registry.queries()  # force lazy module registration before iterating
-    stale = []
+    req = set()
     for name, q in registry.REGISTRY.items():
         rounds = greens.get(name)
         if not rounds:
-            continue  # never green: covered by the never-verified test
+            req.add(name)  # never green
+            continue
         deps = _dep_closure(q.fn.__module__)
         if deps & changed_since[max(rounds)]:
-            stale.append(name)
-    outside = set(stale) - set(registry._PRIORITY)
-    assert not outside, (
-        "queries whose implementing code changed after their last green "
-        f"driver round sit outside the first-{WINDOW} window (their next "
-        f"driver row would never exist): {sorted(outside)}"
+            req.add(name)  # stale
+    return req
+
+
+def test_every_stale_query_is_inside_the_window_or_explicitly_deferred():
+    """changed-since-last-green => in-window, mechanically (VERDICT r3 #2).
+
+    When more queries are required than the window holds (>50), the
+    overflow must be EXPLICIT: exactly the ``registry._DEFERRED`` tuple,
+    legal only while every window slot is itself required (no deferral
+    while discretionary filler occupies a slot), and only for queries
+    that do have a green row for some earlier form (a never-green query
+    must never be deferred — its row would never exist at all)."""
+    required = _required()
+    prio = set(registry._PRIORITY)
+    deferred = set(registry._DEFERRED)
+    outside = required - prio
+    assert outside == deferred, (
+        "required-but-outside-window queries must exactly match the "
+        f"documented _DEFERRED set; silent overflow: {sorted(outside - deferred)}; "
+        f"stale _DEFERRED entries no longer required: {sorted(deferred - outside)}"
     )
+    if deferred:
+        filler = prio - required
+        assert not filler, (
+            "cannot defer required queries while discretionary filler holds "
+            f"window slots: {sorted(filler)}"
+        )
+        greens = _green_rounds()
+        never_green_deferred = deferred - set(greens)
+        assert not never_green_deferred, (
+            f"never-green queries may not be deferred: {sorted(never_green_deferred)}"
+        )
 
 
 def test_priority_is_exactly_the_window():
