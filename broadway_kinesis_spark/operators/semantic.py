@@ -70,18 +70,31 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup neighborhood), i.e. the curation decision a corpus build
     actually materializes.
 
-    Exactness: distances and cosines use the same sequential-fold float64
-    dot as the rest of the similarity family (bitwise-equal to DuckDB's
-    ``list_sum``/``list_transform``); the argmin window breaks distance
-    ties on centroid id, so assignment is deterministic in both engines.
+    Exactness: distances and the verify-tier cosines use the same
+    sequential-fold float64 dot as the rest of the similarity family
+    (bitwise-equal to DuckDB's ``list_sum``/``list_transform``); the
+    argmin window breaks distance ties on centroid id, so assignment is
+    deterministic in both engines. Candidate generation runs a numpy
+    matmul per cluster with a 1e-9 slack below {SEM_T} (matmul and fold
+    agree to ~1e-15 relative, so no true duplicate can be missed), and
+    the exact fold re-scores only the candidates — the same two-tier
+    shape as ``dedup_embedding_cosine``, which is what keeps the
+    quadratic-in-cluster-size work at memory bandwidth instead of in the
+    interpreted expression evaluator (the fold-only form measured 18x at
+    the x10 corpus; this form is matmul-bound).
 
     Scale posture: assignment is a broadcast nested-loop over {SEM_K}
     centroid rows (a projection — no shuffle of the vectors); candidate
-    pairs come from a self-equi-join on the cluster id, so pair work is
-    bounded by cluster size, never corpus-wide; the final keep flag is a
-    left join against the (small) duplicate-id set. At 100 TB the seeds
-    come from the persisted k-means index (operators/ann_persist.py) and
-    the cluster count scales with corpus size to cap block² work."""
+    pairs come from a per-cluster Arrow batch, so pair work is bounded
+    by cluster size, never corpus-wide; the final keep flag is a left
+    join against the (small) duplicate-id set. At 100 TB the seeds come
+    from the persisted k-means index (operators/ann_persist.py) and the
+    cluster count scales WITH corpus size (K ∝ N) so cluster sizes — and
+    with them the per-task matmul — stay constant; the fixed {SEM_K}
+    here is fixture-sized, not the deployment setting."""
+    import numpy as np
+    import pandas as pd
+
     e = load(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     dot = lambda a, b: F.aggregate(  # noqa: E731
@@ -108,17 +121,33 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", "nrm", "cid")
     )
-    a = asg.select(
-        F.col("vec_id").alias("id_a"), F.col("cid").alias("cid_a"),
-        F.col("v").alias("v_a"), F.col("nrm").alias("nrm_a"),
+    slack = SEM_T - 1e-9
+
+    def block_candidates(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        m = np.stack(pdf["v"].to_numpy())
+        u = m / pdf["nrm"].to_numpy()[:, None]
+        sim = u @ u.T
+        i, j = np.triu_indices(len(pdf), k=1)
+        keep = sim[i, j] >= slack
+        ids = pdf["vec_id"].to_numpy()
+        a, b = ids[i[keep]], ids[j[keep]]
+        return pd.DataFrame({"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)})
+
+    cand = asg.groupBy("cid").applyInPandas(block_candidates, "id_a long, id_b long")
+    va = asg.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"),
+        F.col("nrm").alias("nrm_a"),
     )
-    b = asg.select(
-        F.col("vec_id").alias("id_b"), F.col("cid").alias("cid_b"),
-        F.col("v").alias("v_b"), F.col("nrm").alias("nrm_b"),
+    vb = asg.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     cos = dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     dup = (
-        a.join(b, (F.col("cid_a") == F.col("cid_b")) & (F.col("id_a") < F.col("id_b")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .filter(cos >= SEM_T)
         .select(F.col("id_b").alias("dup_id"))
         .distinct()
