@@ -1,0 +1,117 @@
+"""Cross-document boilerplate removal — segment-level exact dedup.
+
+The third granularity of the dedup family: ``dedup.py`` decides per
+DOCUMENT (drop whole near-duplicates), ``clustering.py`` groups them;
+this module edits WITHIN documents — the CCNet/RefinedWeb-style pass
+that strips segments repeated verbatim across many documents (headers,
+footers, navigation chrome, license blurbs) while keeping the documents
+themselves. Lives in its own module so boilerplate-policy changes never
+stale the document-level dedup driver rows and vice versa (per-file
+staleness rule, tests/test_registry_window.py).
+
+The fixture corpus has no newline/sentence markup, so the segment unit
+is a fixed window of ``CHUNK_W`` consecutive words anchored at fixed
+offsets (pos 0, W, 2W, …) — deterministic in both engines, and exactly
+the shape a production pass uses when a corpus's line structure is
+unreliable.
+
+Reference parity: [TGT] — the reference has no processing surface;
+engine extension per the BASELINE.json north star (CCNet: Wenzek et al.
+2020; RefinedWeb: Penedo et al. 2023 — public literature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from broadway_kinesis_spark.registry import query
+from broadway_kinesis_spark.session import load
+
+CHUNK_W = 8        # words per segment window
+BOILER_MIN_DOCS = 3  # segment is boilerplate if it appears in >= this many docs
+
+
+@query(
+    "dedup_boilerplate",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), ch AS (
+        SELECT doc_id, i AS chunk_id,
+               array_to_string(
+                   list_slice(w, i * {CHUNK_W} + 1, i * {CHUNK_W} + {CHUNK_W}),
+                   ' ') AS chunk
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(
+                         0, (len(w) + {CHUNK_W} - 1) // {CHUNK_W} - 1)) AS i
+              FROM d)
+    ), boiler AS (
+        SELECT chunk FROM ch GROUP BY chunk
+        HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+    )
+    SELECT ch.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(b.chunk) AS BIGINT) AS n_boiler,
+           md5(COALESCE(
+               string_agg(ch.chunk, ' ' ORDER BY ch.chunk_id)
+                   FILTER (WHERE b.chunk IS NULL),
+               '')) AS clean_fp
+    FROM ch LEFT JOIN boiler b ON ch.chunk = b.chunk
+    GROUP BY ch.doc_id
+    """,
+)
+def dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip segments repeated verbatim across >= {BOILER_MIN_DOCS} documents
+    (boilerplate), keeping surviving segments in original order. Output per
+    document: segment count, boilerplate count, and an md5 fingerprint of
+    the cleaned text (fingerprint rather than the text itself so the driver
+    hash stays narrow).
+
+    Scale posture — the corpus-sized data never shuffles twice and never
+    re-explodes for the edit:
+
+    * segmenting is a pure projection (``transform`` over a ``sequence``
+      of window anchors + ``slice`` — no word-level explode);
+    * the only corpus-wide shuffle is the segment-frequency count, and it
+      is map-side combinable on the segment key;
+    * the boilerplate set is by construction SMALL (segments repeated in
+      >= {BOILER_MIN_DOCS} distinct docs), so applying the edit is a
+      broadcast single-row cross join carrying the set as an array; each
+      document filters its own segment array in place — a projection, so
+      the cleaned corpus needs no join and no per-doc re-aggregation.
+      At 100 TB, if the boilerplate set ever outgrew a broadcast, the
+      application tier degrades to the exploded left-anti equi-join the
+      oracle spells — same semantics, one more shuffle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
+    n_chunks = F.expr(f"(size(w) + {CHUNK_W - 1}) div {CHUNK_W}")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(F.col("w"), i * CHUNK_W + 1, CHUNK_W), " "),
+    )
+    chunked = words.select("doc_id", chunks.alias("chunks"))
+
+    freq = (
+        chunked.select("doc_id", F.explode("chunks").alias("chunk"))
+        .groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= BOILER_MIN_DOCS)
+    )
+    boiler_arr = freq.agg(F.collect_list("chunk").alias("boiler"))
+
+    kept = F.filter(
+        F.col("chunks"), lambda c: ~F.array_contains(F.col("boiler"), c)
+    )
+    return (
+        chunked.crossJoin(F.broadcast(boiler_arr))
+        .select(
+            "doc_id",
+            F.size("chunks").cast("long").alias("n_chunks"),
+            (F.size("chunks") - F.size(kept)).cast("long").alias("n_boiler"),
+            F.md5(F.array_join(kept, " ")).alias("clean_fp"),
+        )
+    )

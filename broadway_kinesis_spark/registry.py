@@ -69,20 +69,25 @@ def _load_all_modules() -> None:
         ann_persist,
         asof,
         bucketed,
+        cdc,
         clustering,
         composite,
+        contrastive,
         curation,
         dedup,
         epoch_build,
         funnel,
+        interpolate,
         joins,
         multimodal,
+        paragraphs,
         pipeline_ops,
         relational,
         sampling,
         scalars,
         semantic,
         similarity,
+        sketch_merge,
         skew,
         subqueries,
         textops,
@@ -125,13 +130,13 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_image_stats", "similarity_ann_ivf_persisted",
     "pipeline_epoch_build", "join_bucketed", "text_vocab_coverage",
     # (4) filler, round-1 greens first: joins.py untouched since r1 rows
-    "join_left_outer", "join_right_outer", "join_full_outer",
-    "join_semi", "join_anti", "join_cross", "join_theta",
+    "join_left_outer",
+    "join_semi", "join_anti", "join_cross",
     "join_range_interval",
     # (4) relational.py round-1 greens
     "scan_project_filter", "filter_null_semantics", "sort_limit_topk",
-    "setops_union_all", "setops_union_distinct", "setops_intersect",
-    "setops_except", "dedup_exact_rows", "dedup_keep_first",
+    "setops_union_all", "setops_union_distinct",
+    "dedup_exact_rows", "dedup_keep_first",
     # (4) scalars.py round-1 green
     "scalar_string",
     # (4) round-2 greens: scalars stragglers
@@ -149,20 +154,37 @@ _PRIORITY: tuple[str, ...] = (
     # rows and the co-family rows stale independently
     "text_unigram_logprob", "dedup_semantic", "pipeline_quality_funnel",
     "multimodal_audio_stats",
+    # (3) round-4c operators (this session), each in its own module:
+    # boilerplate-segment removal, mergeable-HLL two-level distinct, CDC
+    # merge classification, linear-interpolation gap fill, hard-negative
+    # mining. Never-green, so each MUST hold a window slot — five round-1
+    # green fillers moved to _DEFERRED to make room (see rationale there).
+    "dedup_boilerplate", "agg_sketch_merge", "cdc_merge_upsert",
+    "window_interpolate_linear", "mine_hard_negatives",
 )
 
 # Queries whose staleness rule demands a window slot this round but which
-# the 50-slot window cannot hold (this round: 54 required > 50). Deferral
+# the 50-slot window cannot hold (this round: 59 required > 50). Deferral
 # must be EXPLICIT — test_registry_window.py fails on any silent overflow —
-# and is only legal while every window slot is itself required. Rationale
-# for this set: all four are batch_twins.py round-2 greens whose staleness
-# comes solely from the round-3 functions/numeric.py change; the in-window
-# sibling stream_tumbling_window exercises batch_twins.py + numeric.py at
-# current form (green r3), and all four pass the dtype-strict local mirror
-# at HEAD (tests/test_oracle.py). First in line for the round-5 window.
+# and is only legal while every window slot is itself required. Rationale:
+# - the four batch_twins.py round-2 greens are stale solely from the
+#   round-3 functions/numeric.py change; the in-window sibling
+#   stream_tumbling_window exercises batch_twins.py + numeric.py at
+#   current form (green r3);
+# - the three joins.py and two relational.py round-1 greens are stale
+#   solely from round-2 edits to their files; their in-window siblings
+#   (join_left_outer/semi/anti/cross/range_interval, setops_union_*,
+#   scan_project_filter, dedup_exact_*) exercise the same files this
+#   round, so file-level breakage cannot hide — only the per-query row
+#   ages. They ceded their slots to the five never-green round-4c
+#   operators (a never-green query may not be deferred at all).
+# All nine pass the dtype-strict local mirror at HEAD (tests/test_oracle.py)
+# and are first in line for the round-5 window.
 _DEFERRED: tuple[str, ...] = (
     "stream_sliding_window", "stream_session_window", "stream_dedup_twin",
     "stream_stream_join_twin",
+    "join_right_outer", "join_full_outer", "join_theta",
+    "setops_intersect", "setops_except",
 )
 
 

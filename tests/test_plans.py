@@ -373,3 +373,61 @@ def test_correlated_subquery_is_decorrelated(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "HashAggregate" in plan, plan
     assert broadcast_join_count(df) + plan.count("SortMergeJoin") >= 1, plan
+
+
+def test_boilerplate_applies_via_broadcast_set_not_per_doc_join(spark, sf_dir):
+    """The boilerplate EDIT must be a projection: the small repeated-segment
+    set rides a broadcast single-row cross join onto each document (a
+    BroadcastNestedLoopJoin over one row), never a per-segment equi-join +
+    per-doc re-aggregation; both scans prune documents to (doc_id, text)."""
+    df = QUERIES["dedup_boilerplate"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert all(len(cols) <= 2 for cols in read_schemas(df)), read_schemas(df)
+    assert shuffle_count(df) <= 3, plan  # freq distinct-count (2) + set collect
+
+
+def test_sketch_merge_is_two_level_and_raw_keys_stop_at_level_one(spark, sf_dir):
+    """Both HLL levels must plan as aggregates (partial sketches map-side,
+    union reduce-side); only the orders scan feeds them (no extra scan per
+    level) and the exact-branch join broadcasts."""
+    df = QUERIES["agg_sketch_merge"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("hll_sketch_agg") + plan.count("hll_union_agg") >= 2, plan
+    assert broadcast_join_count(df) >= 1, plan
+    assert all(len(cols) <= 3 for cols in read_schemas(df)), read_schemas(df)
+
+
+def test_cdc_merge_is_one_scan_window_then_key_agg(spark, sf_dir):
+    """MERGE classification: one events scan, the latest-per-(key, side)
+    window exchange, then the side-pivot aggregation on the key — after the
+    window only ONE ROW PER (key, side) moves. No join anywhere: the
+    base-vs-batch full-outer merge dissolves into conditional aggregation."""
+    df = QUERIES["cdc_merge_upsert"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert len(read_schemas(df)) == 1, read_schemas(df)
+    assert shuffle_count(df) == 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_interpolation_is_single_scan_no_spine_join(spark, sf_dir):
+    """Densification must not re-scan events for the spine: one scan, the
+    cell aggregation, and the per-type series row — spine generation and
+    neighbor windows reuse the series partitioning (no join in the plan)."""
+    df = QUERIES["window_interpolate_linear"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert len(read_schemas(df)) == 1, read_schemas(df)
+    assert "Join" not in plan, plan
+    assert shuffle_count(df) <= 2, plan
+
+
+def test_hard_negatives_broadcast_anchors_corpus_never_shuffles(spark, sf_dir):
+    """The anchor batch must broadcast (BroadcastNestedLoopJoin over the
+    label-exclusion theta predicate); the only exchange is the per-anchor
+    top-k window over SCORE rows, so the corpus itself never shuffles."""
+    df = QUERIES["mine_hard_negatives"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert shuffle_count(df) == 1, plan

@@ -1,0 +1,154 @@
+"""Behavior tests for the round-4c operators — structural properties the
+DuckDB hash-match can't state directly: reconstruction identity for
+boilerplate removal, sketch-merge tolerance, MERGE action taxonomy,
+interpolation boundedness, and hard-negative label exclusion. All
+invariants hold at any scale factor (the shared fixture runs sf0.001)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from broadway_kinesis_spark.operators.cdc import CDC_CUTOFF
+from broadway_kinesis_spark.operators.contrastive import N_ANCHORS, TOP_NEG
+from broadway_kinesis_spark.operators.paragraphs import CHUNK_W
+from broadway_kinesis_spark.operators.sketch_merge import N_SHARDS
+from broadway_kinesis_spark.session import load
+
+QUERIES = entrymod.queries()
+
+
+# ------------------------------------------------------------ dedup_boilerplate
+def test_boilerplate_chunk_counts_and_clean_docs_round_trip(spark, sf_dir):
+    out = {r.doc_id: r for r in QUERIES["dedup_boilerplate"](spark, sf_dir).collect()}
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(out) == len(docs)
+    for d in docs:
+        r = out[d.doc_id]
+        n_words = len(d.text.split(" "))
+        assert r.n_chunks == -(-n_words // CHUNK_W)  # ceil
+        assert 0 <= r.n_boiler <= r.n_chunks
+        if r.n_boiler == 0:
+            # nothing removed => fingerprint is md5 of the original text
+            # (fixed-anchor chunks rejoined with ' ' reconstruct it exactly)
+            assert r.clean_fp == hashlib.md5(d.text.encode()).hexdigest()
+
+
+def test_boilerplate_removed_segments_repeat_across_docs(spark, sf_dir):
+    """Every removed segment must actually be cross-document-repeated:
+    total removals across the corpus is 0 or >= BOILER_MIN_DOCS (a segment
+    can only be removed if >= that many docs contain it)."""
+    from broadway_kinesis_spark.operators.paragraphs import BOILER_MIN_DOCS
+
+    total = (
+        QUERIES["dedup_boilerplate"](spark, sf_dir)
+        .agg(F.sum("n_boiler").alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert total == 0 or total >= BOILER_MIN_DOCS
+
+
+# ------------------------------------------------------------- agg_sketch_merge
+def test_sketch_merge_exact_counts_and_tolerance(spark, sf_dir):
+    rows = QUERIES["agg_sketch_merge"](spark, sf_dir).collect()
+    o = load(spark, sf_dir, "orders")
+    exact = {
+        r.o_orderstatus: r.n
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert {r.o_orderstatus for r in rows} == set(exact)
+    for r in rows:
+        assert r.exact_custs == exact[r.o_orderstatus]
+        assert r.within_tol, "merged HLL estimate left the 5% band"
+        assert 1 <= r.n_partials <= N_SHARDS
+
+
+def test_sketch_union_of_partials_equals_single_level_sketch(spark, sf_dir):
+    """Mergeability itself: estimate(union(partial sketches)) must equal the
+    estimate of one sketch built over the whole column in a single pass —
+    HLL union is exact over registers, not an approximation of sketches."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    one = o.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", F.lit(12))).alias("e")
+    ).collect()[0].e
+    two = (
+        o.groupBy((F.col("o_orderkey") % N_SHARDS).alias("shard"))
+        .agg(F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert one == two
+
+
+# -------------------------------------------------------------- cdc_merge_upsert
+def test_cdc_actions_partition_the_key_space(spark, sf_dir):
+    rows = QUERIES["cdc_merge_upsert"](spark, sf_dir).collect()
+    e = load(spark, sf_dir, "events")
+    n_keys = e.select("user_id", "event_type").distinct().count()
+    assert len(rows) == n_keys
+    cutoff_us = int(
+        e.sparkSession.sql(
+            f"SELECT unix_micros(TIMESTAMP '{CDC_CUTOFF}')"
+        ).collect()[0][0]
+    )
+    for r in rows:
+        assert r.action in {"insert", "update", "noop", "retain"}
+        if r.action == "insert":
+            assert r.old_value is None and r.new_epoch_us >= cutoff_us
+        elif r.action == "retain":
+            assert r.new_value is None and r.new_epoch_us == -1
+        elif r.action == "noop":
+            assert r.old_value == r.new_value
+        else:  # update
+            assert r.old_value != r.new_value
+            assert r.new_epoch_us >= cutoff_us
+
+
+# ------------------------------------------------------ window_interpolate_linear
+def test_interpolation_grid_is_dense_and_bounded(spark, sf_dir):
+    rows = QUERIES["window_interpolate_linear"](spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r.hour_id)
+        hours = [r.hour_id for r in rs]
+        # dense spine: contiguous hour range, endpoints observed
+        assert hours == list(range(hours[0], hours[-1] + 1)), et
+        assert rs[0].src == "obs" and rs[-1].src == "obs", et
+        # every interpolated value lies between its neighboring observations
+        # (linear interpolation is bounded by its endpoints; +-1 micro-unit
+        # for the integer rounding)
+        for i, r in enumerate(rs):
+            assert r.value == r.value_micro / 1e6
+            if r.src != "interp":
+                continue
+            prev_obs = next(x for x in reversed(rs[:i]) if x.src == "obs")
+            next_obs = next(x for x in rs[i + 1 :] if x.src == "obs")
+            lo = min(prev_obs.value_micro, next_obs.value_micro) - 1
+            hi = max(prev_obs.value_micro, next_obs.value_micro) + 1
+            assert lo <= r.value_micro <= hi, (et, r.hour_id)
+
+
+# ---------------------------------------------------------- mine_hard_negatives
+def test_hard_negatives_shape_and_label_exclusion(spark, sf_dir):
+    rows = QUERIES["mine_hard_negatives"](spark, sf_dir).collect()
+    emb = load(spark, sf_dir, "embeddings")
+    n_anchors = min(N_ANCHORS, emb.count())
+    by_anchor: dict[int, list] = {}
+    for r in rows:
+        assert r.neg_label != r.anchor_label, "negative shares the anchor label"
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    assert len(by_anchor) == n_anchors
+    for aid, rs in by_anchor.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, min(TOP_NEG, len(rs)) + 1))
+        # hardness ordering: similarity non-increasing with rank
+        cs = [r.cos_micro for r in rs]
+        assert all(a >= b - 1 for a, b in zip(cs, cs[1:])), (aid, cs)
