@@ -85,6 +85,12 @@ HEADLINE = [
     # epoch build (one-exchange pipeline).
     "similarity_ann_ivf_persisted",
     "pipeline_epoch_build",
+    # Round-4c additions: the two new operators where engine work dominates
+    # at sf0.1 — cross-document boilerplate-segment removal (chunk-frequency
+    # shuffle + broadcast-set edit) and CDC MERGE classification (window +
+    # side-pivot agg over the full event log).
+    "dedup_boilerplate",
+    "cdc_merge_upsert",
 ]
 
 
