@@ -40,7 +40,10 @@ digest column runs ONLY after an unclean stop. At production scale the
 index lives in a transactional table (Delta/Iceberg) for atomic append +
 compaction, which replaces the marker protocol outright; plain
 parquet-dir append keeps this hermetic here and preserves the identical
-plan shape.
+plan shape. The one-file-per-batch append fragmentation that implies is
+handled: every batch start heals any interrupted compaction and triggers
+streaming/maintenance.py's atomic directory compaction once a store
+passes the fragmentation threshold.
 """
 
 from __future__ import annotations
@@ -49,6 +52,11 @@ import os
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from broadway_kinesis_spark.streaming.maintenance import (
+    compact_if_fragmented,
+    heal_interrupted_compaction,
+)
 
 
 def _heal_index(spark, index_path: str, accepted_path: str) -> None:
@@ -80,12 +88,20 @@ def dedup_batch_against_index(
     to ``index_path`` under the marker/heal protocol (module docstring).
     """
     spark = batch_df.sparkSession
+    # An interrupted COMPACTION (maintenance.py) must be healed before any
+    # read; then the marker protocol heals an interrupted APPEND; then the
+    # fragmentation trigger may compact the (now consistent) stores —
+    # foreachBatch bodies run serially, so nothing races the swap.
+    heal_interrupted_compaction(index_path)
+    heal_interrupted_compaction(accepted_path)
     marker_dir = accepted_path + "_inflight"
     os.makedirs(marker_dir, exist_ok=True)
     if os.listdir(marker_dir):  # unclean stop mid-append: re-sync first
         _heal_index(spark, index_path, accepted_path)
         for m in os.listdir(marker_dir):
             os.remove(os.path.join(marker_dir, m))
+    compact_if_fragmented(spark, index_path, dedup_cols=["text_md5"])
+    compact_if_fragmented(spark, accepted_path)
 
     incoming = batch_df.select("doc_id", F.md5("text").alias("text_md5"))
     w = Window.partitionBy("text_md5").orderBy("doc_id")
@@ -240,12 +256,18 @@ def neardup_batch_against_index(
     the index and whose signature agrees >= SIM_T with the matched accepted
     doc. Survivors append under the marker/heal protocol."""
     spark = batch_df.sparkSession
+    sigs_path = os.path.join(index_dir, "sigs.parquet")
+    stores = [sigs_path, os.path.join(index_dir, "bands.parquet"), accepted_path]
+    for p in stores:  # compaction heal precedes every read (maintenance.py)
+        heal_interrupted_compaction(p)
     marker_dir = accepted_path + "_inflight"
     os.makedirs(marker_dir, exist_ok=True)
     if os.listdir(marker_dir):
         _heal_neardup(spark, index_dir, accepted_path)
         for m in os.listdir(marker_dir):
             os.remove(os.path.join(marker_dir, m))
+    for p in stores:
+        compact_if_fragmented(spark, p)
 
     sig_df = _with_signature(batch_df.select("doc_id", "text")).persist()
     try:
