@@ -32,10 +32,15 @@ CDC_CUTOFF = "2024-01-24 00:00:00"
     WITH ranked AS (
         SELECT user_id, event_type, value, ts,
                (ts >= TIMESTAMP '{CDC_CUTOFF}') AS is_new,
+               -- ORDER BY epoch_us(ts), not ts: DuckDB reads the fixture's
+               -- TIMESTAMP(NANOS) at full precision while Spark truncates to
+               -- microseconds, so ns-level ordering could pick a different
+               -- "latest" row per engine (FIXTURES.md: compare at us or
+               -- coarser).
                ROW_NUMBER() OVER (
                    PARTITION BY user_id, event_type,
                                 (ts >= TIMESTAMP '{CDC_CUTOFF}')
-                   ORDER BY ts DESC, event_id DESC) AS rn
+                   ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         FROM events
     ), latest AS (
         SELECT user_id, event_type,

@@ -52,10 +52,10 @@ TOP_NEG = 4     # hard negatives mined per anchor
     """,
 )
 def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{TOP_NEG} hard negatives per anchor: the most-cosine-similar
+    """Top-TOP_NEG (4) hard negatives per anchor: the most-cosine-similar
     vectors whose label DIFFERS from the anchor's. Anchors are the
-    {N_ANCHORS} lowest vec_ids — a deterministic stand-in for the query
-    batch a training loop would hand in.
+    N_ANCHORS (16) lowest vec_ids — a deterministic stand-in for the
+    query batch a training loop would hand in.
 
     Exactness: cosines use the family's sequential-fold float64 dot
     (bitwise-equal to DuckDB's list_sum/list_transform), ranking runs on

@@ -10,10 +10,13 @@ Exactness design: interpolation is a division, and float division then
 cross-engine rounding is exactly the ULP trap functions/numeric.py
 documents. So the entire computation stays in INTEGER micro-units —
 per-bucket sums are exact longs, the interpolated value is the integer
-round-half-up of an exact rational ((2*num + den) // (2*den), all
-positive), and the reported double is derived from that one integer by a
-single identical division in both engines. Nothing anywhere rounds a
-float.
+round-half-up of an exact rational floor((2*num + den) / (2*den)), and
+the reported double is derived from that one integer by a single
+identical division in both engines. Nothing anywhere rounds a float.
+BOTH plans spell FLOOR division explicitly: Spark's ``div`` and DuckDB's
+``//`` each truncate toward zero, which breaks the round-half-up
+identity by one for negative numerators — and negative bucket sums are
+legal for delta-like metrics.
 
 Reference parity: [TGT] — BASELINE.json north star; no processing
 surface in the reference.
@@ -28,6 +31,27 @@ from broadway_kinesis_spark.registry import query
 from broadway_kinesis_spark.session import load
 
 US_PER_HOUR = 3_600_000_000  # one hour in microseconds
+
+
+def _sql_floordiv(a: str, b: str) -> str:
+    """FLOOR division for the oracle: DuckDB's ``//`` truncates toward zero
+    on integers (verified: -7 // 2 = -3), same as Spark's ``div`` — but the
+    round-half-up identity floor((2*num+den)/(2*den)) NEEDS floor, and
+    truncation is off by one for negative numerators (legal here: a
+    delta-like metric makes bucket sums negative). Both engines therefore
+    spell the identical explicit correction; denominators are always
+    positive (counts and forward gaps)."""
+    return (
+        f"(({a}) // ({b}))"
+        f" - (CASE WHEN ({a}) % ({b}) != 0 AND ({a}) < 0 THEN 1 ELSE 0 END)"
+    )
+
+
+_ORACLE_NUM = (
+    "2 * (sp_ * cn * (nt - hour_id) + sn * cp * (hour_id - pt))"
+    " + cp * cn * (nt - pt)"
+)
+_ORACLE_DEN = "2 * (cp * cn * (nt - pt))"
 
 
 @query(
@@ -63,11 +87,8 @@ US_PER_HOUR = 3_600_000_000  # one hour in microseconds
     ), vals AS (
         SELECT event_type, hour_id,
                CASE WHEN c IS NOT NULL
-                    THEN (2 * s + c) // (2 * c)
-                    ELSE (2 * (sp_ * cn * (nt - hour_id)
-                               + sn * cp * (hour_id - pt))
-                          + cp * cn * (nt - pt))
-                         // (2 * (cp * cn * (nt - pt)))
+                    THEN {_sql_floordiv("2 * s + c", "2 * c")}
+                    ELSE {_sql_floordiv(_ORACLE_NUM, _ORACLE_DEN)}
                END AS value_micro,
                CASE WHEN c IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
         FROM grid
@@ -146,16 +167,23 @@ def window_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("s", ignorenulls=True).over(w_next).alias("sn"),
         F.first("c", ignorenulls=True).over(w_next).alias("cn"),
     )
+    # FLOOR division, spelled out with the same correction as the oracle's
+    # _sql_floordiv: BOTH engines' integer division truncates toward zero
+    # (Spark `div`, DuckDB `//`), and truncation breaks the round-half-up
+    # identity by one for negative numerators — legal here, since nothing
+    # guarantees non-negative values (delta/temperature-like metrics).
+    def _floordiv(a: str, b: str) -> str:
+        return (
+            f"(({a}) div ({b}))"
+            f" - (CASE WHEN ({a}) % ({b}) != 0 AND ({a}) < 0 THEN 1 ELSE 0 END)"
+        )
+
+    _NUM = "2 * (sp_ * cn * (nt - hour_id) + sn * cp * (hour_id - pt)) + cp * cn * (nt - pt)"
+    _DEN = "2 * (cp * cn * (nt - pt))"
     return g.select(
         "event_type", "hour_id",
-        F.when(F.col("c").isNotNull(), F.expr("(2 * s + c) div (2 * c)"))
-        .otherwise(
-            F.expr(
-                "(2 * (sp_ * cn * (nt - hour_id) + sn * cp * (hour_id - pt))"
-                " + cp * cn * (nt - pt))"
-                " div (2 * (cp * cn * (nt - pt)))"
-            )
-        )
+        F.when(F.col("c").isNotNull(), F.expr(_floordiv("2 * s + c", "2 * c")))
+        .otherwise(F.expr(_floordiv(_NUM, _DEN)))
         .alias("value_micro"),
         F.when(F.col("c").isNotNull(), F.lit("obs"))
         .otherwise(F.lit("interp"))

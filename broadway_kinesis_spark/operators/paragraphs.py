@@ -62,8 +62,8 @@ BOILER_MIN_DOCS = 3  # segment is boilerplate if it appears in >= this many docs
     """,
 )
 def dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strip segments repeated verbatim across >= {BOILER_MIN_DOCS} documents
-    (boilerplate), keeping surviving segments in original order. Output per
+    """Strip segments repeated verbatim across >= BOILER_MIN_DOCS (3)
+    documents, keeping surviving segments in original order. Output per
     document: segment count, boilerplate count, and an md5 fingerprint of
     the cleaned text (fingerprint rather than the text itself so the driver
     hash stays narrow).
@@ -76,7 +76,7 @@ def dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     * the only corpus-wide shuffle is the segment-frequency count, and it
       is map-side combinable on the segment key;
     * the boilerplate set is by construction SMALL (segments repeated in
-      >= {BOILER_MIN_DOCS} distinct docs), so applying the edit is a
+      >= BOILER_MIN_DOCS distinct docs), so applying the edit is a
       broadcast single-row cross join carrying the set as an array; each
       document filters its own segment array in place — a projection, so
       the cleaned corpus needs no join and no per-doc re-aggregation.

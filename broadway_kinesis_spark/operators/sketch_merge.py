@@ -49,14 +49,14 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hash-checkable sketch assertion (same pattern as agg_approx_distinct):
     the exact distinct count and the shard count go into the hash; the
-    merged estimate is asserted in-plan as ``abs(est-exact)/exact <=
-    {TOL}`` (lgK={LG_K} → ~1.6% rse, so 5% is ~3 sigma). The oracle emits
-    the exact count + TRUE. The shard count pins that all {N_SHARDS}
+    merged estimate is asserted in-plan as ``abs(est-exact)/exact <= TOL``
+    (0.05; lgK=12 → ~1.6% rse, so 5% is ~3 sigma). The oracle emits the
+    exact count + TRUE. The shard count pins that all N_SHARDS (8)
     partials really existed before the merge — a silent single-level
     fallback would still estimate correctly but fail that column.
 
     Scale posture: level 1 is map-side combinable on (status, shard) and
-    produces {N_SHARDS} fixed-size sketch blobs per status — the ONLY
+    produces N_SHARDS fixed-size sketch blobs per status — the ONLY
     thing that crosses the second shuffle; raw customer keys never reach
     the merge. At 100 TB the shard key is the natural partition (file,
     day, executor), partial sketches land in a metadata store, and any

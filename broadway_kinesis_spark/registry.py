@@ -168,9 +168,10 @@ _PRIORITY: tuple[str, ...] = (
 # must be EXPLICIT — test_registry_window.py fails on any silent overflow —
 # and is only legal while every window slot is itself required. Rationale:
 # - the four batch_twins.py round-2 greens are stale solely from the
-#   round-3 functions/numeric.py change; the in-window sibling
-#   stream_tumbling_window exercises batch_twins.py + numeric.py at
-#   current form (green r3);
+#   round-3 functions/numeric.py change; their sibling
+#   stream_tumbling_window earned a GREEN R3 ROW exercising batch_twins.py
+#   + numeric.py at current form (it sits outside this round's window, so
+#   that r3 row — not a fresh one — is what backs the deferral);
 # - the three joins.py and two relational.py round-1 greens are stale
 #   solely from round-2 edits to their files; their in-window siblings
 #   (join_left_outer/semi/anti/cross/range_interval, setops_union_*,

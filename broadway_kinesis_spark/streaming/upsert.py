@@ -58,12 +58,25 @@ _ALL = KEY_COLS + ORDER_COLS + [VALUE_COL]
 
 
 def current_version(snapshot_dir: str) -> int:
-    """Version named by the pointer; -1 when no snapshot exists yet."""
+    """Version named by the pointer; -1 when no snapshot exists yet.
+
+    Only a MISSING pointer means bootstrap. An unparsable pointer is
+    corruption (e.g. a non-atomic copy/restore of the directory) and must
+    fail loudly — treating it as -1 would silently rebuild the snapshot
+    from the next batch alone, discarding all accumulated state."""
     try:
         with open(os.path.join(snapshot_dir, _CURRENT), encoding="utf-8") as f:
-            return int(f.read().strip())
-    except (FileNotFoundError, ValueError):
+            raw = f.read().strip()
+    except FileNotFoundError:
         return -1
+    try:
+        return int(raw)
+    except ValueError as exc:
+        raise RuntimeError(
+            f"corrupted snapshot pointer {snapshot_dir}/{_CURRENT}: {raw!r} "
+            "(refusing to reset state; restore the pointer or remove the "
+            "snapshot directory deliberately)"
+        ) from exc
 
 
 def read_snapshot(spark, snapshot_dir: str) -> DataFrame | None:
@@ -86,9 +99,12 @@ def _latest_per_key(df: DataFrame) -> DataFrame:
 
 
 def upsert_batch_into_snapshot(batch_df: DataFrame, snapshot_dir: str) -> int:
-    """Fold one micro-batch of changes into the snapshot; returns the row
-    count of the new snapshot version. ``batch_df`` needs columns
-    ``user_id, event_type, ts, seq, value``."""
+    """Fold one micro-batch of changes into the snapshot; returns the new
+    version number. ``batch_df`` needs columns ``user_id, event_type, ts,
+    seq, value``. (Deliberately NOT the snapshot row count: that would
+    re-scan the entire just-written version every batch — state-sized I/O
+    for a diagnostic; count via :func:`read_snapshot` when actually
+    needed.)"""
     spark = batch_df.sparkSession
     os.makedirs(snapshot_dir, exist_ok=True)
     v = current_version(snapshot_dir)
@@ -106,7 +122,6 @@ def upsert_batch_into_snapshot(batch_df: DataFrame, snapshot_dir: str) -> int:
     if os.path.exists(new_dir):  # leftover from a crash before the flip
         shutil.rmtree(new_dir)
     merged.write.parquet(new_dir)
-    n = spark.read.parquet(new_dir).count()
 
     # Atomic pointer flip, then best-effort GC of versions < v (keep the
     # immediately previous version so a concurrent reader of the old
@@ -125,7 +140,7 @@ def upsert_batch_into_snapshot(batch_df: DataFrame, snapshot_dir: str) -> int:
                 continue
             if old < v:
                 shutil.rmtree(os.path.join(snapshot_dir, name), ignore_errors=True)
-    return n
+    return new_v
 
 
 def cdc_upsert_sink(snapshot_dir: str):

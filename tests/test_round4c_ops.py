@@ -152,3 +152,53 @@ def test_hard_negatives_shape_and_label_exclusion(spark, sf_dir):
         # hardness ordering: similarity non-increasing with rank
         cs = [r.cos_micro for r in rs]
         assert all(a >= b - 1 for a, b in zip(cs, cs[1:])), (aid, cs)
+
+
+def test_interpolation_floor_division_matches_duckdb_on_negative_values(
+    spark, tmp_path
+):
+    """Cross-engine floor parity where it bites: negative bucket sums.
+    Spark's `div` truncates toward zero, DuckDB's `//` floors — the plan
+    spells explicit FLOOR division so a delta-like metric (negative
+    values) interpolates identically in both engines."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from broadway_kinesis_spark.registry import REGISTRY
+
+    # hour 0 observed at -3.0000005, hour 2 observed at 0.0 -> hour 1
+    # interpolates a negative rational that floors and truncates apart
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01 00:30:00", "2024-01-01 02:30:00"]),
+            "user_id": [1, 1],
+            "event_type": ["delta", "delta"],
+            "value": [-3.0000005, 0.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/events.parquet")
+
+    out = {
+        r.hour_id: (r.value_micro, r.src)
+        for r in entrymod.queries()["window_interpolate_linear"](spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet/*.parquet')"  # Spark writes a dir
+    )
+    oracle = {
+        int(h): (int(v), s)
+        for (_, h, v, _val, s) in con.execute(
+            REGISTRY["window_interpolate_linear"].oracle
+        ).fetchall()
+    }
+    assert len(out) == 3 and {s for _, s in out.values()} == {"obs", "interp"}
+    assert {h: (int(v), s) for h, (v, s) in out.items()} == oracle
+    # the interp bucket really is negative (the regression trigger)
+    interp_vals = [v for v, s in out.values() if s == "interp"]
+    assert interp_vals and all(v < 0 for v in interp_vals)

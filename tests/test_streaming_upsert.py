@@ -178,3 +178,21 @@ def test_replay_after_flip_is_idempotent(spark, tmp_path):
     upsert_batch_into_snapshot(batch, snap)  # the replayed duplicate
     assert _state(spark, snap) == before
     assert current_version(snap) == 1
+
+
+def test_corrupted_pointer_fails_loudly_instead_of_resetting_state(spark, tmp_path):
+    import pandas as pd
+    import pytest
+
+    snap = str(tmp_path / "snap")
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, "a", 100, 1, 1.0)],
+            columns=["user_id", "event_type", "ts", "seq", "value"],
+        )
+    )
+    upsert_batch_into_snapshot(batch, snap)
+    with open(os.path.join(snap, "_CURRENT"), "w", encoding="utf-8") as f:
+        f.write("garbage")  # e.g. a truncated/non-atomic external restore
+    with pytest.raises(RuntimeError, match="corrupted snapshot pointer"):
+        upsert_batch_into_snapshot(batch, snap)
