@@ -77,6 +77,7 @@ def _load_all_modules() -> None:
         dedup,
         epoch_build,
         funnel,
+        graph,
         interpolate,
         joins,
         multimodal,
@@ -139,9 +140,9 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact_rows", "dedup_keep_first",
     # (4) scalars.py round-1 green
     "scalar_string",
-    # (4) round-2 greens: scalars stragglers
+    # (4) round-2 greens: scalars stragglers (scalar_map ceded its slot to
+    # graph_pagerank — five scalars.py siblings remain in-window)
     "scalar_math", "scalar_conditional", "scalar_array", "scalar_json",
-    "scalar_map",
     # (4) windows.py round-2 greens
     "window_ranking", "window_analytic", "window_running",
     "window_topk_per_group", "funnel_conversion", "window_distribution",
@@ -160,11 +161,11 @@ _PRIORITY: tuple[str, ...] = (
     # mining. Never-green, so each MUST hold a window slot — five round-1
     # green fillers moved to _DEFERRED to make room (see rationale there).
     "dedup_boilerplate", "agg_sketch_merge", "cdc_merge_upsert",
-    "window_interpolate_linear", "mine_hard_negatives",
+    "window_interpolate_linear", "mine_hard_negatives", "graph_pagerank",
 )
 
 # Queries whose staleness rule demands a window slot this round but which
-# the 50-slot window cannot hold (this round: 59 required > 50). Deferral
+# the 50-slot window cannot hold (this round: 60 required > 50). Deferral
 # must be EXPLICIT — test_registry_window.py fails on any silent overflow —
 # and is only legal while every window slot is itself required. Rationale:
 # - the four batch_twins.py round-2 greens are stale solely from the
@@ -172,20 +173,21 @@ _PRIORITY: tuple[str, ...] = (
 #   stream_tumbling_window earned a GREEN R3 ROW exercising batch_twins.py
 #   + numeric.py at current form (it sits outside this round's window, so
 #   that r3 row — not a fresh one — is what backs the deferral);
-# - the three joins.py and two relational.py round-1 greens are stale
-#   solely from round-2 edits to their files; their in-window siblings
-#   (join_left_outer/semi/anti/cross/range_interval, setops_union_*,
-#   scan_project_filter, dedup_exact_*) exercise the same files this
-#   round, so file-level breakage cannot hide — only the per-query row
-#   ages. They ceded their slots to the five never-green round-4c
-#   operators (a never-green query may not be deferred at all).
-# All nine pass the dtype-strict local mirror at HEAD (tests/test_oracle.py)
+# - the three joins.py, two relational.py, and one scalars.py round-1/2
+#   greens are stale solely from round-2 edits to their files; their
+#   in-window siblings (join_left_outer/semi/anti/cross/range_interval,
+#   setops_union_*, scan_project_filter, dedup_exact_*, and five scalar_*
+#   queries) exercise the same files this round, so file-level breakage
+#   cannot hide — only the per-query row ages. They ceded their slots to
+#   the six never-green round-4c operators (a never-green query may not
+#   be deferred at all).
+# All ten pass the dtype-strict local mirror at HEAD (tests/test_oracle.py)
 # and are first in line for the round-5 window.
 _DEFERRED: tuple[str, ...] = (
     "stream_sliding_window", "stream_session_window", "stream_dedup_twin",
     "stream_stream_join_twin",
     "join_right_outer", "join_full_outer", "join_theta",
-    "setops_intersect", "setops_except",
+    "setops_intersect", "setops_except", "scalar_map",
 )
 
 

