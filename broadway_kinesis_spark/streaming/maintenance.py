@@ -90,9 +90,12 @@ def compact_parquet_dir(
 ) -> int:
     """Rewrite ``path`` into ``target_files`` files (optionally dropping
     duplicate rows on ``dedup_cols`` — digest indexes only ever need one
-    row per digest). Atomic per the module protocol; returns the row count
-    of the compacted store. Caller contract: no concurrent reader/writer
-    of ``path`` (run between batches)."""
+    row per digest). Atomic per the module protocol; returns the parquet
+    file count of the compacted store. (Deliberately NOT the row count:
+    that would re-scan the entire just-written store per compaction for a
+    diagnostic — the same state-sized-I/O-for-a-return-value trap
+    upsert.py documents.) Caller contract: no concurrent reader/writer of
+    ``path`` (run between batches)."""
     heal_interrupted_compaction(path)
     if not os.path.exists(path):
         return 0
@@ -101,11 +104,10 @@ def compact_parquet_dir(
     if dedup_cols:
         df = df.dropDuplicates(dedup_cols)
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
-    return n
+    return parquet_file_count(path)
 
 
 def compact_if_fragmented(

@@ -110,6 +110,10 @@ def upsert_batch_into_snapshot(batch_df: DataFrame, snapshot_dir: str) -> int:
     v = current_version(snapshot_dir)
 
     batch_latest = _latest_per_key(batch_df.select(*_ALL))
+    if batch_latest.isEmpty():
+        # An empty micro-batch (idle trigger) must not rewrite state-sized
+        # data for zero information — the current version stays current.
+        return v
     prev = read_snapshot(spark, snapshot_dir)
     merged = (
         _latest_per_key(prev.select(*_ALL).unionByName(batch_latest))

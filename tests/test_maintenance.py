@@ -33,10 +33,11 @@ def test_compaction_preserves_rows_and_shrinks_files(spark, tmp_path):
     _write_appends(spark, path, n_appends=10)
     before = {r.k for r in spark.read.parquet(path).collect()}
     assert parquet_file_count(path) == 10
-    n = compact_parquet_dir(spark, path, target_files=2)
-    assert n == 20
-    assert parquet_file_count(path) <= 2
+    n_files = compact_parquet_dir(spark, path, target_files=2)
+    assert n_files <= 2
+    assert parquet_file_count(path) == n_files
     assert {r.k for r in spark.read.parquet(path).collect()} == before
+    assert spark.read.parquet(path).count() == 20
 
 
 def test_compaction_dedup_cols_collapses_duplicates(spark, tmp_path):
@@ -45,8 +46,8 @@ def test_compaction_dedup_cols_collapses_duplicates(spark, tmp_path):
     df.write.mode("append").parquet(path)
     df.write.mode("append").parquet(path)  # duplicate append
     assert spark.read.parquet(path).count() == 4
-    n = compact_parquet_dir(spark, path, dedup_cols=["text_md5"])
-    assert n == 2
+    compact_parquet_dir(spark, path, dedup_cols=["text_md5"])
+    assert spark.read.parquet(path).count() == 2
 
 
 def test_heal_every_crash_state(spark, tmp_path):

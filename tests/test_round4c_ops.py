@@ -224,30 +224,35 @@ def test_pagerank_output_shape_and_rank_sanity(spark, sf_dir):
     assert {r.node_id for r in rows} <= supp | part
 
 
-def test_pagerank_total_mass_is_conserved_modulo_truncation(spark, sf_dir):
-    """Sanity on the recurrence itself: after one round, total rank is
-    N*BASE + damped redistributed mass — within the truncation loss of at
-    most one quantum per (edge share + per-node damping division)."""
+def test_pagerank_matches_pure_python_reference(spark, sf_dir):
+    """Independent re-implementation: run the exact integer recurrence in
+    plain Python dicts over the same edge list and demand the identical
+    top-k — a recurrence bug (e.g. dropping the degree division) that
+    still produces plausible-looking ranks cannot pass this."""
+    from collections import defaultdict
+
     from broadway_kinesis_spark.operators.graph import (
-        BASE, DAMP_DEN, DAMP_NUM, ITERS, P_OFF, R0,
+        BASE, DAMP_DEN, DAMP_NUM, ITERS, P_OFF, R0, TOP,
     )
-    from pyspark.sql import functions as F
 
     li = load(spark, sf_dir, "lineitem")
-    fwd = li.select(
-        F.col("l_suppkey").alias("src"), (F.col("l_partkey") + P_OFF).alias("dst")
-    ).distinct()
-    n_nodes = (
-        fwd.select(F.col("src").alias("n"))
-        .union(fwd.select(F.col("dst").alias("n")))
-        .distinct()
-        .count()
-    )
-    n_edges = 2 * fwd.count()
-    # run the registered query's full recurrence but WITHOUT the top-k cut
-    # by re-deriving total mass bounds instead: total(final) <= N*(BASE +
-    # damp*R0-ish) is loose; assert per-node bounds on the top-k output.
-    rows = QUERIES["graph_pagerank"](spark, sf_dir).collect()
-    # a node's rank cannot exceed teleport + damped share of ALL mass
-    upper = BASE + (DAMP_NUM * n_nodes * R0 * 2) // DAMP_DEN
-    assert all(BASE <= r.rank_q < upper for r in rows), (n_nodes, n_edges)
+    fwd = {
+        (r.l_suppkey, r.l_partkey + P_OFF)
+        for r in li.select("l_suppkey", "l_partkey").distinct().collect()
+    }
+    edges = list(fwd) + [(d, s) for s, d in fwd]
+    deg: dict[int, int] = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    r = {n: R0 for n in deg}
+    for _ in range(ITERS):
+        acc: dict[int, int] = defaultdict(int)
+        for s, d in edges:
+            acc[d] += r[s] // deg[s]
+        r = {n: BASE + (DAMP_NUM * a) // DAMP_DEN for n, a in acc.items()}
+    expect = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP]
+    got = [
+        (row.node_id, row.rank_q)
+        for row in QUERIES["graph_pagerank"](spark, sf_dir).collect()
+    ]
+    assert got == expect

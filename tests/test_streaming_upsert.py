@@ -196,3 +196,21 @@ def test_corrupted_pointer_fails_loudly_instead_of_resetting_state(spark, tmp_pa
         f.write("garbage")  # e.g. a truncated/non-atomic external restore
     with pytest.raises(RuntimeError, match="corrupted snapshot pointer"):
         upsert_batch_into_snapshot(batch, snap)
+
+
+def test_empty_batch_does_not_rewrite_the_snapshot(spark, tmp_path):
+    import pandas as pd
+
+    snap = str(tmp_path / "snap")
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, "a", 100, 1, 1.0)],
+            columns=["user_id", "event_type", "ts", "seq", "value"],
+        )
+    )
+    upsert_batch_into_snapshot(batch, snap)
+    assert current_version(snap) == 0
+    empty = batch.filter("user_id < 0")
+    assert upsert_batch_into_snapshot(empty, snap) == 0  # returns CURRENT
+    assert current_version(snap) == 0  # no version bump, no rewrite
+    assert _state(spark, snap) == {(1, "a"): (100, 1, 1.0)}
