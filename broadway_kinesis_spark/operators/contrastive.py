@@ -24,6 +24,7 @@ _SQL_DOT = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]))"
 
 N_ANCHORS = 16  # anchor batch: lowest vec_ids (deterministic in both engines)
 TOP_NEG = 4     # hard negatives mined per anchor
+_CAND_BUF = 8   # matmul candidate margin over TOP_NEG (error ~1e-15 << gaps)
 
 
 @query(
@@ -63,17 +64,28 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer micro-unit floor(x*1e6+0.5) — no float round crosses the
     hash.
 
-    Scale posture: the anchor batch is broadcast (it is a batch, not a
-    corpus), so scoring is a map-side nested loop over corpus partitions
-    — the corpus never shuffles; only (anchor x corpus) SCORE rows, not
-    vectors, reach the per-anchor top-k window, and that window
-    partitions on anchor_id so the batch parallelizes across executors.
-    At 100 TB the scoring tier swaps the per-row fold for the
-    per-partition Arrow matmul exactly as similarity_topk_cosine_pandas
-    does (same two-tier contract: matmul candidates, fold verify), and
-    the corpus side pre-prunes through the persisted IVF index
-    (operators/ann_persist.py) so each anchor only scores its probed
-    clusters."""
+    Scale posture — the same two-tier candidates-then-verify shape as
+    similarity_topk_cosine_pandas, which is what you'd run at 100 TB:
+
+    1. CANDIDATES: the anchor matrix rides into every task as a numpy
+       broadcast; each Arrow batch of corpus vectors is scored with ONE
+       float64 matmul, same-label pairs are masked to -inf, and only the
+       per-batch top (TOP_NEG + _CAND_BUF) ids per anchor leave the UDF —
+       a map-side partial top-k; the corpus never shuffles (measured: the
+       fold-only first cut ran 2.28 s at the x10 corpus; this form is
+       matmul-bound).
+    2. VERIFY: candidates re-join their vectors and the final ranking
+       uses the exact sequential-fold cosine, so the output is bitwise
+       equal to the fold-ordered oracle (BLAS reassociation error ~1e-15
+       cannot reorder across the _CAND_BUF margin; boundary ties break
+       toward smaller ids in BOTH tiers).
+
+    At deployment the corpus side additionally pre-prunes through the
+    persisted IVF index (operators/ann_persist.py) so each anchor only
+    scores its probed clusters."""
+    import numpy as np
+    import pandas as pd
+
     e = load(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     dot = lambda a, b: F.aggregate(  # noqa: E731
@@ -82,34 +94,73 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.select(
         "vec_id", "label", v.alias("v"), F.sqrt(dot(v, v)).alias("nrm")
     )
-    anchors = (
+    arows = (
         base.orderBy("vec_id")
         .limit(N_ANCHORS)
-        .select(
-            F.col("vec_id").alias("anchor_id"),
-            F.col("label").alias("anchor_label"),
-            F.col("v").alias("av"),
-            F.col("nrm").alias("anrm"),
-        )
+        .select("vec_id", "label", "v")
+        .collect()  # bounded: N_ANCHORS rows, never scales with the corpus
+    )
+    a_ids = np.array([r.vec_id for r in arows], dtype=np.int64)
+    a_labels = np.array([r.label for r in arows], dtype=np.int64)
+    a_mat = np.array([r.v for r in arows], dtype=np.float64)
+    a_nrm = np.linalg.norm(a_mat, axis=1)
+    bc = spark.sparkContext.broadcast((a_ids, a_labels, a_mat, a_nrm))
+    keep = TOP_NEG + _CAND_BUF
+
+    def candidates(batches):
+        ids, labels, mat, nrm = bc.value
+        for pdf in batches:
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_labels = pdf["label"].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf["v"]), dtype=np.float64)
+            c_nrm = np.linalg.norm(c_mat, axis=1)
+            sims = (mat @ c_mat.T) / np.outer(nrm, c_nrm)  # (na, batch)
+            sims[np.equal.outer(labels, c_labels)] = -np.inf  # same label out
+            top = min(keep, sims.shape[1])
+            # Deterministic boundary ties toward smaller cand ids (the ids
+            # the exact (cos DESC, neg_id ASC) rerank prefers).
+            order = np.lexsort(
+                (np.broadcast_to(c_ids, sims.shape), -sims), axis=-1
+            )
+            part = order[:, :top]
+            yield pd.DataFrame(
+                {
+                    "anchor_id": np.repeat(ids, top),
+                    "neg_id": c_ids[part.reshape(-1)],
+                }
+            )
+
+    cand = base.select("vec_id", "label", "v").mapInPandas(
+        candidates, "anchor_id long, neg_id long"
+    )
+
+    anchor_ids = [int(r.vec_id) for r in arows]
+    anchors = base.filter(F.col("vec_id").isin(anchor_ids)).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("anrm"),
+    )
+    negs = base.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        "v", "nrm",
     )
     cos = dot(F.col("av"), F.col("v")) / (F.col("anrm") * F.col("nrm"))
-    scored = (
-        base.join(
-            F.broadcast(anchors),
-            F.col("label") != F.col("anchor_label"),
-        )
+    rescored = (
+        cand.join(F.broadcast(anchors), "anchor_id")
+        .join(negs, "neg_id")
+        .filter(F.col("neg_label") != F.col("anchor_label"))
         .withColumn("cos", cos)
     )
     rank = F.row_number().over(
-        Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+        Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("neg_id"))
     )
     return (
-        scored.withColumn("rank", rank)
+        rescored.withColumn("rank", rank)
         .filter(F.col("rank") <= TOP_NEG)
         .select(
-            "anchor_id", "anchor_label", "rank",
-            F.col("vec_id").alias("neg_id"),
-            F.col("label").alias("neg_label"),
+            "anchor_id", "anchor_label", "rank", "neg_id", "neg_label",
             F.expr("CAST(floor(cos * 1e6 + 0.5) AS BIGINT)").alias("cos_micro"),
         )
     )

@@ -422,13 +422,15 @@ def test_interpolation_is_single_scan_no_spine_join(spark, sf_dir):
     assert shuffle_count(df) <= 2, plan
 
 
-def test_hard_negatives_broadcast_anchors_corpus_never_shuffles(spark, sf_dir):
-    """The anchor batch must broadcast (BroadcastNestedLoopJoin over the
-    label-exclusion theta predicate); the only exchange is the per-anchor
-    top-k window over SCORE rows, so the corpus itself never shuffles."""
+def test_hard_negatives_matmul_tier_corpus_never_shuffles(spark, sf_dir):
+    """Tier 1 must be the Arrow matmul scan (MapInPandas over the corpus —
+    a map-side partial top-k, no corpus shuffle); tier 2's rerank joins
+    must broadcast (candidate and anchor sides are batch-sized); the only
+    exchange is the per-anchor top-k window over candidate rows."""
     df = QUERIES["mine_hard_negatives"](spark, sf_dir)
     plan = formatted_plan(df)
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert broadcast_join_count(df) >= 2, plan
     assert "CartesianProduct" not in plan, plan
     assert shuffle_count(df) == 1, plan
 
