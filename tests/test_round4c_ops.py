@@ -256,3 +256,26 @@ def test_pagerank_matches_pure_python_reference(spark, sf_dir):
         for row in QUERIES["graph_pagerank"](spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_floordiv_expression_matches_python_floor_semantics(spark):
+    """The explicit floor-division correction used by both interpolation
+    plans must equal Python's `//` (true floor) across sign/divisibility
+    combinations — including exact multiples, near-misses, and the
+    negative numerators where plain `div` truncation is off by one."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(20260814)
+    nums = [0, 1, -1, 7, -7, 5999999, -5999999, -6000000] + [
+        rng.randint(-10**12, 10**12) for _ in range(200)
+    ]
+    dens = [rng.randint(1, 10**6) for _ in nums]
+    pdf = pd.DataFrame({"a": nums, "b": dens})
+    df = spark.createDataFrame(pdf).selectExpr(
+        "a", "b",
+        "(a div b) - (CASE WHEN a % b != 0 AND a < 0 THEN 1 ELSE 0 END) AS fd",
+    )
+    for r in df.collect():
+        assert r.fd == r.a // r.b, (r.a, r.b, r.fd)
