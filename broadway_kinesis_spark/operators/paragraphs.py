@@ -74,7 +74,10 @@ def dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     * segmenting is a pure projection (``transform`` over a ``sequence``
       of window anchors + ``slice`` — no word-level explode);
     * the only corpus-wide shuffle is the segment-frequency count, and it
-      is map-side combinable on the segment key;
+      is a single map-side-combinable exchange: segments are
+      array_distinct-ed per document before the explode, so the
+      cross-document frequency is a plain COUNT, not a two-exchange
+      count-distinct expansion;
     * the boilerplate set is by construction SMALL (segments repeated in
       >= BOILER_MIN_DOCS distinct docs), so applying the edit is a
       broadcast single-row cross join carrying the set as an array; each
@@ -95,10 +98,13 @@ def dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chunked = words.select("doc_id", chunks.alias("chunks"))
 
+    # Per-doc array_distinct BEFORE the explode turns the cross-document
+    # frequency into a plain count — one map-side-combinable exchange
+    # instead of the two a countDistinct(doc_id) expansion would plan.
     freq = (
-        chunked.select("doc_id", F.explode("chunks").alias("chunk"))
+        chunked.select(F.explode(F.array_distinct("chunks")).alias("chunk"))
         .groupBy("chunk")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+        .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") >= BOILER_MIN_DOCS)
     )
     boiler_arr = freq.agg(F.collect_list("chunk").alias("boiler"))

@@ -385,7 +385,9 @@ def test_boilerplate_applies_via_broadcast_set_not_per_doc_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert all(len(cols) <= 2 for cols in read_schemas(df)), read_schemas(df)
-    assert shuffle_count(df) <= 3, plan  # freq distinct-count (2) + set collect
+    # ONE map-side-combinable freq exchange (per-doc array_distinct before
+    # the explode — not a two-exchange count-distinct) + the 1-row collect
+    assert shuffle_count(df) <= 2, plan
 
 
 def test_sketch_merge_is_two_level_and_raw_keys_stop_at_level_one(spark, sf_dir):
