@@ -450,3 +450,17 @@ def test_pagerank_iterations_are_joins_plus_aggs_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("HashAggregate") >= ITERS, plan
     assert "TakeOrderedAndProject" in plan, plan  # top-k never global-sorts
+
+
+def test_pagerank_edge_list_shuffles_once_not_per_round(spark, sf_dir):
+    """The static edge/degree subtrees repeat across the unrolled rounds;
+    ReuseExchange must dedupe them so the edge list pays its shuffle ONCE —
+    built with AQE off (the bench config; under AQE the same reuse happens
+    at runtime stage materialization instead of in the static plan)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = QUERIES["graph_pagerank"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
