@@ -84,6 +84,7 @@ def _load_all_modules() -> None:
         paragraphs,
         pipeline_ops,
         relational,
+        rolling,
         sampling,
         scalars,
         semantic,
@@ -131,8 +132,10 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_image_stats", "similarity_ann_ivf_persisted",
     "pipeline_epoch_build", "join_bucketed", "text_vocab_coverage",
     # (4) filler, round-1 greens first: joins.py untouched since r1 rows
+    # (join_cross ceded its slot to window_rolling_distinct — four joins.py
+    # siblings remain in-window)
     "join_left_outer",
-    "join_semi", "join_anti", "join_cross",
+    "join_semi", "join_anti",
     "join_range_interval",
     # (4) relational.py round-1 greens
     "scan_project_filter", "filter_null_semantics", "sort_limit_topk",
@@ -162,10 +165,11 @@ _PRIORITY: tuple[str, ...] = (
     # green fillers moved to _DEFERRED to make room (see rationale there).
     "dedup_boilerplate", "agg_sketch_merge", "cdc_merge_upsert",
     "window_interpolate_linear", "mine_hard_negatives", "graph_pagerank",
+    "window_rolling_distinct",
 )
 
 # Queries whose staleness rule demands a window slot this round but which
-# the 50-slot window cannot hold (this round: 60 required > 50). Deferral
+# the 50-slot window cannot hold (this round: 61 required > 50). Deferral
 # must be EXPLICIT — test_registry_window.py fails on any silent overflow —
 # and is only legal while every window slot is itself required. Rationale:
 # - the four batch_twins.py round-2 greens are stale solely from the
@@ -173,20 +177,20 @@ _PRIORITY: tuple[str, ...] = (
 #   stream_tumbling_window earned a GREEN R3 ROW exercising batch_twins.py
 #   + numeric.py at current form (it sits outside this round's window, so
 #   that r3 row — not a fresh one — is what backs the deferral);
-# - the three joins.py, two relational.py, and one scalars.py round-1/2
+# - the four joins.py, two relational.py, and one scalars.py round-1/2
 #   greens are stale solely from round-2 edits to their files; their
-#   in-window siblings (join_left_outer/semi/anti/cross/range_interval,
+#   in-window siblings (join_left_outer/semi/anti/range_interval,
 #   setops_union_*, scan_project_filter, dedup_exact_*, and five scalar_*
 #   queries) exercise the same files this round, so file-level breakage
 #   cannot hide — only the per-query row ages. They ceded their slots to
-#   the six never-green round-4c operators (a never-green query may not
+#   the seven never-green round-4c operators (a never-green query may not
 #   be deferred at all).
-# All ten pass the dtype-strict local mirror at HEAD (tests/test_oracle.py)
+# All eleven pass the dtype-strict local mirror at HEAD (tests/test_oracle.py)
 # and are first in line for the round-5 window.
 _DEFERRED: tuple[str, ...] = (
     "stream_sliding_window", "stream_session_window", "stream_dedup_twin",
     "stream_stream_join_twin",
-    "join_right_outer", "join_full_outer", "join_theta",
+    "join_right_outer", "join_full_outer", "join_theta", "join_cross",
     "setops_intersect", "setops_except", "scalar_map",
 )
 

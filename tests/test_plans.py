@@ -464,3 +464,21 @@ def test_pagerank_edge_list_shuffles_once_not_per_round(spark, sf_dir):
         assert "ReusedExchange" in plan, plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_rolling_distinct_sketch_path_scans_events_once(spark, sf_dir):
+    """The sketch path must collapse raw events in ONE pass to per-day HLL
+    blobs and roll the window over the day-sketch table only. The exact
+    branch (assertion grounding) is the sole W-way re-touch of events —
+    so the plan reads events at most twice, never once per window day."""
+    df = QUERIES["window_rolling_distinct"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("hll_sketch_agg") >= 1 and plan.count("hll_union_agg") >= 1, plan
+    # sketch pass + exact grounding branch + two day-anchor derivations:
+    # every scan prunes to <=2 of events' 6 columns, and the scan count is
+    # a constant 4 — NOT a function of the window width (the naive plan
+    # re-reads events once per window day).
+    schemas = read_schemas(df)
+    assert len(schemas) <= 4, schemas
+    assert all(len(cols) <= 2 for cols in schemas), schemas
+    assert "CartesianProduct" not in plan, plan

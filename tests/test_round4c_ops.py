@@ -279,3 +279,30 @@ def test_floordiv_expression_matches_python_floor_semantics(spark):
     )
     for r in df.collect():
         assert r.fd == r.a // r.b, (r.a, r.b, r.fd)
+
+
+# -------------------------------------------------------- window_rolling_distinct
+def test_rolling_distinct_matches_brute_force_and_is_monotone_vs_daily(spark, sf_dir):
+    """The rolling window's exact count must equal a brute-force Python
+    recount and never be smaller than any single member day's distinct
+    count (a union can only grow)."""
+    from collections import defaultdict
+
+    from broadway_kinesis_spark.operators.rolling import US_PER_DAY, WINDOW_DAYS
+
+    rows = QUERIES["window_rolling_distinct"](spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events").selectExpr(
+        f"unix_micros(ts) div {US_PER_DAY} AS day_id", "user_id"
+    ).collect()
+    by_day: dict[int, set] = defaultdict(set)
+    for r in ev:
+        by_day[r.day_id].add(r.user_id)
+    assert {r.day_id for r in rows} == set(by_day)
+    for r in rows:
+        window_users = set().union(
+            *(by_day.get(d, set())
+              for d in range(r.day_id - WINDOW_DAYS + 1, r.day_id + 1))
+        )
+        assert r.exact_users == len(window_users), r.day_id
+        assert r.exact_users >= len(by_day[r.day_id])
+        assert r.within_tol, "rolled sketch union left the 5% band"
