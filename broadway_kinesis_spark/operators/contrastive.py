@@ -107,6 +107,11 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = spark.sparkContext.broadcast((a_ids, a_labels, a_mat, a_nrm))
     keep = TOP_NEG + _CAND_BUF
 
+    # NB: this generator intentionally mirrors similarity.py's `candidates`
+    # (operators/similarity.py:171) rather than importing it — sharing would
+    # couple the two queries' driver-row staleness closures (per-file rule,
+    # tests/test_registry_window.py). If you fix the tie-break / masking
+    # logic in either copy, fix BOTH.
     def candidates(batches):
         ids, labels, mat, nrm = bc.value
         for pdf in batches:
@@ -147,9 +152,17 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v", "nrm",
     )
     cos = dot(F.col("av"), F.col("v")) / (F.col("anrm") * F.col("nrm"))
+    # Join direction matters at scale: the candidate-pair side (two longs
+    # per row, ~N_ANCHORS*keep rows per Arrow batch — a tiny fraction of
+    # corpus bytes) carries the EXPLICIT broadcast hint, so the corpus
+    # `negs` side always streams. Left unhinted, Spark auto-broadcasts
+    # whichever side fits the 10 MB threshold — the corpus at fixture
+    # scale — and silently flips to a corpus shuffle past it.
     rescored = (
-        cand.join(F.broadcast(anchors), "anchor_id")
-        .join(negs, "neg_id")
+        negs.join(
+            F.broadcast(cand.join(F.broadcast(anchors), "anchor_id")),
+            "neg_id",
+        )
         .filter(F.col("neg_label") != F.col("anchor_label"))
         .withColumn("cos", cos)
     )

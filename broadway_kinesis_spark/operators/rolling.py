@@ -25,7 +25,10 @@ from broadway_kinesis_spark.session import load
 US_PER_DAY = 86_400_000_000  # one day in microseconds
 WINDOW_DAYS = 7              # rolling window width (trailing, inclusive)
 LG_K = 12                    # Datasketches lgConfigK → ~1.6% rse
-TOL = 0.05                   # ~3 sigma assertion slack
+# Assertion slack: lgK=12 gives ~1.6% rse, and ~30 day windows each face
+# the band independently — 0.07 (~4.4 sigma) keeps the per-query flip
+# probability negligible where 3 sigma would leave ~30 x 0.3% tail risk.
+TOL = 0.07
 
 
 @query(
@@ -45,8 +48,8 @@ TOL = 0.05                   # ~3 sigma assertion slack
     """,
 )
 def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing {WINDOW_DAYS}-day distinct active users per observed day —
-    rolling MAU. The hash carries the exact count plus the in-plan
+    """Trailing WINDOW_DAYS (7) day distinct active users per observed
+    day — rolling MAU. The hash carries the exact count plus the in-plan
     tolerance boolean asserting the sketch path's estimate (the
     agg_approx_distinct / agg_sketch_merge pattern); the oracle emits
     exact + TRUE.

@@ -426,9 +426,11 @@ def test_interpolation_is_single_scan_no_spine_join(spark, sf_dir):
 
 def test_hard_negatives_matmul_tier_corpus_never_shuffles(spark, sf_dir):
     """Tier 1 must be the Arrow matmul scan (MapInPandas over the corpus —
-    a map-side partial top-k, no corpus shuffle); tier 2's rerank joins
-    must broadcast (candidate and anchor sides are batch-sized); the only
-    exchange is the per-anchor top-k window over candidate rows."""
+    a map-side partial top-k, no corpus shuffle); tier 2's rerank must
+    broadcast the EXPLICITLY-HINTED candidate-pair side (two longs per
+    row) so the corpus vector side streams — the hint, not the 10 MB
+    auto-broadcast threshold, is what carries the invariant past fixture
+    scale. The only exchange is the per-anchor top-k window."""
     df = QUERIES["mine_hard_negatives"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "MapInPandas" in plan, plan
