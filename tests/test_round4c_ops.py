@@ -306,3 +306,33 @@ def test_rolling_distinct_matches_brute_force_and_is_monotone_vs_daily(spark, sf
         assert r.exact_users == len(window_users), r.day_id
         assert r.exact_users >= len(by_day[r.day_id])
         assert r.within_tol, "rolled sketch union left the 5% band"
+
+
+def test_boilerplate_chunker_round_trips_arbitrary_word_streams(spark):
+    """Property: for ANY word stream, fixed-anchor chunking rejoined with
+    single spaces reconstructs the original text, and the chunk count is
+    ceil(words / CHUNK_W) — the identity the clean_fp fingerprint relies
+    on. Exercises empty-ish, exact-multiple, and ragged lengths."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(20260814)
+    texts = []
+    for n in [1, 2, CHUNK_W - 1, CHUNK_W, CHUNK_W + 1, 3 * CHUNK_W, 97]:
+        texts.append(" ".join(f"w{rng.randint(0, 50)}" for _ in range(n)))
+    texts.append("single")
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.expr(f"(size(w) + {CHUNK_W - 1}) div {CHUNK_W}") - 1),
+        lambda i: F.array_join(F.slice(F.col("w"), i * CHUNK_W + 1, CHUNK_W), " "),
+    )
+    out = (
+        df.select("doc_id", "text", F.split("text", " ").alias("w"))
+        .select("doc_id", "text", chunks.alias("chunks"))
+        .collect()
+    )
+    for r in out:
+        n_words = len(r.text.split(" "))
+        assert len(r.chunks) == -(-n_words // CHUNK_W), r.text
+        assert " ".join(r.chunks) == r.text, r.text

@@ -214,3 +214,58 @@ def test_empty_batch_does_not_rewrite_the_snapshot(spark, tmp_path):
     assert upsert_batch_into_snapshot(empty, snap) == 0  # returns CURRENT
     assert current_version(snap) == 0  # no version bump, no rewrite
     assert _state(spark, snap) == {(1, "a"): (100, 1, 1.0)}
+
+
+def test_upsert_paced_multi_batch_folds_incrementally(spark, tmp_path):
+    """Paced run (2 records/batch -> 3 micro-batches in ONE query): the
+    snapshot must fold batch by batch — multiple committed versions, and
+    the final state reflects every change with latest-wins order."""
+    import time
+
+    spark.dataSource.register(ReplayDataSource)
+    src = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    snap = str(tmp_path / "snap")
+    _write_changes(
+        src,
+        [
+            (1, "click", 100, 1, 1.0),
+            (2, "view", 100, 2, 5.0),
+            (1, "click", 300, 3, 3.0),
+            (3, "buy", 100, 4, 9.0),
+            (1, "click", 200, 5, 99.0),  # late: loses to ts=300
+            (2, "view", 400, 6, 7.0),
+        ],
+    )
+    q = (
+        spark.readStream.format("kinesis_replay")
+        .option("path", src)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", "2")
+        .load()
+        .select(F.from_json(F.col("data").cast("string"), CHANGE_SCHEMA).alias("j"))
+        .select("j.*")
+        .writeStream.foreachBatch(cdc_upsert_sink(snap))
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        want = {
+            (1, "click"): (300, 3, 3.0),
+            (2, "view"): (400, 6, 7.0),
+            (3, "buy"): (100, 4, 9.0),
+        }
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if _state(spark, snap) == want:
+                    break
+            except AssertionError:
+                pass  # snapshot not written yet
+            time.sleep(0.5)
+        assert _state(spark, snap) == want
+        assert current_version(snap) >= 2  # folded over >= 3 non-empty batches
+    finally:
+        q.stop()
