@@ -98,6 +98,34 @@ def _latest_per_key(df: DataFrame) -> DataFrame:
     )
 
 
+def commit_snapshot_version(merged: DataFrame, snapshot_dir: str, v: int) -> int:
+    """Write ``merged`` as version ``v+1`` and atomically flip the pointer
+    (steps 3-4 of the module protocol, shared with the day-sketch sink in
+    streaming/rolling_sketch.py). Returns the new version number; GCs
+    versions older than the immediately previous one."""
+    new_v = v + 1
+    new_dir = os.path.join(snapshot_dir, f"v={new_v}")
+    if os.path.exists(new_dir):  # leftover from a crash before the flip
+        shutil.rmtree(new_dir)
+    merged.write.parquet(new_dir)
+
+    tmp = os.path.join(snapshot_dir, _CURRENT + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(str(new_v))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(snapshot_dir, _CURRENT))
+    for name in os.listdir(snapshot_dir):
+        if name.startswith("v="):
+            try:
+                old = int(name[2:])
+            except ValueError:
+                continue
+            if old < v:
+                shutil.rmtree(os.path.join(snapshot_dir, name), ignore_errors=True)
+    return new_v
+
+
 def upsert_batch_into_snapshot(batch_df: DataFrame, snapshot_dir: str) -> int:
     """Fold one micro-batch of changes into the snapshot; returns the new
     version number. ``batch_df`` needs columns ``user_id, event_type, ts,
@@ -120,31 +148,10 @@ def upsert_batch_into_snapshot(batch_df: DataFrame, snapshot_dir: str) -> int:
         if prev is not None
         else batch_latest
     )
-
-    new_v = v + 1
-    new_dir = os.path.join(snapshot_dir, f"v={new_v}")
-    if os.path.exists(new_dir):  # leftover from a crash before the flip
-        shutil.rmtree(new_dir)
-    merged.write.parquet(new_dir)
-
-    # Atomic pointer flip, then best-effort GC of versions < v (keep the
-    # immediately previous version so a concurrent reader of the old
-    # pointer value never loses its files mid-read).
-    tmp = os.path.join(snapshot_dir, _CURRENT + ".tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write(str(new_v))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(snapshot_dir, _CURRENT))
-    for name in os.listdir(snapshot_dir):
-        if name.startswith("v="):
-            try:
-                old = int(name[2:])
-            except ValueError:
-                continue
-            if old < v:
-                shutil.rmtree(os.path.join(snapshot_dir, name), ignore_errors=True)
-    return new_v
+    # commit_snapshot_version flips the pointer atomically and GCs versions
+    # < v (keeping the immediately previous one so a concurrent reader of
+    # the old pointer value never loses its files mid-read).
+    return commit_snapshot_version(merged, snapshot_dir, v)
 
 
 def cdc_upsert_sink(snapshot_dir: str):
