@@ -92,8 +92,11 @@ HEADLINE = [
     "dedup_boilerplate",
     "cdc_merge_upsert",
     # Late round-4c: iterative PageRank — per-round join+agg over the
-    # 1.2M-edge graph, real compute on both engines (DuckDB 0.84 s).
+    # 1.2M-edge graph, real compute on both engines (DuckDB 0.84 s) —
+    # and the rolling-MAU sketch composition (flat sketch path + exact
+    # grounding branch).
     "graph_pagerank",
+    "window_rolling_distinct",
 ]
 
 
