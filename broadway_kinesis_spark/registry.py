@@ -70,6 +70,7 @@ def _load_all_modules() -> None:
         asof,
         bucketed,
         cdc,
+        classifier,
         clustering,
         composite,
         contrastive,
@@ -94,6 +95,7 @@ def _load_all_modules() -> None:
         subqueries,
         textops,
         textstats,
+        urls,
         windows,
     )
     from broadway_kinesis_spark.functions import udfs  # noqa: F401
@@ -118,81 +120,51 @@ def _load_all_modules() -> None:
 # mechanically: never-green ⇒ in-window (against CORRECTNESS_r*.json) and
 # changed-since-last-green ⇒ in-window (against git, per implementing file).
 _PRIORITY: tuple[str, ...] = (
-    # (1) stale round-1 rows (VERDICT r3 top item)
-    "join_broadcast", "unpivot_measures", "scalar_datetime",
-    # (2) curation.py edited this round (epoch-shuffle shard param,
-    # single-pass mixture audit)
-    "pii_scrub", "sample_epoch_shuffle", "data_mix_weighted",
-    # (2) subqueries.py edited this round (namespaced temp view, ADVICE r3)
-    "subquery_correlated_avg",
-    # (2) multimodal.py edited this round (real PPM/BMP decode path)
-    "multimodal_byte_features", "multimodal_frame_sample",
-    "multimodal_metadata_stats",
-    # (3) new operators this round
-    "multimodal_image_stats", "similarity_ann_ivf_persisted",
-    "pipeline_epoch_build", "join_bucketed", "text_vocab_coverage",
-    # (4) filler, round-1 greens first: joins.py untouched since r1 rows
-    # (join_cross ceded its slot to window_rolling_distinct — four joins.py
-    # siblings remain in-window)
-    "join_left_outer",
-    "join_semi", "join_anti",
-    "join_range_interval",
-    # (4) relational.py round-1 greens
-    "scan_project_filter", "filter_null_semantics", "sort_limit_topk",
-    "setops_union_all", "setops_union_distinct",
-    "dedup_exact_rows", "dedup_keep_first",
-    # (4) scalars.py round-1 green
-    "scalar_string",
-    # (4) round-2 greens: scalars stragglers (scalar_map ceded its slot to
-    # graph_pagerank — five scalars.py siblings remain in-window)
-    "scalar_math", "scalar_conditional", "scalar_array", "scalar_json",
-    # (4) windows.py round-2 greens
-    "window_ranking", "window_analytic", "window_running",
-    "window_topk_per_group", "funnel_conversion", "window_distribution",
-    "window_forward_fill",
-    # (4) composite round-2 green (asof_join / dedup_minhash_lsh rotated
-    # back out for the two late-round-4 operators above: both are r2-green
-    # on files untouched since, so their rows stay current)
-    "pipeline_clean_corpus",
-    # (3) late-round-4 operators, each in its own module so their driver
-    # rows and the co-family rows stale independently
-    "text_unigram_logprob", "dedup_semantic", "pipeline_quality_funnel",
-    "multimodal_audio_stats",
-    # (3) round-4c operators (this session), each in its own module:
-    # boilerplate-segment removal, mergeable-HLL two-level distinct, CDC
-    # merge classification, linear-interpolation gap fill, hard-negative
-    # mining. Never-green, so each MUST hold a window slot — five round-1
-    # green fillers moved to _DEFERRED to make room (see rationale there).
-    "dedup_boilerplate", "agg_sketch_merge", "cdc_merge_upsert",
-    "window_interpolate_linear", "mine_hard_negatives", "graph_pagerank",
-    "window_rolling_distinct",
-)
-
-# Queries whose staleness rule demands a window slot this round but which
-# the 50-slot window cannot hold (this round: 61 required > 50). Deferral
-# must be EXPLICIT — test_registry_window.py fails on any silent overflow —
-# and is only legal while every window slot is itself required. Rationale:
-# - the four batch_twins.py round-2 greens are stale solely from the
-#   round-3 functions/numeric.py change; their sibling
-#   stream_tumbling_window earned a GREEN R3 ROW exercising batch_twins.py
-#   + numeric.py at current form (it sits outside this round's window, so
-#   that r3 row — not a fresh one — is what backs the deferral);
-# - the four joins.py, two relational.py, and one scalars.py round-1/2
-#   greens are stale solely from round-2 edits to their files; their
-#   in-window siblings (join_left_outer/semi/anti/range_interval,
-#   setops_union_*, scan_project_filter, dedup_exact_*, and five scalar_*
-#   queries) exercise the same files this round, so file-level breakage
-#   cannot hide — only the per-query row ages. They ceded their slots to
-#   the seven never-green round-4c operators (a never-green query may not
-#   be deferred at all).
-# All eleven pass the dtype-strict local mirror at HEAD (tests/test_oracle.py)
-# and are first in line for the round-5 window.
-_DEFERRED: tuple[str, ...] = (
+    # (1) the eleven round-4 _DEFERRED queries, rotated in first exactly as
+    # promised (VERDICT r4 top item): green for an earlier code form, their
+    # current form so far verified only by the local mirror. Round 4 freed
+    # 46 slots, so all eleven fit and _DEFERRED is empty again.
     "stream_sliding_window", "stream_session_window", "stream_dedup_twin",
     "stream_stream_join_twin",
     "join_right_outer", "join_full_outer", "join_theta", "join_cross",
     "setops_intersect", "setops_except", "scalar_map",
+    # (2) queries whose implementing files change this round:
+    # graph.py (bucketed co-partitioned PageRank, VERDICT r4 #3) and the
+    # similarity/contrastive candidate-generation dedup into a shared leaf
+    # module (VERDICT r4 wrong#3) — the latter stales all seven similarity
+    # queries plus ann_persist (imports similarity) and mine_hard_negatives.
+    "graph_pagerank",
+    "mine_hard_negatives", "similarity_ann_ivf_persisted",
+    "similarity_topk_cosine", "similarity_topk_cosine_pandas",
+    "similarity_ann_ivf", "similarity_ann_ivf_probe", "similarity_ann_lsh",
+    "similarity_kmeans", "similarity_normalize",
+    # (3) new round-5 operators (never-green ⇒ must hold a slot):
+    # URL canonicalize + host-level dedup, frozen-weight quality classifier
+    # (VERDICT r4 #7).
+    "dedup_url_canonical", "url_host_topk", "score_quality_classifier",
+    # (4) filler, oldest green rounds first — round-2 rows on files
+    # untouched since, refreshed to current:
+    "asof_join", "dedup_embedding_cosine", "dedup_fuzzy_prefix",
+    "dedup_incremental", "dedup_minhash_lsh", "sample_hash_split",
+    "udf_pandas_vectorized", "udf_python_row", "udf_table_function",
+    # (4) filler, round-3 greens: the aggregates family (every row below is
+    # aggregates.py except the two noted) and the oldest textops rows.
+    "pricing_summary", "agg_approx_distinct", "agg_approx_percentile",
+    "agg_collect", "agg_cube", "agg_distinct_counts",
+    "agg_filtered_first_last", "agg_grouping_sets", "agg_mode",
+    "agg_pivot", "agg_rollup", "agg_salted_skew", "agg_stats",
+    "agg_string_concat",
+    "text_bpe_tokens", "text_fingerprint", "text_lang_id",
 )
+
+# Queries whose staleness rule demands a window slot but which the 50-slot
+# window cannot hold. Round 5: EMPTY — rotating round 4's eleven deferrals
+# back in was this round's first registry change, and the remaining demand
+# (one graph row, nine similarity-family rows staled by the shared-helper
+# refactor, three never-green round-5 operators) fits with 26 slots left
+# over for the oldest-green filler. test_registry_window.py keeps enforcing
+# that any future overflow must be declared here explicitly.
+_DEFERRED: tuple[str, ...] = ()
 
 
 def _ordered() -> list[Query]:

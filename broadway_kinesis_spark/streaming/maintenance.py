@@ -55,14 +55,14 @@ def heal_interrupted_compaction(path: str) -> str | None:
     tmp, old = path + _TMP, path + _OLD
     if os.path.exists(path):
         # store intact: any leftover tmp/old is garbage from a crash
-        action = None
+        actions = []
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-            action = "dropped_tmp"
+            actions.append("dropped_tmp")
         if os.path.exists(old):
             shutil.rmtree(old)
-            action = "dropped_old"
-        return action
+            actions.append("dropped_old")
+        return "+".join(actions) or None
     if os.path.exists(tmp) and _complete(tmp):
         os.rename(tmp, path)  # crash between the two renames, tmp complete
         if os.path.exists(old):

@@ -97,7 +97,17 @@ def _recording_commit(rnd: int) -> str:
         "log", "--reverse", "--format=%H", "--diff-filter=A", "--",
         f"CORRECTNESS_r{rnd:02d}.json",
     ).strip()
-    assert out, f"no commit adds CORRECTNESS_r{rnd:02d}.json"
+    if not out:
+        # The driver drops CORRECTNESS_r{N}.json into the worktree mid-cycle,
+        # BEFORE the builder's next session commits it (VERDICT r4 #1: the
+        # suite must never go red solely because of that uncommitted file).
+        # Fold it in with HEAD as the recording point. Sound under the round
+        # protocol (commit the artifact FIRST, before any operator edit): at
+        # that moment HEAD is exactly the freeze commit the driver measured.
+        # If operator commits ever landed before the artifact commit, HEAD
+        # would over-trust those edits for one session — the protocol, not
+        # this fallback, is what prevents that.
+        return _git("rev-parse", "HEAD").strip()
     return out.splitlines()[0]
 
 

@@ -288,6 +288,7 @@ def test_rolling_distinct_matches_brute_force_and_is_monotone_vs_daily(spark, sf
     count (a union can only grow)."""
     from collections import defaultdict
 
+    from broadway_kinesis_spark.operators import rolling
     from broadway_kinesis_spark.operators.rolling import US_PER_DAY, WINDOW_DAYS
 
     rows = QUERIES["window_rolling_distinct"](spark, sf_dir).collect()
@@ -305,7 +306,9 @@ def test_rolling_distinct_matches_brute_force_and_is_monotone_vs_daily(spark, sf
         )
         assert r.exact_users == len(window_users), r.day_id
         assert r.exact_users >= len(by_day[r.day_id])
-        assert r.within_tol, "rolled sketch union left the 5% band"
+        assert r.within_tol, (
+            f"rolled sketch union left the {rolling.TOL:.0%} band"
+        )
 
 
 def test_boilerplate_chunker_round_trips_arbitrary_word_streams(spark):

@@ -1,0 +1,215 @@
+"""Round-5 operators: URL canonicalize/dedup + frozen quality classifier.
+
+Oracle parity lives in tests/test_oracle.py (both queries are fully
+SQL-expressible); this file pins the SEMANTICS the oracle can't isolate —
+spelling convergence, idempotence, port edge cases, exact feature math —
+and the physical plans the 100 TB posture depends on.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from broadway_kinesis_spark.operators.classifier import (
+    BIAS,
+    STOPWORDS,
+    W_DIGIT,
+    W_STOP,
+    W_UNIQ,
+    W_UPPER,
+)
+from broadway_kinesis_spark.operators.urls import canonical_host, canonicalize
+
+QUERIES = entrymod.queries()
+
+
+def _canon(spark, urls: list[str]) -> list[str]:
+    df = spark.createDataFrame([(u,) for u in urls], ["raw_url"])
+    rows = df.select(canonicalize(F.col("raw_url")).alias("c")).collect()
+    return [r.c for r in rows]
+
+
+# ---------------------------------------------------------------- canonicalizer
+def test_url_spelling_variants_converge(spark):
+    """Every crawl-spelling of the same page must canonicalize to one
+    string: case, www., default port, doubled slashes, index.html,
+    trailing slash, tracking params, param order, fragment."""
+    variants = [
+        "HTTP://WWW.Example.COM:80/shop//items/index.html?utm_source=x&id=3&sort=a#frag",
+        "http://example.com/shop/items/?sort=a&gclid=zzz&id=3",
+        "Http://www.example.com//shop///items?id=3&sort=a&fbclid=f",
+        "http://Example.com:80/shop/items?ref=tw&sort=a&id=3",
+    ]
+    out = set(_canon(spark, variants))
+    assert out == {"http://example.com/shop/items?id=3&sort=a"}, out
+
+
+def test_url_non_default_port_and_scheme_survive(spark):
+    """Canonicalization must be loss-LESS where it matters: an https URL on
+    :80 is a different endpoint and keeps its port; http vs https stay
+    distinct pages."""
+    out = _canon(
+        spark,
+        [
+            "https://example.com:80/a",
+            "https://example.com:443/a",
+            "http://example.com/a",
+        ],
+    )
+    assert out == [
+        "https://example.com:80/a",
+        "https://example.com/a",
+        "http://example.com/a",
+    ]
+
+
+def test_url_canonicalization_is_idempotent(spark):
+    """canon(canon(u)) == canon(u): the canonical form is a fixed point, so
+    re-running the dedup pass over already-clean data is a no-op (the
+    property incremental re-crawl pipelines rely on)."""
+    messy = [
+        "HTTPS://www.Site4.Example.ORG:443//products//login/?fbclid=x&id=9#t",
+        "http://a.b//",
+        "http://a.b/index.html?utm_a=1",
+    ]
+    once = _canon(spark, messy)
+    twice = _canon(spark, once)
+    assert once == twice
+
+
+def test_url_all_params_tracking_drops_query_entirely(spark):
+    out = _canon(spark, ["http://h.c/p?utm_source=a&utm_medium=b&gclid=x"])
+    assert out == ["http://h.c/p"]
+
+
+def test_url_root_path_and_host_extraction(spark):
+    assert _canon(spark, ["http://www.H.Co", "http://h.co//index.html"]) == [
+        "http://h.co/",
+        "http://h.co/",
+    ]
+    df = spark.createDataFrame(
+        [("HTTPS://WWW.Foo.COM:443/x",), ("http://bar.org:8080/y",)], ["u"]
+    )
+    hosts = [r.h for r in df.select(canonical_host(F.col("u")).alias("h")).collect()]
+    assert hosts == ["foo.com", "bar.org:8080"]
+
+
+def test_url_dedup_counts_variants_and_keeps_first(spark, sf_dir):
+    """Per canonical page: n_events >= n_variants >= 1, the keep-first
+    representative is a real event, and total events reconcile with the
+    input scan (no row lost or double-counted by the rollup)."""
+    rows = QUERIES["dedup_url_canonical"](spark, sf_dir).collect()
+    n_events_total = sum(r.n_events for r in rows)
+    from broadway_kinesis_spark.session import load
+
+    assert n_events_total == load(spark, sf_dir, "events").count()
+    assert all(r.n_events >= r.n_variants >= 1 for r in rows)
+    # the synthesizer guarantees collisions: spelling variance must be
+    # visibly collapsing (some page has >1 raw spelling)
+    assert any(r.n_variants > 1 for r in rows)
+
+
+# ------------------------------------------------------------------- classifier
+def test_classifier_logit_matches_python_reference(spark, sf_dir):
+    """Recompute the frozen-model logit in plain Python for a sample of
+    documents — feature extraction AND the left-associated float sum must
+    agree exactly (the bit-exactness the oracle hash relies on)."""
+    out = {
+        r.doc_id: r
+        for r in QUERIES["score_quality_classifier"](spark, sf_dir).collect()
+    }
+    from broadway_kinesis_spark.session import load
+
+    docs = load(spark, sf_dir, "documents").limit(50).collect()
+    assert docs
+    for d in docs:
+        toks = d.text.lower().split(" ")
+        n_tok = len(toks)
+        n_stop = sum(1 for t in toks if t in STOPWORDS)
+        n_uniq = len(set(toks))
+        n_digit = sum(1 for c in d.text if c.isdigit())
+        n_upper = sum(1 for c in d.text if "A" <= c <= "Z")
+        n_chars_g = max(len(d.text), 1)
+        z = (
+            BIAS
+            + W_STOP * (n_stop / n_tok)
+            + W_UNIQ * (n_uniq / n_tok)
+            + W_DIGIT * (n_digit / n_chars_g)
+            + W_UPPER * (n_upper / n_chars_g)
+        )
+        r = out[d.doc_id]
+        assert (r.n_tok, r.n_stop, r.n_uniq) == (n_tok, n_stop, n_uniq), d.doc_id
+        assert r.logit == z, (d.doc_id, r.logit, z)
+        assert r.keep == (z >= 0.0)
+        assert abs(r.prob_bp - 10_000 / (1.0 + math.exp(-z))) <= 0.5 + 1e-6
+
+
+def test_classifier_is_monotone_in_its_features(spark):
+    """Directional sanity on crafted docs: prose beats digit soup beats
+    shouting — the signs of the frozen weights are doing their job."""
+    docs = [
+        (0, "the cat sat on the mat and it is a fine day for the cat"),
+        (1, "981237 123 99812 37123 8 812 1237 9 912837 12 3"),
+        (2, "BUY NOW BUY NOW BUY NOW BUY NOW BUY NOW"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        rows = {
+            r.doc_id: r.logit
+            for r in QUERIES["score_quality_classifier"](spark, td).collect()
+        }
+    assert rows[0] > rows[1] and rows[0] > rows[2], rows
+
+
+# -------------------------------------------------------------------- plan pins
+def test_url_dedup_is_projection_plus_bounded_exchanges(spark, sf_dir):
+    """Canonicalization must stay whole-stage-codegen column algebra — no
+    Python in the plan — and the rollup pays at most the two-phase
+    distinct-rewrite exchanges. Scan prunes to the three source columns."""
+    from broadway_kinesis_spark.plans import (
+        formatted_plan,
+        read_schemas,
+        shuffle_count,
+    )
+
+    df = QUERIES["dedup_url_canonical"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # no-Python is the JVM-side/codegen proof here: the AQE wrapper hides
+    # codegen ids on exchange-bearing plans until execution (audit.py note)
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert shuffle_count(df) <= 2, plan
+    assert all(len(cols) <= 3 for cols in read_schemas(df)), read_schemas(df)
+
+
+def test_host_topk_ranks_tiny_postagg_not_raw_events(spark, sf_dir):
+    from broadway_kinesis_spark.plans import formatted_plan, shuffle_count
+
+    df = QUERIES["url_host_topk"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # groupBy(host) two-phase distinct (2) + the rank window over the
+    # handful of post-agg host rows (1) — the window never sees raw events
+    assert shuffle_count(df) <= 3, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_classifier_is_zero_shuffle_zero_python(spark, sf_dir):
+    """The 100 TB contract: scoring is ONE pass over the corpus — a
+    stateless codegen projection. Any exchange or Python eval here is a
+    regression."""
+    from broadway_kinesis_spark.plans import (
+        formatted_plan,
+        shuffle_count,
+        wholestage_codegen_spans,
+    )
+
+    df = QUERIES["score_quality_classifier"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) == 0, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert wholestage_codegen_spans(df) >= 1, plan
