@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from broadway_kinesis_spark.functions.candidate_gen import partial_topk_generator
 from broadway_kinesis_spark.registry import query
 from broadway_kinesis_spark.session import load
 
@@ -84,7 +85,6 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted IVF index (operators/ann_persist.py) so each anchor only
     scores its probed clusters."""
     import numpy as np
-    import pandas as pd
 
     e = load(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
@@ -104,36 +104,22 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_labels = np.array([r.label for r in arows], dtype=np.int64)
     a_mat = np.array([r.v for r in arows], dtype=np.float64)
     a_nrm = np.linalg.norm(a_mat, axis=1)
+    # Mask keys = labels: equal key <=> same-label pair excluded. The
+    # tie-break/masking logic lives in the SHARED tier-1 generator
+    # (functions/candidate_gen.py) — the staleness scanner follows the
+    # import, so an edit there correctly stales this row AND the
+    # similarity family's (VERDICT r4 wrong#3: one fix, every caller).
     bc = spark.sparkContext.broadcast((a_ids, a_labels, a_mat, a_nrm))
     keep = TOP_NEG + _CAND_BUF
-
-    # NB: this generator intentionally mirrors similarity.py's `candidates`
-    # (operators/similarity.py:171) rather than importing it — sharing would
-    # couple the two queries' driver-row staleness closures (per-file rule,
-    # tests/test_registry_window.py). If you fix the tie-break / masking
-    # logic in either copy, fix BOTH.
-    def candidates(batches):
-        ids, labels, mat, nrm = bc.value
-        for pdf in batches:
-            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            c_labels = pdf["label"].to_numpy(dtype=np.int64)
-            c_mat = np.array(list(pdf["v"]), dtype=np.float64)
-            c_nrm = np.linalg.norm(c_mat, axis=1)
-            sims = (mat @ c_mat.T) / np.outer(nrm, c_nrm)  # (na, batch)
-            sims[np.equal.outer(labels, c_labels)] = -np.inf  # same label out
-            top = min(keep, sims.shape[1])
-            # Deterministic boundary ties toward smaller cand ids (the ids
-            # the exact (cos DESC, neg_id ASC) rerank prefers).
-            order = np.lexsort(
-                (np.broadcast_to(c_ids, sims.shape), -sims), axis=-1
-            )
-            part = order[:, :top]
-            yield pd.DataFrame(
-                {
-                    "anchor_id": np.repeat(ids, top),
-                    "neg_id": c_ids[part.reshape(-1)],
-                }
-            )
+    candidates = partial_topk_generator(
+        bc,
+        keep,
+        id_col="vec_id",
+        key_col="label",
+        vec_col="v",
+        out_anchor="anchor_id",
+        out_cand="neg_id",
+    )
 
     cand = base.select("vec_id", "label", "v").mapInPandas(
         candidates, "anchor_id long, neg_id long"
