@@ -27,6 +27,9 @@ surface in the reference.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,6 +42,8 @@ BASE = 150_000_000      # teleport term: (1 - 0.85) * R0
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
 ITERS = 3
 TOP = 50
+
+N_BUCKETS = 8  # bucketed variant: edge/node tables bucket on the join key
 
 
 def _oracle() -> str:
@@ -120,6 +125,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("r")
         ).withColumnRenamed("dst", "node")
+    return _finish(r)
+
+
+def _finish(r: DataFrame) -> DataFrame:
     return (
         r.select(
             F.col("node").alias("node_id"),
@@ -131,3 +140,103 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_q"), F.asc("node_id"))
         .limit(TOP)
     )
+
+
+def _graph_sig(sf_dir: str) -> str:
+    p = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        st = os.stat(p)
+        tag = f"{p}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        tag = p
+    return hashlib.md5(tag.encode()).hexdigest()[:10]
+
+
+def ensure_pagerank_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Create (once per corpus version) the bucketed PageRank storage:
+
+    - ``edges(src, dst, d)``: the symmetrized edge list with the SOURCE
+      out-degree pre-joined, bucketed+sorted on ``src`` — the static
+      degree join disappears from every iteration at write time;
+    - ``nodes(node)``: one row per node, bucketed on ``node`` — the
+      rank-vector seed, co-located with the edge buckets from round 1.
+
+    Same pay-the-shuffle-once protocol as operators/bucketed.py (corpus
+    signature, catalog-checked idempotence, orphan-location cleanup)."""
+    sig = _graph_sig(sf_dir)
+    name_e, name_n = f"_bks_pr_edges_{sig}", f"_bks_pr_nodes_{sig}"
+    if spark.catalog.tableExists(name_e) and spark.catalog.tableExists(name_n):
+        return name_e, name_n
+    li = load(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + P_OFF).alias("dst"),
+    ).distinct()
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    for name, df, key in (
+        (name_e, edges.join(deg, "src"), "src"),
+        (name_n, deg.select(F.col("src").alias("node")), "node"),
+    ):
+        if spark.catalog.tableExists(name):
+            continue
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        loc = os.path.join(wh.removeprefix("file:"), name)
+        if os.path.isdir(loc):
+            import shutil
+
+            shutil.rmtree(loc, ignore_errors=True)
+        (
+            df.write.bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return name_e, name_n
+
+
+@query("graph_pagerank_bucketed", oracle=_oracle())
+def graph_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployment form of ``graph_pagerank`` (VERDICT r4 #3): identical
+    recurrence, identical oracle — but the symmetrized edge list (with the
+    source degree pre-joined) lives in ``bucketBy(src)`` storage built ONCE
+    per corpus version, and the seed rank vector reads from a ``node``-
+    bucketed twin. Per-round work is then:
+
+    - edges ⋈ rank on ``src``: the edge side reads pre-bucketed (NO
+      exchange, any round); round 1's rank side is the bucketed node
+      table (no exchange either); later rounds' rank vectors re-hash —
+      node-sized data, the only thing that moves;
+    - one map-side-combinable aggregation onto ``dst``.
+
+    So the corpus-sized dataset never reshuffles across iterations — the
+    co-partitioning answer to the plain variant's 5.6x-at-x10 growth,
+    where every round re-exchanged the edge list subtree (ReusedExchange
+    made it once per PLAN; bucketing makes it once per CORPUS). With
+    ``spark.sql.shuffle.partitions == N_BUCKETS`` the whole recurrence
+    plans exactly ITERS exchanges (the aggs) — pinned in
+    tests/test_round5_ops.py. The shared oracle is the layout-invariance
+    proof (the join_bucketed trick)."""
+    name_e, name_n = ensure_pagerank_tables(spark, sf_dir)
+    edges = spark.table(name_e)  # (src, dst, d) bucketed on src
+    r = spark.table(name_n).select(
+        "node", F.lit(R0).cast("long").alias("r")
+    )  # bucketed on node
+    for _ in range(ITERS):
+        # The merge hint pins the strategy the bucketing exists for: at
+        # fixture scale Spark would happily BROADCAST the edge table (it
+        # fits the 10 MB threshold) — and silently flip to re-shuffling
+        # the corpus every round past it. SMJ against the bucketed edge
+        # side reads the buckets in place at ANY scale; only the
+        # node-sized rank vector ever hashes to meet them.
+        contrib = edges.join(r.hint("merge"), edges.src == r.node).select(
+            "dst", F.expr("r div d").alias("share")
+        )
+        r = contrib.groupBy("dst").agg(
+            (F.lit(BASE) + F.expr(f"({DAMP_NUM} * sum(share)) div {DAMP_DEN}"))
+            .cast("long")
+            .alias("r")
+        ).withColumnRenamed("dst", "node")
+    return _finish(r)

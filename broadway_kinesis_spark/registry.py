@@ -133,7 +133,7 @@ _PRIORITY: tuple[str, ...] = (
     # similarity/contrastive candidate-generation dedup into a shared leaf
     # module (VERDICT r4 wrong#3) — the latter stales all seven similarity
     # queries plus ann_persist (imports similarity) and mine_hard_negatives.
-    "graph_pagerank",
+    "graph_pagerank", "graph_pagerank_bucketed",
     "mine_hard_negatives", "similarity_ann_ivf_persisted",
     "similarity_topk_cosine", "similarity_topk_cosine_pandas",
     "similarity_ann_ivf", "similarity_ann_ivf_probe", "similarity_ann_lsh",
@@ -154,7 +154,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_filtered_first_last", "agg_grouping_sets", "agg_mode",
     "agg_pivot", "agg_rollup", "agg_salted_skew", "agg_stats",
     "agg_string_concat",
-    "text_bpe_tokens", "text_fingerprint", "text_lang_id",
+    "text_bpe_tokens", "text_fingerprint",
 )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot
