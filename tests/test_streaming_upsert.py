@@ -269,3 +269,126 @@ def test_upsert_paced_multi_batch_folds_incrementally(spark, tmp_path):
         assert current_version(snap) >= 2  # folded over >= 3 non-empty batches
     finally:
         q.stop()
+
+
+def test_untouched_buckets_are_hard_linked_byte_identical(spark, tmp_path):
+    """The incremental contract (VERDICT r4 #5): a batch touching only
+    bucket kb=1 must carry every OTHER bucket of the previous version into
+    the new one as hard links — same bytes, same inodes, zero data I/O —
+    while the touched bucket is rewritten (new inode, merged content)."""
+    import pandas as pd
+
+    from broadway_kinesis_spark.streaming.upsert import N_KB
+
+    snap = str(tmp_path / "snap")
+    # seed: one key in every bucket (user_id i -> kb = i % N_KB = i)
+    seed = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, "a", 100, i, float(i)) for i in range(N_KB)],
+            columns=["user_id", "event_type", "ts", "seq", "value"],
+        )
+    )
+    upsert_batch_into_snapshot(seed, snap)
+    v0 = os.path.join(snap, "v=0")
+    inodes_before = {}
+    for kb in range(N_KB):
+        d = os.path.join(v0, f"kb={kb}")
+        inodes_before[kb] = {
+            n: os.stat(os.path.join(d, n)).st_ino
+            for n in os.listdir(d)
+            if n.endswith(".parquet")
+        }
+
+    # batch 2 touches ONLY user_id=1 -> kb=1
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, "a", 200, 99, 42.0)],
+            columns=["user_id", "event_type", "ts", "seq", "value"],
+        )
+    )
+    upsert_batch_into_snapshot(batch, snap)
+    v1 = os.path.join(snap, "v=1")
+    for kb in range(N_KB):
+        d = os.path.join(v1, f"kb={kb}")
+        inodes_after = {
+            n: os.stat(os.path.join(d, n)).st_ino
+            for n in os.listdir(d)
+            if n.endswith(".parquet")
+        }
+        if kb == 1:
+            assert set(inodes_after.values()).isdisjoint(
+                set(inodes_before[kb].values())
+            ), "touched bucket must be rewritten, not linked"
+        else:
+            assert inodes_after == inodes_before[kb], (
+                f"untouched bucket kb={kb} must be hard-linked file-for-file"
+            )
+    assert _state(spark, snap)[(1, "a")] == (200, 99, 42.0)
+    assert _state(spark, snap)[(2, "a")] == (100, 2, 2.0)
+
+
+def test_gc_of_old_version_keeps_linked_buckets_readable(spark, tmp_path):
+    """Three single-bucket batches: GC removes v=0 (only v1/v2 stay), and
+    every row — including ones living solely in buckets last REWRITTEN two
+    versions ago and linked forward since — must still read back."""
+    import pandas as pd
+
+    snap = str(tmp_path / "snap")
+
+    def push(uid, ts, val):
+        b = spark.createDataFrame(
+            pd.DataFrame(
+                [(uid, "a", ts, ts, val)],
+                columns=["user_id", "event_type", "ts", "seq", "value"],
+            )
+        )
+        upsert_batch_into_snapshot(b, snap)
+
+    push(0, 100, 1.0)
+    push(1, 200, 2.0)
+    push(2, 300, 3.0)
+    assert current_version(snap) == 2
+    assert not os.path.exists(os.path.join(snap, "v=0"))  # GC'd
+    assert _state(spark, snap) == {
+        (0, "a"): (100, 100, 1.0),
+        (1, "a"): (200, 200, 2.0),
+        (2, "a"): (300, 300, 3.0),
+    }
+
+
+def test_flat_pre_bucketing_snapshot_migrates_on_next_batch(spark, tmp_path):
+    """A snapshot written by the pre-bucketing sink (flat version dir, no
+    kb= partitions) must migrate losslessly: the next batch folds in AND
+    rewrites the whole thing bucketed; subsequent batches are incremental."""
+    import pandas as pd
+
+    from broadway_kinesis_spark.streaming.upsert import (
+        commit_snapshot_version,
+    )
+
+    snap = str(tmp_path / "snap")
+    os.makedirs(snap)
+    flat = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, "a", 100, 1, 1.0), (2, "b", 100, 2, 2.0)],
+            columns=["user_id", "event_type", "ts", "seq", "value"],
+        )
+    )
+    commit_snapshot_version(flat, snap, -1)  # old-layout v=0
+    assert not any(
+        n.startswith("kb=") for n in os.listdir(os.path.join(snap, "v=0"))
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [(3, "c", 200, 3, 3.0)],
+            columns=["user_id", "event_type", "ts", "seq", "value"],
+        )
+    )
+    upsert_batch_into_snapshot(batch, snap)
+    v1 = os.path.join(snap, "v=1")
+    assert any(n.startswith("kb=") for n in os.listdir(v1))  # now bucketed
+    assert _state(spark, snap) == {
+        (1, "a"): (100, 1, 1.0),
+        (2, "b"): (100, 2, 2.0),
+        (3, "c"): (200, 3, 3.0),
+    }
