@@ -21,19 +21,33 @@ import base64
 import json
 import os
 
+#: process-level parse cache keyed by (path, mtime_ns, size): the engine
+#: constructs a fresh client per partition read, and the old eager
+#: _load_shards made every construction re-parse EVERY shard file — an
+#: O(shards x polls x file) cost that dominated the 16-32-shard ingest
+#: scaling rows and measured the double, not the engine (VERDICT r4 #9 /
+#: BASELINE.md round-4 caveat). Shards now parse lazily (only the shard a
+#: call touches) and at most once per process per file version; a test
+#: that rewrites a shard file invalidates its entry via mtime/size.
+_PARSE_CACHE: dict[tuple[str, int, int], list[dict]] = {}
 
-def _load_shards(data_dir: str) -> dict[str, list[dict]]:
-    shards: dict[str, list[dict]] = {}
-    for fn in sorted(os.listdir(data_dir)):
-        if not fn.endswith(".json"):
-            continue
-        with open(os.path.join(data_dir, fn), encoding="utf-8") as f:
-            recs = json.load(f)
-        for r in recs:
-            if isinstance(r.get("Data"), str):
-                r["Data"] = base64.b64decode(r["Data"])
-        shards[fn[: -len(".json")]] = recs
-    return shards
+
+def _load_shard_file(path: str) -> list[dict]:
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    cached = _PARSE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    with open(path, encoding="utf-8") as f:
+        recs = json.load(f)
+    for r in recs:
+        if isinstance(r.get("Data"), str):
+            r["Data"] = base64.b64decode(r["Data"])
+    # drop stale versions of this path before inserting the fresh one
+    for k in [k for k in _PARSE_CACHE if k[0] == path]:
+        del _PARSE_CACHE[k]
+    _PARSE_CACHE[key] = recs
+    return recs
 
 
 class FakeClientError(Exception):
@@ -49,10 +63,34 @@ class FakeClientError(Exception):
         }
 
 
+class _LazyShards:
+    """dict-like view that parses a shard's file only when that shard is
+    actually read (and then from the process cache)."""
+
+    def __init__(self, data_dir: str):
+        self._dir = data_dir
+
+    def _names(self) -> list[str]:
+        return sorted(
+            fn[: -len(".json")]
+            for fn in os.listdir(self._dir)
+            if fn.endswith(".json")
+        )
+
+    def __iter__(self):
+        return iter(self._names())
+
+    def __getitem__(self, shard_id: str) -> list[dict]:
+        path = os.path.join(self._dir, f"{shard_id}.json")
+        if not os.path.isfile(path):
+            raise KeyError(shard_id)
+        return _load_shard_file(path)
+
+
 class FileBackedKinesisClient:
     def __init__(self, data_dir: str, call_log_dir: str | None = None):
         self.data_dir = data_dir
-        self.shards = _load_shards(data_dir)
+        self.shards = _LazyShards(data_dir)
         self.call_log = os.path.join(call_log_dir, "calls.log") if call_log_dir else None
 
     def _closed(self, shard_id: str) -> bool:
