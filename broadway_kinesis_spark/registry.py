@@ -83,11 +83,14 @@ def _load_all_modules() -> None:
         joins,
         multimodal,
         paragraphs,
+        partitioned,
         pipeline_ops,
+        quantiles,
         relational,
         rolling,
         sampling,
         scalars,
+        scd,
         semantic,
         similarity,
         sketch_merge,
@@ -97,6 +100,7 @@ def _load_all_modules() -> None:
         textstats,
         urls,
         windows,
+        winsorize,
     )
     from broadway_kinesis_spark.functions import udfs  # noqa: F401
     from broadway_kinesis_spark.streaming import batch_twins  # noqa: F401
@@ -140,8 +144,12 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_kmeans", "similarity_normalize",
     # (3) new round-5 operators (never-green ⇒ must hold a slot):
     # URL canonicalize + host-level dedup, frozen-weight quality classifier
-    # (VERDICT r4 #7).
+    # (VERDICT r4 #7), then the 5b batch — exact per-group winsorization,
+    # mergeable histogram-quantile summaries, SCD2 history build, and
+    # hive-partition-pruned scans — each in its own module.
     "dedup_url_canonical", "url_host_topk", "score_quality_classifier",
+    "window_winsorize", "agg_quantile_histogram", "cdc_scd2_history",
+    "scan_partition_pruned",
     # (4) filler, oldest green rounds first — round-2 rows on files
     # untouched since, refreshed to current:
     "asof_join", "dedup_embedding_cosine", "dedup_fuzzy_prefix",
@@ -152,9 +160,7 @@ _PRIORITY: tuple[str, ...] = (
     "pricing_summary", "agg_approx_distinct", "agg_approx_percentile",
     "agg_collect", "agg_cube", "agg_distinct_counts",
     "agg_filtered_first_last", "agg_grouping_sets", "agg_mode",
-    "agg_pivot", "agg_rollup", "agg_salted_skew", "agg_stats",
-    "agg_string_concat",
-    "text_bpe_tokens", "text_fingerprint",
+    "agg_pivot", "agg_rollup", "agg_stats",
 )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot

@@ -248,3 +248,104 @@ def test_classifier_is_zero_shuffle_zero_python(spark, sf_dir):
     assert shuffle_count(df) == 0, plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
     assert wholestage_codegen_spans(df) >= 1, plan
+
+
+# ---------------------------------------------------------------- 5b operators
+def test_winsorize_bounds_are_exact_rank_quantiles(spark, sf_dir):
+    """Recompute the rank-defined p05/p95 per group in Python and check
+    every clamped value: below-band rows clamp UP to p_lo, above-band
+    clamp DOWN to p_hi, in-band rows pass through bit-identical."""
+    from broadway_kinesis_spark.operators.winsorize import Q_HI, Q_LO
+    from broadway_kinesis_spark.session import load
+
+    rows = QUERIES["window_winsorize"](spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append((r.value, r.event_id))
+    bounds = {}
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        lo = vals[(Q_LO * n + 99) // 100 - 1][0]
+        hi = vals[(Q_HI * n + 99) // 100 - 1][0]
+        bounds[et] = (lo, hi)
+    assert len(rows) == len(ev)
+    n_lo = n_hi = 0
+    for r in rows:
+        lo, hi = bounds[r.event_type]
+        if r.value < lo:
+            assert r.value_w == lo and r.clip == "lo"
+            n_lo += 1
+        elif r.value > hi:
+            assert r.value_w == hi and r.clip == "hi"
+            n_hi += 1
+        else:
+            assert r.value_w == r.value and r.clip == "in"
+    assert n_lo > 0 and n_hi > 0  # the band actually clips both tails
+
+
+def test_quantile_histogram_brackets_the_exact_quantile(spark, sf_dir):
+    """The summary's contract: for each q, the exact rank quantile lies
+    within the reported bucket — (est_upper - W, est_upper]. This is the
+    error bound that justifies answering percentiles from merged partials
+    instead of a sort at 100 TB."""
+    from broadway_kinesis_spark.operators.quantiles import W
+    from broadway_kinesis_spark.session import load
+
+    rows = {r.q: r for r in QUERIES["agg_quantile_histogram"](spark, sf_dir).collect()}
+    vals = sorted(
+        r.value for r in load(spark, sf_dir, "events").select("value").collect()
+    )
+    n = len(vals)
+    for q, r in rows.items():
+        exact = vals[(q * n + 99) // 100 - 1]
+        assert r.est_upper - W < exact <= r.est_upper, (q, exact, r.est_upper)
+        assert r.total_count == n
+
+
+def test_scd2_intervals_tile_and_one_current_per_key(spark, sf_dir):
+    """Per key: versions are 1..n in (ts, event_id) order, consecutive
+    intervals share endpoints (half-open tiling, no gaps/overlaps), and
+    exactly the last row is current (sentinel valid_to)."""
+    from collections import defaultdict
+
+    from broadway_kinesis_spark.operators.scd import HIGH_DATE
+
+    rows = QUERIES["cdc_scd2_history"](spark, sf_dir).collect()
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[(r.user_id, r.event_type)].append(r)
+    assert by_key
+    import datetime as dt
+
+    sentinel = dt.datetime.fromisoformat(HIGH_DATE)
+    for key, history in by_key.items():
+        history.sort(key=lambda r: r.version)
+        assert [r.version for r in history] == list(range(1, len(history) + 1))
+        for a, b in zip(history, history[1:]):
+            assert a.valid_to == b.valid_from, key  # tiling
+            assert not a.is_current
+        last = history[-1]
+        assert last.is_current and last.valid_to == sentinel
+
+
+def test_partition_pruned_scan_reads_one_partition(spark, sf_dir):
+    """The plan must show the partition filter doing the work: partition
+    filters on event_type, NO pushed data filters left over, and the
+    chosen file listing confined to the one matching partition dir."""
+    from broadway_kinesis_spark.operators.partitioned import TARGET_TYPE
+
+    df = QUERIES["scan_partition_pruned"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and TARGET_TYPE in m.group(1), plan
+    # the data-filter slot should be empty — the partition column carries
+    # the whole predicate
+    dm = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert dm is None or dm.group(1).strip() == "", plan
