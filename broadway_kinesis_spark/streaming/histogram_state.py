@@ -1,0 +1,147 @@
+"""Streaming mergeable-histogram state — counts with a batch-id fence.
+
+The streaming twin of ``operators/quantiles.py``: micro-batches of events
+fold into a persistent (bucket -> count) histogram, and any quantile is
+served from the merged summary at any time — the live-p99 dashboard shape,
+with state that is a few dozen integers regardless of stream volume.
+
+The new protocol piece here is the EXACTLY-ONCE FENCE. The other three
+snapshot sinks survive at-least-once replay by SEMANTIC idempotency:
+HLL inserts re-absorb duplicates (rolling_sketch), latest-wins re-picks
+the same maxima (upsert), digest anti-joins re-reject (incremental).
+COUNTS have no such property — folding a replayed batch twice
+double-counts — so this sink commits the micro-batch id WITH the state
+and refuses batches at or below the committed high-water mark:
+
+1. each version directory carries a ``_META`` json (``last_batch_id``)
+   written BEFORE the pointer flips to that version;
+2. ``foreachBatch`` replays a batch only with its ORIGINAL batch id and
+   content (Spark's checkpoint contract), so on replay the current
+   version's watermark already covers it -> the fold is skipped.
+
+Crash anywhere keeps the invariant: before the flip, ``_CURRENT`` names
+the old version whose watermark is one batch behind — the replayed batch
+folds onto it exactly once; after the flip, the watermark covers the
+batch and the replay is a no-op. This is the standard transactional
+recipe for non-idempotent foreachBatch sinks, kept hermetic on the same
+versioned-snapshot/atomic-pointer protocol as streaming/upsert.py.
+
+Scale posture: the per-batch fold aggregates the BATCH map-side to
+(bucket, cnt) partials and outer-merges them with the summary-sized state
+(dozens of rows); state I/O per batch is O(buckets), never O(stream).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from broadway_kinesis_spark.operators.quantiles import W
+from broadway_kinesis_spark.streaming.upsert import (
+    _flip_pointer_and_gc,
+    current_version,
+    read_snapshot,
+)
+
+_META = "_META"
+
+
+def committed_batch_id(state_dir: str) -> int:
+    """High-water mark of the current version (-1 before any commit, or
+    for pre-fence versions without a _META)."""
+    v = current_version(state_dir)
+    if v < 0:
+        return -1
+    try:
+        with open(
+            os.path.join(state_dir, f"v={v}", _META), encoding="utf-8"
+        ) as f:
+            return int(json.load(f)["last_batch_id"])
+    except FileNotFoundError:
+        return -1
+
+
+def fold_batch_into_histogram(
+    batch_df: DataFrame, state_dir: str, batch_id: int
+) -> int:
+    """Fold one micro-batch's value histogram into state; returns the
+    committed version (unchanged if the fence skipped a replay or the
+    batch was empty). ``batch_df`` needs a ``value`` column."""
+    spark = batch_df.sparkSession
+    os.makedirs(state_dir, exist_ok=True)
+    v = current_version(state_dir)
+    if batch_id <= committed_batch_id(state_dir):
+        return v  # at-least-once replay of an already-committed batch
+
+    partial = (
+        batch_df.select(F.floor(F.col("value") / W).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if partial.isEmpty():
+        # an idle trigger advances NO watermark: an empty replay of batch N
+        # must not fence out the real batch N's later replay with rows —
+        # Spark replays a batch with identical content, so if THIS run saw
+        # it empty, every replay will; skipping the commit is safe and
+        # avoids a state rewrite per idle tick.
+        return v
+    prev = read_snapshot(spark, state_dir)
+    merged = (
+        prev.unionByName(partial)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        if prev is not None
+        else partial.select("bucket", F.col("cnt").cast("long").alias("cnt"))
+    )
+
+    new_v = v + 1
+    new_dir = os.path.join(state_dir, f"v={new_v}")
+    if os.path.exists(new_dir):  # leftover from a crash before the flip
+        shutil.rmtree(new_dir)
+    merged.write.parquet(new_dir)
+    with open(os.path.join(new_dir, _META), "w", encoding="utf-8") as f:
+        json.dump({"last_batch_id": batch_id}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    return _flip_pointer_and_gc(state_dir, v, new_v)
+
+
+def histogram_state_sink(state_dir: str):
+    """``foreachBatch`` callable — forwards Spark's batch_id into the fence."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        fold_batch_into_histogram(batch_df, state_dir, batch_id)
+
+    return sink
+
+
+def serve_quantiles(spark, state_dir: str, quantiles=(50, 90, 99)) -> DataFrame:
+    """Answer quantiles from the live histogram state — same exact integer
+    threshold rule as the batch operator (first bucket whose cumulative
+    count reaches ceil(q*total/100)); runs entirely on summary-sized rows."""
+    from pyspark.sql import Window
+
+    hist = read_snapshot(spark, state_dir)
+    if hist is None:
+        raise FileNotFoundError(f"no histogram state at {state_dir}")
+    cum = hist.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(Window.orderBy("bucket")).cast("long").alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).cast("long").alias("total"),
+    )
+    qs = spark.createDataFrame([(q,) for q in quantiles], "q int")
+    thresh = F.expr("(q * total + 99) div 100")
+    return (
+        cum.join(F.broadcast(qs), F.col("cum") >= thresh)
+        .groupBy("q")
+        .agg(
+            F.min("bucket").alias("est_bucket"),
+            (F.min("bucket") * W + W).alias("est_upper"),
+            F.min("total").alias("total_count"),
+        )
+    )
