@@ -1,0 +1,108 @@
+"""Per-group OLS trend fitting with exact integer sufficient statistics.
+
+``REGR_SLOPE``-family analytics (SQL:2003 linear regression aggregates),
+done the way a distributed engine should: ordinary least squares needs
+only five SUFFICIENT STATISTICS per group — n, Σx, Σy, Σxy, Σx² — all of
+which are order-free sums, i.e. ONE map-side-combinable aggregation no
+matter how many rows feed each fit. Fitting "value trend per event_type
+over days" is the canonical metrics-drift / data-freshness check a
+pipeline runs over every partition of a 100 TB corpus.
+
+Exactness: built-in ``regr_slope`` sums FLOATS, so partial-aggregation
+order can flip last-ULP bits between engines (and between runs). Here
+every statistic is an exact BIGINT — x is the day offset from a pinned
+epoch (small ints), y is exact cents via ``ROUND(value*100)`` (the
+functions/numeric.py scaled-long trick) — and the closed forms
+
+    slope     = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+    intercept = (ΣyΣx² − ΣxΣxy) / (nΣx² − (Σx)²)
+    r²        = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+
+are evaluated as exact-integer numerators/denominators cast to double at
+the LAST step (each factor < 2^53, so the casts are exact and the final
+divisions are single correctly-rounded IEEE ops — bit-identical across
+engines; r²'s squares are multiplied in double to dodge int64 overflow,
+exactly the same way both sides).
+
+Scale posture: one exchange (the groupBy), constant state per group, no
+window, no join. The sufficient-statistic shape is also what makes the
+fit INCREMENTAL at scale: per-shard/day partials of the same five sums
+merge by addition, like the sketch and histogram summaries.
+
+Reference parity: [TGT] — no relational surface in the reference; engine
+extension beyond it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from broadway_kinesis_spark.registry import query
+from broadway_kinesis_spark.session import load
+
+X0 = 19723  # day_id of 2024-01-01 (pinned x-origin keeps Σx² tiny)
+US_PER_DAY = 86_400_000_000
+
+
+@query(
+    "agg_group_regression",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_type,
+               epoch_us(ts) // {US_PER_DAY} - {X0} AS x,
+               CAST(ROUND(value * 100) AS BIGINT) AS y
+        FROM events
+    ), s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n, sx, sy,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day,
+           CAST(sy * sxx - sx * sxy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept_cents,
+           (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+               / (CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+    FROM s
+    """,
+)
+def agg_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS of value (cents) on day offset, per event_type: slope,
+    intercept at day {X0}, and r² — all from five exact integer sums."""
+    events = load(spark, sf_dir, "events")
+    pts = events.select(
+        "event_type",
+        (F.expr(f"unix_micros(ts) div {US_PER_DAY}") - X0).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        (num / den).alias("slope_cents_per_day"),
+        (
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+            / den
+        ).alias("intercept_cents"),
+        ((num * num) / (den * den_y)).alias("r2"),
+    )

@@ -85,7 +85,9 @@ def _load_all_modules() -> None:
         paragraphs,
         partitioned,
         pipeline_ops,
+        profiling,
         quantiles,
+        regression,
         relational,
         rolling,
         sampling,
@@ -149,7 +151,7 @@ _PRIORITY: tuple[str, ...] = (
     # hive-partition-pruned scans — each in its own module.
     "dedup_url_canonical", "url_host_topk", "score_quality_classifier",
     "window_winsorize", "agg_quantile_histogram", "cdc_scd2_history",
-    "scan_partition_pruned",
+    "scan_partition_pruned", "agg_group_regression", "profile_columns",
     # (4) filler, oldest green rounds first — round-2 rows on files
     # untouched since, refreshed to current:
     "asof_join", "dedup_embedding_cosine", "dedup_fuzzy_prefix",
@@ -159,8 +161,8 @@ _PRIORITY: tuple[str, ...] = (
     # aggregates.py except the two noted) and the oldest textops rows.
     "pricing_summary", "agg_approx_distinct", "agg_approx_percentile",
     "agg_collect", "agg_cube", "agg_distinct_counts",
-    "agg_filtered_first_last", "agg_grouping_sets", "agg_mode",
-    "agg_pivot", "agg_rollup", "agg_stats",
+    "agg_filtered_first_last", "agg_grouping_sets", "agg_rollup",
+    "agg_stats",
 )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot

@@ -349,3 +349,49 @@ def test_partition_pruned_scan_reads_one_partition(spark, sf_dir):
     # the whole predicate
     dm = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert dm is None or dm.group(1).strip() == "", plan
+
+
+def test_group_regression_matches_numpy_lstsq(spark, sf_dir):
+    """The exact-integer closed forms must agree with a float least-squares
+    fit to ~1e-9 relative (the float fit carries rounding the integer path
+    doesn't), and r2 must land in [0, 1]."""
+    import numpy as np
+
+    from broadway_kinesis_spark.operators.regression import US_PER_DAY, X0
+    from broadway_kinesis_spark.session import load
+
+    rows = {r.event_type: r for r in QUERIES["agg_group_regression"](spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events").selectExpr(
+        "event_type", f"unix_micros(ts) div {US_PER_DAY} - {X0} AS x",
+        "CAST(ROUND(value * 100) AS BIGINT) AS y",
+    ).collect()
+    groups: dict[str, list] = {}
+    for r in ev:
+        groups.setdefault(r.event_type, []).append((r.x, r.y))
+    for et, pts in groups.items():
+        x = np.array([p[0] for p in pts], dtype=float)
+        y = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        got = rows[et]
+        assert abs(got.slope_cents_per_day - slope) <= 1e-6 * max(1.0, abs(slope))
+        assert abs(got.intercept_cents - intercept) <= 1e-6 * max(1.0, abs(intercept))
+        assert 0.0 <= got.r2 <= 1.0
+        assert got.n == len(pts)
+
+
+def test_profile_columns_is_single_scan_and_sane(spark, sf_dir):
+    from broadway_kinesis_spark.plans import read_schemas
+    from broadway_kinesis_spark.session import load
+
+    df = QUERIES["profile_columns"](spark, sf_dir)
+    assert len(read_schemas(df)) == 1, "profiling must be ONE scan"
+    rows = {r.column_name: r for r in df.collect()}
+    n = load(spark, sf_dir, "events").count()
+    assert set(rows) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
+    for r in rows.values():
+        assert r.n_rows == n
+        assert 0 <= r.n_null <= n and abs(r.null_frac - r.n_null / n) < 1e-15
+        assert 1 <= r.n_distinct <= n
+    assert rows["event_id"].n_distinct == n  # primary key
+    assert rows["event_id"].min_canon == 0
+    assert rows["event_type"].min_canon is None  # no canonical projection
