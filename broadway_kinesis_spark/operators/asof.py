@@ -101,3 +101,96 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_view_value").alias("view_value"),
         )
     )
+
+
+US_PER_MIN = 60_000_000
+TOL_MIN = 30  # tolerance: match only a view within the last 30 minutes
+
+
+@query(
+    "asof_join_tolerance",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id AS k, epoch_us(ts) AS t,
+               MAX(event_id) AS view_id
+        FROM events
+        WHERE event_type = 'view'
+        GROUP BY 1, 2
+    ), p AS (
+        SELECT user_id, epoch_us(ts) AS t, event_id AS purchase_id
+        FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, p.t AS purchase_us,
+           CASE WHEN p.t - v.t <= {TOL_MIN * US_PER_MIN}
+                THEN v.view_id END AS view_id,
+           CASE WHEN p.t - v.t <= {TOL_MIN * US_PER_MIN}
+                THEN p.t - v.t END AS gap_us,
+           v.view_id IS NOT NULL
+               AND p.t - v.t <= {TOL_MIN * US_PER_MIN} AS attributed
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.k AND p.t >= v.t
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas ``merge_asof(tolerance=)``
+    semantics, the attribution-window shape): the nearest-earlier view
+    matches only if it happened within {TOL_MIN} minutes of the purchase —
+    older matches report NULL, and ``attributed`` flags the accepted ones.
+
+    Same single-shuffle union-merge as :func:`asof_join`; the tolerance is
+    a post-window projection (carry the matched view TIME forward too,
+    then null out matches whose gap exceeds the bound), so the cost model
+    is unchanged — the bound never becomes a range-join predicate."""
+    ev = load(spark, sf_dir, "events")
+    tol_us = TOL_MIN * US_PER_MIN
+
+    view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(
+            F.col("user_id").alias("k"),
+            F.unix_micros("ts").alias("t"),
+        )
+        .agg(F.max("event_id").alias("view_id"))
+        .select(
+            "k", "t", F.lit(0).alias("tag"),
+            F.lit(None).cast("long").alias("purchase_id"), "view_id",
+        )
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"),
+        F.unix_micros("ts").alias("t"),
+        F.lit(1).alias("tag"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("long").alias("view_id"),
+    )
+    merged = view.unionByName(purch).withColumn(
+        "view_t", F.when(F.col("tag") == 0, F.col("t"))
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Window expressions MUST be materialized as columns BEFORE the
+    # tag filter: referencing `last(view_t).over(w)` in the post-filter
+    # select would re-evaluate the window over purchase-only rows (all
+    # view_t NULL) and silently unattribute everything.
+    gap = F.col("t") - F.last("view_t", ignorenulls=True).over(w)
+    m_view = F.last("view_id", ignorenulls=True).over(w)
+    in_tol = F.col("gap_raw") <= tol_us
+    return (
+        merged.withColumn("gap_raw", gap)
+        .withColumn("m_view_id", m_view)
+        .filter(F.col("tag") == 1)
+        .select(
+            "purchase_id",
+            F.col("k").alias("user_id"),
+            F.col("t").alias("purchase_us"),
+            F.when(in_tol, F.col("m_view_id")).alias("view_id"),
+            F.when(in_tol, F.col("gap_raw")).alias("gap_us"),
+            (
+                F.col("m_view_id").isNotNull()
+                & F.coalesce(in_tol, F.lit(False))
+            ).alias("attributed"),
+        )
+    )

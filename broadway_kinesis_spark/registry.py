@@ -75,6 +75,7 @@ def _load_all_modules() -> None:
         composite,
         contrastive,
         curation,
+        decay,
         dedup,
         epoch_build,
         funnel,
@@ -152,11 +153,12 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_url_canonical", "url_host_topk", "score_quality_classifier",
     "window_winsorize", "agg_quantile_histogram", "cdc_scd2_history",
     "scan_partition_pruned", "agg_group_regression", "profile_columns",
+    "asof_join_tolerance", "agg_time_decay",
     # (4) filler, oldest green rounds first — round-2 rows on files
     # untouched since, refreshed to current:
     "asof_join", "dedup_embedding_cosine", "dedup_fuzzy_prefix",
     "dedup_incremental", "dedup_minhash_lsh", "sample_hash_split",
-    "udf_pandas_vectorized", "udf_python_row", "udf_table_function",
+    "udf_pandas_vectorized",
     # (4) filler, round-3 greens: the aggregates family (every row below is
     # aggregates.py except the two noted) and the oldest textops rows.
     "pricing_summary", "agg_approx_distinct", "agg_approx_percentile",

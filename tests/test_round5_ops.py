@@ -395,3 +395,79 @@ def test_profile_columns_is_single_scan_and_sane(spark, sf_dir):
     assert rows["event_id"].n_distinct == n  # primary key
     assert rows["event_id"].min_canon == 0
     assert rows["event_type"].min_canon is None  # no canonical projection
+
+
+def test_quantile_histogram_is_two_level_and_post_agg_tiny(spark, sf_dir):
+    """Level 1 (shard x bucket) and level 2 (bucket) are two aggregations;
+    the cumulative window and quantile join run on summary-sized rows.
+    No Python anywhere; bounded exchanges."""
+    from broadway_kinesis_spark.plans import formatted_plan, shuffle_count
+
+    df = QUERIES["agg_quantile_histogram"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # 2 levels x partial/final
+    assert shuffle_count(df) <= 4, plan
+
+
+def test_group_regression_is_one_exchange_no_window(spark, sf_dir):
+    from broadway_kinesis_spark.plans import formatted_plan, shuffle_count
+
+    df = QUERIES["agg_group_regression"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) <= 1, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_scd2_is_single_window_pass(spark, sf_dir):
+    from broadway_kinesis_spark.plans import formatted_plan, read_schemas, shuffle_count
+
+    df = QUERIES["cdc_scd2_history"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) <= 1, plan
+    assert "Join" not in plan, plan
+    assert len(read_schemas(df)) == 1, read_schemas(df)
+
+
+def test_winsorize_is_window_plus_broadcast_joinback(spark, sf_dir):
+    from broadway_kinesis_spark.plans import (
+        broadcast_join_count,
+        formatted_plan,
+        shuffle_count,
+    )
+
+    df = QUERIES["window_winsorize"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 1, plan  # bounds ride back broadcast
+    assert shuffle_count(df) <= 2, plan
+
+
+def test_time_decay_anchor_broadcasts_single_exchange(spark, sf_dir):
+    from broadway_kinesis_spark.plans import formatted_plan, shuffle_count
+
+    df = QUERIES["agg_time_decay"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan  # anchor is broadcast-NLJ
+    assert shuffle_count(df) <= 2, plan
+
+
+def test_asof_tolerance_nulls_stale_matches_but_keeps_rows(spark, sf_dir):
+    """Every purchase row survives (left semantics); matches older than
+    the bound are nulled with attributed=False; gaps within the bound are
+    non-negative and <= the bound."""
+    from broadway_kinesis_spark.operators.asof import TOL_MIN, US_PER_MIN
+
+    base = {r.purchase_id: r for r in QUERIES["asof_join"](spark, sf_dir).collect()}
+    tol = {r.purchase_id: r for r in QUERIES["asof_join_tolerance"](spark, sf_dir).collect()}
+    assert set(base) == set(tol)
+    bound = TOL_MIN * US_PER_MIN
+    n_nulled = 0
+    for pid, r in tol.items():
+        if r.attributed:
+            assert 0 <= r.gap_us <= bound
+            assert r.view_id == base[pid].view_id
+        else:
+            assert r.view_id is None and r.gap_us is None
+            if base[pid].view_id is not None:
+                n_nulled += 1  # had a match, too old
+    assert n_nulled > 0, "tolerance must actually null some stale matches"

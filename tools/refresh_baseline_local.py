@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Regenerate BASELINE_local.json from ONE paired bench session.
+
+ADVICE r4 #1: the previous file mixed keys measured in different sessions
+with run metadata describing only one of them. This tool runs the full
+paired bench (Spark + DuckDB, identical SQL/parquet, min-of-N each —
+exactly `SPARK_GRAFT_BENCH_DUCKDB=1 python bench.py`) and writes
+BASELINE_local.json with explicit provenance plus the two ratios the
+round-4 verdict asked to be stated side by side:
+
+- `comparable_ratio`       Spark/DuckDB over every paired key;
+- `comparable_ratio_ex_minhash`  the same EXCLUDING dedup_minhash_lsh and
+  dedup_ngram_jaccard (the two keys where DuckDB is slow and would
+  flatter the aggregate) — the floor-dominated remainder, stated so the
+  headline number is never carried by one query.
+
+Run on a quiet host at round freeze: `python tools/refresh_baseline_local.py`.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import subprocess
+import sys
+
+_REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SLOW_DUCK_KEYS = ("dedup_minhash_lsh", "dedup_ngram_jaccard")
+
+
+def main() -> None:
+    env = dict(os.environ, SPARK_GRAFT_BENCH_DUCKDB="1")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(_REPO_DIR, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = proc.stdout.strip().splitlines()[-1]
+    out = json.loads(line)
+
+    duck = out.get("duckdb_queries", {})
+    paired = {k: v for k, v in out["queries"].items() if k in duck}
+    s_tot = sum(paired.values())
+    d_tot = sum(duck[k] for k in paired)
+    core = {k: v for k, v in paired.items() if k not in SLOW_DUCK_KEYS}
+    s_core = sum(core.values())
+    d_core = sum(duck[k] for k in core)
+
+    out["provenance"] = {
+        "generated_by": "tools/refresh_baseline_local.py",
+        "date": _dt.date.today().isoformat(),
+        "single_session": True,
+        "note": (
+            "every Spark and DuckDB key in this file comes from the ONE "
+            "paired bench.py run described by n/cold_total_sec above; no "
+            "keys were appended from other sessions"
+        ),
+    }
+    out["comparable_ratio"] = round(s_tot / d_tot, 3) if d_tot else None
+    out["comparable_ratio_ex_minhash"] = (
+        round(s_core / d_core, 3) if d_core else None
+    )
+    out["comparable_ratio_ex_minhash_keys_excluded"] = list(SLOW_DUCK_KEYS)
+
+    path = os.path.join(_REPO_DIR, "BASELINE_local.json")
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(
+        f"wrote {path}: spark {s_tot:.2f}s vs duckdb {d_tot:.2f}s "
+        f"(ratio {out['comparable_ratio']}; ex-slow-duck "
+        f"{out['comparable_ratio_ex_minhash']})"
+    )
+
+
+if __name__ == "__main__":
+    main()
