@@ -27,29 +27,15 @@ extension beyond it.
 
 from __future__ import annotations
 
-import hashlib
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.functions.numeric import lsum, sql_lsum
+from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
 from broadway_kinesis_spark.registry import query
 from broadway_kinesis_spark.session import load
 
 N_BUCKETS = 8
-
-
-def _corpus_sig(sf_dir: str) -> str:
-    parts = []
-    for t in ("orders", "lineitem"):
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        try:
-            st = os.stat(p)
-            parts.append(f"{p}:{st.st_mtime_ns}:{st.st_size}")
-        except OSError:
-            parts.append(p)
-    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
 
 
 def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -57,31 +43,19 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     Both sides bucket AND sort by the join key with the same bucket count —
     the layout Spark requires to elide both the exchange and the sort of a
-    sort-merge join."""
-    sig = _corpus_sig(sf_dir)
+    sort-merge join. Build/idempotence/orphan protocol:
+    functions/table_build.py."""
+    sig = corpus_sig(sf_dir, ("orders", "lineitem"))
     name_o, name_l = f"_bks_bkt_orders_{sig}", f"_bks_bkt_lineitem_{sig}"
     for name, table, key in (
         (name_o, "orders", "o_orderkey"),
         (name_l, "lineitem", "l_orderkey"),
     ):
-        if spark.catalog.tableExists(name):
-            continue
-        # Bucketing METADATA lives in the catalog; an earlier process's
-        # warehouse directory without a catalog entry is an orphan (the
-        # in-memory catalog dies with its session) and blocks managed-table
-        # creation (LOCATION_ALREADY_EXISTS) — clear it and rebuild.
-        wh = spark.conf.get("spark.sql.warehouse.dir", "")
-        loc = os.path.join(wh.removeprefix("file:"), name)
-        if os.path.isdir(loc):
-            import shutil
-
-            shutil.rmtree(loc, ignore_errors=True)
-        (
-            load(spark, sf_dir, table)
-            .write.bucketBy(N_BUCKETS, key)
-            .sortBy(key)
-            .mode("overwrite")
-            .saveAsTable(name)
+        ensure_table(
+            spark,
+            name,
+            lambda table=table: load(spark, sf_dir, table),
+            bucket_by=(N_BUCKETS, key),
         )
     return name_o, name_l
 

@@ -27,12 +27,10 @@ surface in the reference.
 
 from __future__ import annotations
 
-import hashlib
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
 from broadway_kinesis_spark.registry import query
 from broadway_kinesis_spark.session import load
 
@@ -142,16 +140,6 @@ def _finish(r: DataFrame) -> DataFrame:
     )
 
 
-def _graph_sig(sf_dir: str) -> str:
-    p = os.path.join(sf_dir, "lineitem.parquet")
-    try:
-        st = os.stat(p)
-        tag = f"{p}:{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        tag = p
-    return hashlib.md5(tag.encode()).hexdigest()[:10]
-
-
 def ensure_pagerank_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Create (once per corpus version) the bucketed PageRank storage:
 
@@ -161,9 +149,9 @@ def ensure_pagerank_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     - ``nodes(node)``: one row per node, bucketed on ``node`` — the
       rank-vector seed, co-located with the edge buckets from round 1.
 
-    Same pay-the-shuffle-once protocol as operators/bucketed.py (corpus
-    signature, catalog-checked idempotence, orphan-location cleanup)."""
-    sig = _graph_sig(sf_dir)
+    Build/idempotence/orphan protocol: functions/table_build.py (the
+    shared pay-the-shuffle-once machinery, same as bucketed.py)."""
+    sig = corpus_sig(sf_dir, ("lineitem",))
     name_e, name_n = f"_bks_pr_edges_{sig}", f"_bks_pr_nodes_{sig}"
     if spark.catalog.tableExists(name_e) and spark.catalog.tableExists(name_n):
         return name_e, name_n
@@ -180,20 +168,7 @@ def ensure_pagerank_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         (name_e, edges.join(deg, "src"), "src"),
         (name_n, deg.select(F.col("src").alias("node")), "node"),
     ):
-        if spark.catalog.tableExists(name):
-            continue
-        wh = spark.conf.get("spark.sql.warehouse.dir", "")
-        loc = os.path.join(wh.removeprefix("file:"), name)
-        if os.path.isdir(loc):
-            import shutil
-
-            shutil.rmtree(loc, ignore_errors=True)
-        (
-            df.write.bucketBy(N_BUCKETS, key)
-            .sortBy(key)
-            .mode("overwrite")
-            .saveAsTable(name)
-        )
+        ensure_table(spark, name, lambda df=df: df, bucket_by=(N_BUCKETS, key))
     return name_e, name_n
 
 

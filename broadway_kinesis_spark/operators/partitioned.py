@@ -26,13 +26,11 @@ extension beyond it.
 
 from __future__ import annotations
 
-import hashlib
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.functions.numeric import lsum, sql_lsum
+from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
 from broadway_kinesis_spark.registry import query
 from broadway_kinesis_spark.session import load
 
@@ -40,35 +38,16 @@ TARGET_TYPE = "purchase"
 US_PER_DAY = 86_400_000_000
 
 
-def _corpus_sig(sf_dir: str) -> str:
-    p = os.path.join(sf_dir, "events.parquet")
-    try:
-        st = os.stat(p)
-        tag = f"{p}:{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        tag = p
-    return hashlib.md5(tag.encode()).hexdigest()[:10]
-
-
 def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     """Create (once per corpus version) the event table partitioned by
-    ``event_type`` — same idempotence/orphan protocol as bucketed.py."""
-    name = f"_bks_part_events_{_corpus_sig(sf_dir)}"
-    if spark.catalog.tableExists(name):
-        return name
-    wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    loc = os.path.join(wh.removeprefix("file:"), name)
-    if os.path.isdir(loc):
-        import shutil
-
-        shutil.rmtree(loc, ignore_errors=True)
-    (
-        load(spark, sf_dir, "events")
-        .write.partitionBy("event_type")
-        .mode("overwrite")
-        .saveAsTable(name)
+    ``event_type``. Build/idempotence/orphan protocol:
+    functions/table_build.py."""
+    return ensure_table(
+        spark,
+        f"_bks_part_events_{corpus_sig(sf_dir, ('events',))}",
+        lambda: load(spark, sf_dir, "events"),
+        partition_by="event_type",
     )
-    return name
 
 
 @query(

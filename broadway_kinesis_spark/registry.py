@@ -88,6 +88,7 @@ def _load_all_modules() -> None:
         pipeline_ops,
         profiling,
         quantiles,
+        rangejoin,
         regression,
         relational,
         rolling,
@@ -154,6 +155,10 @@ _PRIORITY: tuple[str, ...] = (
     "window_winsorize", "agg_quantile_histogram", "cdc_scd2_history",
     "scan_partition_pruned", "agg_group_regression", "profile_columns",
     "asof_join_tolerance", "agg_time_decay",
+    "join_range_binned",
+    # (2) bucketed.py re-wired onto the shared table-build protocol this
+    # round (functions/table_build.py), staling its driver row
+    "join_bucketed",
     # (4) filler, oldest green rounds first — round-2 rows on files
     # untouched since, refreshed to current:
     "asof_join", "dedup_embedding_cosine", "dedup_fuzzy_prefix",
@@ -163,8 +168,7 @@ _PRIORITY: tuple[str, ...] = (
     # aggregates.py except the two noted) and the oldest textops rows.
     "pricing_summary", "agg_approx_distinct", "agg_approx_percentile",
     "agg_collect", "agg_cube", "agg_distinct_counts",
-    "agg_filtered_first_last", "agg_grouping_sets", "agg_rollup",
-    "agg_stats",
+    "agg_grouping_sets", "agg_rollup",
 )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot

@@ -471,3 +471,33 @@ def test_asof_tolerance_nulls_stale_matches_but_keeps_rows(spark, sf_dir):
             if base[pid].view_id is not None:
                 n_nulled += 1  # had a match, too old
     assert n_nulled > 0, "tolerance must actually null some stale matches"
+
+
+def test_range_binned_is_pure_equi_join_matching_plain_variant(spark, sf_dir):
+    """The rewrite contract: (1) the join condition is EQUI (user, bin) —
+    the inequality lives in a residual Filter, never in the join; (2) the
+    result set is row-for-row the plain inequality-join variant's."""
+    from broadway_kinesis_spark.plans import formatted_plan
+
+    df = QUERIES["join_range_binned"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # formatted-explain detail lists the equi keys: `bin` must be one of
+    # them — THAT is the rewrite (hashing distributes pairs by (user,
+    # bin), bounding per-bucket volume). Catalyst folds the residual range
+    # back into the hash join's extra condition, which is fine: it is
+    # evaluated per hash-matched pair, not used for distribution. What
+    # must never appear is a nested-loop/cartesian strategy.
+    key_lines = [l for l in plan.splitlines() if "keys" in l and "bin#" in l]
+    assert key_lines, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    binned = sorted(
+        (r.click_id, r.purchase_id, r.gap_us) for r in df.collect()
+    )
+    plain = sorted(
+        (r.click_id, r.purchase_id, r.gap_us)
+        for r in QUERIES["join_range_interval"](spark, sf_dir).collect()
+    )
+    # lossless rewrite (non-empty coverage comes from the sf0.01/sf0.1
+    # oracle runs — the sf0.001 fixture has no in-bound pair)
+    assert binned == plain
