@@ -88,7 +88,18 @@ def agg_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     merged = partials.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("cnt"))
-    cum = merged.select(
+    return quantiles_from_histogram(merged, QUANTILES)
+
+
+def quantiles_from_histogram(hist: DataFrame, quantiles=QUANTILES) -> DataFrame:
+    """Answer quantiles from a merged ``(bucket, cnt)`` histogram — the
+    exact integer threshold rule (first bucket whose cumulative count
+    reaches ``ceil(q*total/100)``). ONE implementation shared by the batch
+    operator above and the streaming state's ``serve_quantiles``
+    (streaming/histogram_state.py) so the rule can never diverge between
+    the two (the candidate_gen.py lesson). Runs on summary-sized rows."""
+    spark = hist.sparkSession
+    cum = hist.select(
         "bucket",
         "cnt",
         F.sum("cnt").over(Window.orderBy("bucket")).cast("long").alias("cum"),
@@ -96,7 +107,7 @@ def agg_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy()  # summary-sized: dozens of rows
         ).cast("long").alias("total"),
     )
-    qs = spark.createDataFrame([(q,) for q in QUANTILES], "q int")
+    qs = spark.createDataFrame([(q,) for q in quantiles], "q int")
     thresh = F.expr("(q * total + 99) div 100")
     return (
         cum.join(F.broadcast(qs), F.col("cum") >= thresh)

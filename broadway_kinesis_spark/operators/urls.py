@@ -17,8 +17,10 @@ Canonical form (applied piecewise, identical spec both engines):
 - scheme lowercased;
 - host lowercased, leading ``www.`` stripped, default port stripped
   (``:80`` iff http, ``:443`` iff https — a non-default port survives);
-- path: runs of ``/`` collapsed, trailing ``/index.html`` then trailing
-  ``/`` stripped, empty path becomes ``/``;
+- path: runs of ``/`` collapsed, then trailing ``/`` stripped, then any
+  trailing run of ``/index.html`` stripped (in THAT order, repeated-run
+  aware — the order that makes the form a fixed point), empty path
+  becomes ``/``;
 - query: params split on ``&``, tracking params dropped (``utm_*`` prefix
   or key in the pinned denylist), survivors SORTED (binary string order —
   identical in both engines) and rejoined; empty survivor set drops the
@@ -147,8 +149,13 @@ def canonicalize(url: Column) -> Column:
     ).otherwise(F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(host))
     path = F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
     path = F.regexp_replace(path, r"/{2,}", "/")
-    path = F.regexp_replace(path, r"/index\.html$", "")
+    # Trailing '/' strips BEFORE index.html (so '/a/index.html/' reaches
+    # the suffix rule), and the suffix rule strips REPEATED '/index.html'
+    # runs — both required for canon(canon(u)) == canon(u) (the fixed
+    # point the dedup relies on; a code-review pass caught the original
+    # order under-dedup'ing '/a/index.html/').
     path = F.regexp_replace(path, r"/$", "")
+    path = F.regexp_replace(path, r"(/index\.html)+$", "")
     path = F.when(path == "", "/").otherwise(path)
     rawq = F.regexp_extract(url, r"\?([^#]*)", 1)
     key = lambda p: F.substring_index(p, "=", 1)  # noqa: E731
@@ -206,11 +213,11 @@ _CANON_SQL = """
         CASE
           WHEN regexp_replace(regexp_replace(regexp_replace(
                  regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1),
-                 '/{2,}', '/', 'g'), '/index\\.html$', ''), '/$', '') = ''
+                 '/{2,}', '/', 'g'), '/$', ''), '(/index\\.html)+$', '') = ''
           THEN '/'
           ELSE regexp_replace(regexp_replace(regexp_replace(
                  regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1),
-                 '/{2,}', '/', 'g'), '/index\\.html$', ''), '/$', '')
+                 '/{2,}', '/', 'g'), '/$', ''), '(/index\\.html)+$', '')
         END AS path,
         array_to_string(
           list_sort(

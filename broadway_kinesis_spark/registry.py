@@ -173,11 +173,16 @@ _PRIORITY: tuple[str, ...] = (
 
 # Queries whose staleness rule demands a window slot but which the 50-slot
 # window cannot hold. Round 5: EMPTY — rotating round 4's eleven deferrals
-# back in was this round's first registry change, and the remaining demand
-# (one graph row, nine similarity-family rows staled by the shared-helper
-# refactor, three never-green round-5 operators) fits with 26 slots left
-# over for the oldest-green filler. test_registry_window.py keeps enforcing
-# that any future overflow must be declared here explicitly.
+# back in was this round's first registry change; by freeze the demand is
+# 11 rotated + 10 similarity/graph rows staled by this round's refactors
+# (shared candidate generator, bucketed PageRank, table_build) + 2
+# rows staled by file edits (join_bucketed via the table_build rewire,
+# asof_join via the tolerance addition) + 13 never-green round-5
+# operators = 36 required, leaving 14 slots of oldest-green filler
+# (mechanically re-derived from test_registry_window._required() at
+# freeze; earlier drafts of this comment predate the 5b/5c batches).
+# test_registry_window.py keeps enforcing that any future overflow must
+# be declared here explicitly.
 _DEFERRED: tuple[str, ...] = ()
 
 

@@ -77,32 +77,38 @@ def fold_batch_into_histogram(
     if batch_id <= committed_batch_id(state_dir):
         return v  # at-least-once replay of an already-committed batch
 
+    # persist: the emptiness probe and the snapshot write would otherwise
+    # each re-run the batch aggregation (code-review finding — two full
+    # batch scans on the hot path)
     partial = (
         batch_df.select(F.floor(F.col("value") / W).cast("long").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    if partial.isEmpty():
-        # an idle trigger advances NO watermark: an empty replay of batch N
-        # must not fence out the real batch N's later replay with rows —
-        # Spark replays a batch with identical content, so if THIS run saw
-        # it empty, every replay will; skipping the commit is safe and
-        # avoids a state rewrite per idle tick.
-        return v
-    prev = read_snapshot(spark, state_dir)
-    merged = (
-        prev.unionByName(partial)
-        .groupBy("bucket")
-        .agg(F.sum("cnt").cast("long").alias("cnt"))
-        if prev is not None
-        else partial.select("bucket", F.col("cnt").cast("long").alias("cnt"))
-    )
+    ).persist()
+    try:
+        if partial.isEmpty():
+            # an idle trigger advances NO watermark: an empty replay of
+            # batch N must not fence out the real batch N's later replay
+            # with rows — Spark replays a batch with identical content, so
+            # if THIS run saw it empty, every replay will; skipping the
+            # commit is safe and avoids a state rewrite per idle tick.
+            return v
+        prev = read_snapshot(spark, state_dir)
+        merged = (
+            prev.unionByName(partial)
+            .groupBy("bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            if prev is not None
+            else partial.select("bucket", F.col("cnt").cast("long").alias("cnt"))
+        )
 
-    new_v = v + 1
-    new_dir = os.path.join(state_dir, f"v={new_v}")
-    if os.path.exists(new_dir):  # leftover from a crash before the flip
-        shutil.rmtree(new_dir)
-    merged.write.parquet(new_dir)
+        new_v = v + 1
+        new_dir = os.path.join(state_dir, f"v={new_v}")
+        if os.path.exists(new_dir):  # leftover from a crash before the flip
+            shutil.rmtree(new_dir)
+        merged.write.parquet(new_dir)
+    finally:
+        partial.unpersist()
     with open(os.path.join(new_dir, _META), "w", encoding="utf-8") as f:
         json.dump({"last_batch_id": batch_id}, f)
         f.flush()
@@ -120,28 +126,12 @@ def histogram_state_sink(state_dir: str):
 
 
 def serve_quantiles(spark, state_dir: str, quantiles=(50, 90, 99)) -> DataFrame:
-    """Answer quantiles from the live histogram state — same exact integer
-    threshold rule as the batch operator (first bucket whose cumulative
-    count reaches ceil(q*total/100)); runs entirely on summary-sized rows."""
-    from pyspark.sql import Window
+    """Answer quantiles from the live histogram state — THE SAME
+    implementation as the batch operator (quantiles_from_histogram), so
+    the threshold rule can never diverge between batch and streaming."""
+    from broadway_kinesis_spark.operators.quantiles import quantiles_from_histogram
 
     hist = read_snapshot(spark, state_dir)
     if hist is None:
         raise FileNotFoundError(f"no histogram state at {state_dir}")
-    cum = hist.select(
-        "bucket",
-        "cnt",
-        F.sum("cnt").over(Window.orderBy("bucket")).cast("long").alias("cum"),
-        F.sum("cnt").over(Window.partitionBy()).cast("long").alias("total"),
-    )
-    qs = spark.createDataFrame([(q,) for q in quantiles], "q int")
-    thresh = F.expr("(q * total + 99) div 100")
-    return (
-        cum.join(F.broadcast(qs), F.col("cum") >= thresh)
-        .groupBy("q")
-        .agg(
-            F.min("bucket").alias("est_bucket"),
-            (F.min("bucket") * W + W).alias("est_upper"),
-            F.min("total").alias("total_count"),
-        )
-    )
+    return quantiles_from_histogram(hist, quantiles)

@@ -101,12 +101,22 @@ def _recording_commit(rnd: int) -> str:
         # The driver drops CORRECTNESS_r{N}.json into the worktree mid-cycle,
         # BEFORE the builder's next session commits it (VERDICT r4 #1: the
         # suite must never go red solely because of that uncommitted file).
-        # Fold it in with HEAD as the recording point. Sound under the round
-        # protocol (commit the artifact FIRST, before any operator edit): at
-        # that moment HEAD is exactly the freeze commit the driver measured.
-        # If operator commits ever landed before the artifact commit, HEAD
-        # would over-trust those edits for one session — the protocol, not
-        # this fallback, is what prevents that.
+        # Fold it in with HEAD as the recording point — but ONLY for a file
+        # that is genuinely UNTRACKED (the mid-cycle drop). A TRACKED file
+        # with no add-commit means rewritten/lost history and must still
+        # fail loudly: silently substituting HEAD there would diff against
+        # the wrong point and let stale rows pass as current (code-review
+        # finding). Sound under the round protocol (commit the artifact
+        # FIRST, before any operator edit): at the drop moment HEAD is
+        # exactly the freeze commit the driver measured.
+        tracked = subprocess.run(
+            ["git", "ls-files", "--error-unmatch", f"CORRECTNESS_r{rnd:02d}.json"],
+            cwd=REPO, capture_output=True, text=True,
+        ).returncode == 0
+        assert not tracked, (
+            f"CORRECTNESS_r{rnd:02d}.json is tracked but no commit adds it "
+            "(rewritten history?) — refusing to guess a recording point"
+        )
         return _git("rev-parse", "HEAD").strip()
     return out.splitlines()[0]
 

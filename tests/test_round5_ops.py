@@ -74,10 +74,18 @@ def test_url_canonicalization_is_idempotent(spark):
         "HTTPS://www.Site4.Example.ORG:443//products//login/?fbclid=x&id=9#t",
         "http://a.b//",
         "http://a.b/index.html?utm_a=1",
+        # adversarial order/repetition cases (code-review finding: the
+        # original strip order broke the fixed point on these)
+        "http://h.c/a/index.html/",
+        "http://h.c/index.html/index.html",
+        "http://h.c/a//index.html",
     ]
     once = _canon(spark, messy)
     twice = _canon(spark, once)
     assert once == twice
+    assert once[3] == "http://h.c/a"  # '/a/index.html/' == '/a/' == '/a'
+    assert once[4] == "http://h.c/"
+    assert once[5] == "http://h.c/a"
 
 
 def test_url_all_params_tracking_drops_query_entirely(spark):

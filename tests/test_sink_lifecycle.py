@@ -72,11 +72,19 @@ def test_all_four_sinks_keep_file_count_bounded(spark, tmp_path, tight_trigger):
     # a bounded set of bucket/day files.
     dedup_bound = TRIGGER + 8
     n_compactions = 0
+    prev_count = 0
     for i in range(N_BATCHES):
         docs = _doc_batch(spark, i)
         dedup_batch_against_index(docs, exact_idx, exact_acc)
+        # compaction runs at the START of the dedup body, so a drop from
+        # last batch's post-append count proves it actually fired
+        # (code-review finding: the original detector compared a count to
+        # itself and could never trigger)
+        count_now = maintenance.parquet_file_count(exact_idx)
+        if count_now < prev_count:
+            n_compactions += 1
+        prev_count = count_now
         neardup_batch_against_index(docs, near_idx, near_acc)
-        before = maintenance.parquet_file_count(exact_idx)
         upsert_batch_into_snapshot(
             spark.createDataFrame(
                 pd.DataFrame(
@@ -95,8 +103,6 @@ def test_all_four_sinks_keep_file_count_bounded(spark, tmp_path, tight_trigger):
             ),
             sketch_state,
         )
-        if before <= TRIGGER and maintenance.parquet_file_count(exact_idx) < before:
-            n_compactions += 1
         # the bound must hold DURING the run, not just at the end
         for store in (exact_idx, exact_acc, near_acc):
             assert _parquet_files_under(store) <= dedup_bound, (store, i)
@@ -107,8 +113,10 @@ def test_all_four_sinks_keep_file_count_bounded(spark, tmp_path, tight_trigger):
             assert len(versions) <= 2, (snap, i, versions)
             assert _parquet_files_under(snap) <= 64, (snap, i)
 
-    # compaction actually ran for the append stores (the trigger was
-    # crossed repeatedly at N_BATCHES appends vs TRIGGER files)
+    # compaction actually RAN, repeatedly (18 appends vs a 6-file trigger):
+    # the file-count drops observed between batches are the proof, not
+    # just the bound holding
+    assert n_compactions >= 2, n_compactions
     assert maintenance.parquet_file_count(exact_idx) <= dedup_bound
     # and no state was lost to any compaction/GC along the way:
     acc = spark.read.parquet(exact_acc)
