@@ -28,10 +28,17 @@ Canonical form (applied piecewise, identical spec both engines):
 - fragment dropped.
 
 Exactness: pure string algebra — regexp_extract/regexp_replace/split/
-filter/sort/concat — no floats anywhere. The one cross-engine trap is
-regexp_replace's default scope: Spark replaces ALL matches, DuckDB only
-the FIRST without the ``'g'`` flag — every multi-match pattern in the
-oracle passes ``'g'`` explicitly.
+filter/sort/concat — no floats anywhere. Cross-engine traps, each pinned
+by the property fuzz (tests/test_url_properties.py, which drives random
+adversarial URLs through BOTH engines):
+- regexp_replace default scope: Spark replaces ALL matches, DuckDB only
+  the FIRST without the ``'g'`` flag — every multi-match pattern in the
+  oracle passes ``'g'`` explicitly;
+- empty-list join: Spark ``array_join([], sep)`` is ``''`` but DuckDB
+  ``array_to_string([], sep)`` is NULL, which would NULL the whole
+  concatenated URL for a query string made entirely of tracking params —
+  the oracle COALESCEs it (found by the fuzz; the synthesizer's regular
+  URLs never hit it).
 
 Scale posture: canonicalization is a stateless projection (whole-stage
 codegen, no UDF, no shuffle); each query then pays exactly one exchange
@@ -219,7 +226,7 @@ _CANON_SQL = """
                  regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1),
                  '/{2,}', '/', 'g'), '/$', ''), '(/index\\.html)+$', '')
         END AS path,
-        array_to_string(
+        COALESCE(array_to_string(
           list_sort(
             list_filter(
               string_split(regexp_extract(raw_url, '\\?([^#]*)', 1), '&'),
@@ -228,7 +235,7 @@ _CANON_SQL = """
                             OR split_part(p, '=', 1)
                                IN ('gclid', 'fbclid', 'ref', 'mc_eid'))
             )
-          ), '&') AS canon_qs
+          ), '&'), '') AS canon_qs
 """
 
 
