@@ -91,3 +91,96 @@ def window_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("in"))
         .alias("clip"),
     )
+
+
+# -- the scale path: histogram-bounded winsorization -------------------------
+
+W_BIN = 10.0  # bucket width for the binned variant (binary-exact double)
+
+
+@query(
+    "window_winsorize_binned",
+    oracle=f"""
+    WITH hist AS (
+        SELECT event_type,
+               CAST(FLOOR(value / {W_BIN}) AS BIGINT) AS bucket,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, bucket, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM hist
+    ), bounds AS (
+        SELECT event_type,
+               MIN(CASE WHEN cum >= ({Q_LO} * n + 99) // 100
+                        THEN bucket END) * {W_BIN} AS lo_edge,
+               (MIN(CASE WHEN cum >= ({Q_HI} * n + 99) // 100
+                         THEN bucket END) + 1) * {W_BIN} AS hi_edge
+        FROM cum GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value,
+           CASE WHEN value < lo_edge THEN lo_edge
+                WHEN value > hi_edge THEN hi_edge
+                ELSE value END AS value_w,
+           CASE WHEN value < lo_edge THEN 'lo'
+                WHEN value > hi_edge THEN 'hi'
+                ELSE 'in' END AS clip
+    FROM events e JOIN bounds USING (event_type)
+    """,
+)
+def window_winsorize_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path the exact variant's docstring promises for skewed
+    groups: winsorize against per-group HISTOGRAM quantile bounds instead
+    of a per-group sort. Bounds snap to bucket edges — the p{Q_LO} bucket's
+    LOWER edge and the p{Q_HI} bucket's UPPER edge, so every value the
+    exact variant keeps is also kept here (the band only widens, by at
+    most one bucket width per side — the conservative direction for a
+    clipping guard).
+
+    Plan shape: one map-side-combinable (group, bucket) aggregation —
+    rows never sort, a single giant group costs the same as a small one —
+    then a cumulative window over SUMMARY-sized rows and a broadcast
+    join-back. Same two-level mergeable-summary machinery as
+    operators/quantiles.py, applied per group."""
+    events = load(spark, sf_dir, "events")
+    hist = (
+        events.select(
+            "event_type",
+            F.floor(F.col("value") / W_BIN).cast("long").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = Window.partitionBy("event_type").orderBy("bucket")
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bucket",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    lo_rank = F.expr(f"({Q_LO} * n + 99) div 100")
+    hi_rank = F.expr(f"({Q_HI} * n + 99) div 100")
+    bounds = cum.groupBy("event_type").agg(
+        (F.min(F.when(F.col("cum") >= lo_rank, F.col("bucket"))) * W_BIN).alias(
+            "lo_edge"
+        ),
+        ((F.min(F.when(F.col("cum") >= hi_rank, F.col("bucket"))) + 1) * W_BIN).alias(
+            "hi_edge"
+        ),
+    )
+    e = events.select("event_id", "event_type", "value")
+    return e.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("value") < F.col("lo_edge"), F.col("lo_edge"))
+        .when(F.col("value") > F.col("hi_edge"), F.col("hi_edge"))
+        .otherwise(F.col("value"))
+        .alias("value_w"),
+        F.when(F.col("value") < F.col("lo_edge"), F.lit("lo"))
+        .when(F.col("value") > F.col("hi_edge"), F.lit("hi"))
+        .otherwise(F.lit("in"))
+        .alias("clip"),
+    )

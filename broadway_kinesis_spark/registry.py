@@ -155,7 +155,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_winsorize", "agg_quantile_histogram", "cdc_scd2_history",
     "scan_partition_pruned", "agg_group_regression", "profile_columns",
     "asof_join_tolerance", "agg_time_decay",
-    "join_range_binned",
+    "join_range_binned", "window_winsorize_binned",
     # (2) bucketed.py re-wired onto the shared table-build protocol this
     # round (functions/table_build.py), staling its driver row
     "join_bucketed",
@@ -163,7 +163,6 @@ _PRIORITY: tuple[str, ...] = (
     # untouched since, refreshed to current:
     "asof_join", "dedup_embedding_cosine", "dedup_fuzzy_prefix",
     "dedup_incremental", "dedup_minhash_lsh", "sample_hash_split",
-    "udf_pandas_vectorized",
     # (4) filler, round-3 greens: the aggregates family (every row below is
     # aggregates.py except the two noted) and the oldest textops rows.
     "pricing_summary", "agg_approx_distinct", "agg_approx_percentile",

