@@ -1,0 +1,95 @@
+"""Global anti-pattern sweep over EVERY registered query's plan.
+
+Rounds 3 and 4's verdicts ran this audit by hand ("no unbounded collects,
+no cartesians, no row-UDFs on data-sized input"); this test mechanizes it
+so a regression in ANY of the 130+ registered queries — including the 80+
+outside the driver's 50-slot hash window — fails CI the moment it is
+introduced. Construction-only: plans are built, never executed.
+
+Whitelists are EXPLICIT and name the reason, so adding an entry is a
+reviewed decision, not an accident:
+- cartesian/broadcast-NLJ: the deliberate cross-join operator, the
+  1-row/scalar broadcast anchors, and the K-row centroid assignments —
+  every one bounded by construction (verdict r4 audit);
+- row-at-a-time Python eval: only the UDF-surface demonstrators, which
+  exist to expose that API tier;
+- Arrow-batch Python (MapInPandas/pandas UDFs): the multimodal decoders,
+  matmul tiers, and UDF demonstrators — the sanctioned vectorized path.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from broadway_kinesis_spark.plans import formatted_plan
+
+QUERIES = entrymod.queries()
+
+#: queries allowed a CartesianProduct / BroadcastNestedLoopJoin, and why
+CARTESIAN_OK = {
+    "join_cross": "IS the cross-join operator (25x25 dims)",
+    "join_theta": "non-equi theta predicate over two small dims",
+    "similarity_ann_ivf_probe": "K-row centroid set assignment (K<=8)",
+    "similarity_ann_lsh": "1-row hyperplane-profile anchor",
+    "similarity_kmeans": "K-row centroid set per unrolled round",
+    "dedup_semantic": "K-row seed-centroid assignment (SemDedup blocking)",
+    "text_unigram_logprob": "1-row corpus-total anchor (broadcast)",
+    "agg_time_decay": "1-row anchor-day scalar (broadcast)",
+    "dedup_embedding_cosine": "K-row centroid blocking anchor",
+    "agg_quantile_histogram": "3-row quantile-literal join vs cum>=thresh",
+    "window_rolling_distinct": "day-sketch range self-join (tiny summary)",
+    "similarity_ann_ivf_persisted": "stored K-row centroid broadcast",
+    "dedup_boilerplate": "boiler-segment array as a 1-row broadcast",
+    "pipeline_clean_corpus": "composes the 1-row quality-profile anchor",
+    "mine_hard_negatives": "anchor-matrix scalar anchors (N_ANCHORS rows)",
+    "similarity_topk_cosine": (
+        "broadcast 20-row query set joined non-equi (self-pair exclusion) —"
+        " the deliberate brute-force baseline the ANN variants exist to beat"
+    ),
+    "text_lang_id": "5 language profiles pivoted into a 1-row broadcast",
+    "text_tfidf_topk": "1-row corpus-size N anchor (broadcast)",
+}
+
+#: queries allowed row-at-a-time Python (BatchEvalPython), and why
+ROW_PYTHON_OK = {
+    "udf_python_row": "the row-UDF surface demonstrator itself",
+    "udf_table_function": "the UDTF surface demonstrator",
+}
+
+#: queries allowed Arrow-batched Python, and why
+ARROW_PYTHON_OK = {
+    "udf_pandas_vectorized": "the pandas-UDF surface demonstrator",
+    "similarity_topk_cosine_pandas": "matmul tier-1 (mapInPandas)",
+    "mine_hard_negatives": "matmul tier-1 (mapInPandas)",
+    "multimodal_image_stats": "pure-Python PPM/BMP decode (mapInPandas)",
+    "multimodal_audio_stats": "pure-Python WAV decode (mapInPandas)",
+    "multimodal_byte_features": "binary feature extraction (mapInPandas)",
+    "multimodal_frame_sample": "frame sampling over binary (mapInPandas)",
+    "multimodal_metadata_stats": "metadata decode (mapInPandas)",
+    "similarity_quantize_int8": "vectorized quantization path",
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_silent_antipatterns(spark, sf_dir, name):
+    plan = formatted_plan(QUERIES[name](spark, sf_dir))
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        assert name in CARTESIAN_OK, (
+            f"{name} plans a cartesian/NLJ and is not whitelisted:\n{plan}"
+        )
+    if "BatchEvalPython" in plan:
+        assert name in ROW_PYTHON_OK, (
+            f"{name} plans row-at-a-time Python and is not whitelisted:\n{plan}"
+        )
+    if "MapInPandas" in plan or "ArrowEvalPython" in plan:
+        assert name in ARROW_PYTHON_OK, (
+            f"{name} plans Arrow-batched Python and is not whitelisted:\n{plan}"
+        )
+
+
+def test_whitelists_reference_only_registered_queries():
+    registered = set(QUERIES)
+    for wl in (CARTESIAN_OK, ROW_PYTHON_OK, ARROW_PYTHON_OK):
+        stale = set(wl) - registered
+        assert not stale, f"whitelist entries for unregistered queries: {stale}"
