@@ -70,6 +70,7 @@ def _load_all_modules() -> None:
         asof,
         bucketed,
         cdc,
+        chunking,
         classifier,
         clustering,
         composite,
@@ -155,14 +156,14 @@ _PRIORITY: tuple[str, ...] = (
     "window_winsorize", "agg_quantile_histogram", "cdc_scd2_history",
     "scan_partition_pruned", "agg_group_regression", "profile_columns",
     "asof_join_tolerance", "agg_time_decay",
-    "join_range_binned", "window_winsorize_binned",
+    "join_range_binned", "window_winsorize_binned", "text_chunk_overlap",
     # (2) bucketed.py re-wired onto the shared table-build protocol this
     # round (functions/table_build.py), staling its driver row
     "join_bucketed",
     # (4) filler, oldest green rounds first — round-2 rows on files
     # untouched since, refreshed to current:
     "asof_join", "dedup_embedding_cosine", "dedup_fuzzy_prefix",
-    "dedup_incremental", "dedup_minhash_lsh", "sample_hash_split",
+    "dedup_incremental", "dedup_minhash_lsh",
     # (4) filler, round-3 greens: the aggregates family (every row below is
     # aggregates.py except the two noted) and the oldest textops rows.
     "pricing_summary", "agg_approx_distinct", "agg_approx_percentile",

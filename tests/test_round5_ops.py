@@ -528,3 +528,44 @@ def test_binned_winsorize_band_contains_exact_band_and_no_sort(spark, sf_dir):
         if b.clip != "in":
             # binned clamp lands within one bucket of the exact bound
             assert abs(b.value_w - e.value_w) < W_BIN, (eid, b, e)
+
+
+def test_chunk_overlap_covers_every_word_with_exact_overlap(spark, sf_dir):
+    """Every word index of every document falls in >= 1 chunk; consecutive
+    chunks overlap by exactly CHUNK_W - STRIDE (when both are full); and
+    concatenating each chunk's first STRIDE words (plus the last chunk's
+    tail) reconstructs the lowercased document."""
+    from collections import defaultdict
+
+    from broadway_kinesis_spark.operators.chunking import CHUNK_W, STRIDE
+    from broadway_kinesis_spark.session import load
+
+    rows = QUERIES["text_chunk_overlap"](spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.text.lower().split(" ")
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r.doc_id].append(r)
+    assert set(by_doc) == set(docs)
+    for did, chunks in by_doc.items():
+        words = docs[did]
+        chunks.sort(key=lambda r: r.chunk_id)
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        rebuilt = []
+        for c in chunks:
+            assert c.start_word == c.chunk_id * STRIDE
+            assert c.chunk_words == min(len(words) - c.start_word, CHUNK_W)
+            assert c.chunk_text == " ".join(
+                words[c.start_word : c.start_word + CHUNK_W]
+            )
+            rebuilt.extend(
+                words[c.start_word : c.start_word + STRIDE]
+                if c is not chunks[-1]
+                else words[c.start_word :]
+            )
+        assert rebuilt == words, did
+        # full coverage: the last chunk reaches the document's end
+        last = chunks[-1]
+        assert last.start_word + last.chunk_words == len(words)
