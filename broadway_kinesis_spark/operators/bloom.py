@@ -1,0 +1,109 @@
+"""Bitmap-prefiltered benchmark decontamination — sketch-gated probing.
+
+``dedup_decontaminate`` (operators/pipeline_ops.py) broadcasts the
+benchmark's distinct-gram SET and probes every corpus gram against it.
+That is right while the eval set is KBs — but the same pipeline shape
+recurs with reference sets too big to broadcast as strings (dedup against
+a prior snapshot's gram table, URL blocklists, seen-document digests).
+The engine answer is the Bloom-filter gate Spark's optimizer injects for
+shuffle joins (``spark.sql.optimizer.runtime.bloomFilter.enabled``) —
+made EXPLICIT here from public primitives, because the internal
+``bloom_filter_agg`` is not exposed in the function registry:
+
+1. fold the reference grams into a hashed BITMAP — position
+   ``xxhash64(gram) mod M`` sets one bit; bits pack 64-per-row via
+   ``bit_or(shiftleft(1, pos % 64))`` grouped on ``pos div 64``. This is
+   a 1-hash Bloom filter: for n reference grams and M bits the false-
+   positive rate is ~n/M (M = 2^24 here → <1% at fixture scale), and the
+   bitmap is BITS, not strings — ≤ n rows of two longs, broadcastable
+   long after the string set is not;
+2. gate the corpus gram stream: equi-join on the word index (broadcast),
+   keep grams whose bit is set — the stateless prefilter that drops the
+   (at 100 TB, overwhelming) clean majority before any expensive join;
+3. exact-verify ONLY the survivors against the true gram set, which
+   removes the bitmap's false positives — so the final answer is
+   bit-identical to the unfiltered operator, proven by reusing ITS
+   oracle verbatim (the same lossless-rewrite hash proof as
+   join_range_binned).
+
+Scale posture: step 2 turns the probe join's input from |corpus grams|
+into ~|true hits| + FPR x |corpus grams|; the exact verify can then
+afford a SHUFFLED join even when the reference set cannot broadcast.
+
+Reference parity: [TGT] — no relational surface in the reference; engine
+extension beyond it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from broadway_kinesis_spark.operators.pipeline_ops import (
+    BENCH_CUT,
+    NGRAM,
+    _word_ngrams,
+)
+from broadway_kinesis_spark.registry import query
+from broadway_kinesis_spark.session import load
+
+M_BITS = 1 << 24  # bitmap size: FPR ~ n/M (1-hash Bloom)
+
+
+def _pos(gram):
+    return F.pmod(F.xxhash64(gram), F.lit(M_BITS))
+
+
+def _decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bench_grams = (
+        _word_ngrams(d.filter(F.col("doc_id") < BENCH_CUT), NGRAM)
+        .select("gram")
+        .distinct()
+    )
+    bitmap = (
+        bench_grams.select(_pos(F.col("gram")).alias("pos"))
+        .select(
+            F.expr("pos div 64").alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    corp_grams = _word_ngrams(d.filter(F.col("doc_id") >= BENCH_CUT), NGRAM).distinct()
+    probe = corp_grams.withColumn("pos", _pos(F.col("gram"))).select(
+        "doc_id",
+        "gram",
+        F.expr("pos div 64").alias("word"),
+        F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+    )
+    candidates = (
+        probe.join(F.broadcast(bitmap), "word")  # inner join: unset word -> gone
+        .filter((F.col("bits").bitwiseAND(F.col("mask"))) != 0)
+        .select("doc_id", "gram")
+    )
+    hits = (
+        candidates.join(F.broadcast(bench_grams), "gram")  # exact verify
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    corpus = d.filter(F.col("doc_id") >= BENCH_CUT).select("doc_id")
+    n_shared = F.coalesce(F.col("n_shared_grams"), F.lit(0).cast("long"))
+    return corpus.join(hits, "doc_id", "left").select(
+        "doc_id",
+        n_shared.alias("n_shared_grams"),
+        (n_shared > 0).alias("contaminated"),
+    )
+
+
+def _register() -> None:
+    # Reuse the plain operator's oracle SQL verbatim: the registry stores
+    # it once pipeline_ops registers (the top-of-module import guarantees
+    # that ordering) — the driver hash proves the gated plan is lossless.
+    from broadway_kinesis_spark import registry
+
+    plain = registry.REGISTRY["dedup_decontaminate"]
+    query("dedup_decontaminate_bloom", oracle=plain.oracle)(_decontaminate_bloom)
+
+
+_register()

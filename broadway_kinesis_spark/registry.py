@@ -68,6 +68,7 @@ def _load_all_modules() -> None:
         aggregates,
         ann_persist,
         asof,
+        bloom,
         bucketed,
         cdc,
         chunking,
@@ -157,13 +158,14 @@ _PRIORITY: tuple[str, ...] = (
     "scan_partition_pruned", "agg_group_regression", "profile_columns",
     "asof_join_tolerance", "agg_time_decay",
     "join_range_binned", "window_winsorize_binned", "text_chunk_overlap",
+    "dedup_decontaminate_bloom",
     # (2) bucketed.py re-wired onto the shared table-build protocol this
     # round (functions/table_build.py), staling its driver row
     "join_bucketed",
     # (4) filler, oldest green rounds first — round-2 rows on files
     # untouched since, refreshed to current:
     "asof_join", "dedup_embedding_cosine", "dedup_fuzzy_prefix",
-    "dedup_incremental", "dedup_minhash_lsh",
+    "dedup_minhash_lsh",
     # (4) filler, round-3 greens: the aggregates family (every row below is
     # aggregates.py except the two noted) and the oldest textops rows.
     "pricing_summary", "agg_approx_distinct", "agg_approx_percentile",

@@ -569,3 +569,46 @@ def test_chunk_overlap_covers_every_word_with_exact_overlap(spark, sf_dir):
         # full coverage: the last chunk reaches the document's end
         last = chunks[-1]
         assert last.start_word + last.chunk_words == len(words)
+
+
+def test_bloom_prefilter_prunes_and_never_drops_a_true_hit(spark, sf_dir):
+    """The gate's two contracts: (1) LOSSLESS — the final output equals
+    the ungated operator's row-for-row (also hash-proven by the shared
+    oracle); (2) SELECTIVE — the candidate gram stream after the bitmap
+    gate is a small fraction of the corpus grams (FPR ~ n/M) while still
+    a superset of the true shared grams."""
+    from broadway_kinesis_spark.operators.bloom import M_BITS, _pos
+    from broadway_kinesis_spark.operators.pipeline_ops import (
+        BENCH_CUT,
+        NGRAM,
+        _word_ngrams,
+    )
+    from broadway_kinesis_spark.session import load
+
+    gated = sorted(
+        (r.doc_id, r.n_shared_grams, r.contaminated)
+        for r in QUERIES["dedup_decontaminate_bloom"](spark, sf_dir).collect()
+    )
+    plain = sorted(
+        (r.doc_id, r.n_shared_grams, r.contaminated)
+        for r in QUERIES["dedup_decontaminate"](spark, sf_dir).collect()
+    )
+    assert gated == plain
+
+    d = load(spark, sf_dir, "documents")
+    bench = (
+        _word_ngrams(d.filter(F.col("doc_id") < BENCH_CUT), NGRAM)
+        .select("gram").distinct()
+    )
+    corp = _word_ngrams(d.filter(F.col("doc_id") >= BENCH_CUT), NGRAM).distinct()
+    n_corp = corp.count()
+    true_hits = corp.join(bench, "gram").count()
+    bench_pos = bench.select(F.expr(f"pmod(xxhash64(gram), {M_BITS})").alias("p"))
+    cand = (
+        corp.withColumn("p", _pos(F.col("gram")))
+        .join(bench_pos.distinct(), "p")
+        .count()
+    )
+    assert cand >= true_hits  # superset: no true hit gated away
+    # selective: false positives are a small multiple of n/M
+    assert cand <= true_hits + max(50, n_corp // 20), (cand, true_hits, n_corp)
