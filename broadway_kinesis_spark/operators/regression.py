@@ -18,11 +18,15 @@ functions/numeric.py scaled-long trick) — and the closed forms
     intercept = (ΣyΣx² − ΣxΣxy) / (nΣx² − (Σx)²)
     r²        = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
 
-are evaluated as exact-integer numerators/denominators cast to double at
-the LAST step (each factor < 2^53, so the casts are exact and the final
-divisions are single correctly-rounded IEEE ops — bit-identical across
-engines; r²'s squares are multiplied in double to dodge int64 overflow,
-exactly the same way both sides).
+are evaluated with EVERY statistic cast to double BEFORE any product:
+each statistic is individually exact as a double (< 2^53 up to ~1 B rows
+per group at this value range — the documented bound), and from there
+every multiply/subtract/divide is a correctly-rounded IEEE op with the
+identical expression shape in both engines, so results hash bit-equal.
+Products of raw BIGINTs would be exact only at toy scale: ``n·Σy²``
+overflows int64 already at ~10x the bench corpus (caught by the x100
+scaling run — with ANSI off the overflow would WRAP SILENTLY), so
+double-domain products are the scale-correct form, not a compromise.
 
 Scale posture: one exchange (the groupBy), constant state per group, no
 window, no join. The sufficient-statistic shape is also what makes the
@@ -64,13 +68,24 @@ US_PER_DAY = 86_400_000_000
         FROM pts GROUP BY event_type
     )
     SELECT event_type, n, sx, sy,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day,
-           CAST(sy * sxx - sx * sxy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept_cents,
-           (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
-               / (CAST(n * sxx - sx * sx AS DOUBLE)
-                  * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               AS slope_cents_per_day,
+           (CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               AS intercept_cents,
+           ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+               / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
     FROM s
     """,
 )
@@ -91,18 +106,21 @@ def agg_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syyd = F.col("syy").cast("double")
+    num = nd * sxyd - sxd * syd
+    den = nd * sxxd - sxd * sxd
+    den_y = nd * syyd - syd * syd
     return s.select(
         "event_type",
         "n",
         "sx",
         "sy",
         (num / den).alias("slope_cents_per_day"),
-        (
-            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
-            / den
-        ).alias("intercept_cents"),
+        ((syd * sxxd - sxd * sxyd) / den).alias("intercept_cents"),
         ((num * num) / (den * den_y)).alias("r2"),
     )
