@@ -82,8 +82,14 @@ def _decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("bits").bitwiseAND(F.col("mask"))) != 0)
         .select("doc_id", "gram")
     )
+    # Exact verify with NO broadcast hint: the module's whole premise is a
+    # reference set too big to broadcast as strings, so the verify join
+    # must be allowed to shuffle — AQE broadcasts it anyway at fixture
+    # scale, and at deployment scale the candidates side is already tiny
+    # (post-gate), making the shuffled join cheap (code-review finding:
+    # the original force-broadcast contradicted the design).
     hits = (
-        candidates.join(F.broadcast(bench_grams), "gram")  # exact verify
+        candidates.join(bench_grams, "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )

@@ -164,7 +164,10 @@ def canonicalize(url: Column) -> Column:
     path = F.regexp_replace(path, r"/$", "")
     path = F.regexp_replace(path, r"(/index\.html)+$", "")
     path = F.when(path == "", "/").otherwise(path)
-    rawq = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # anchored before the fragment: a '?' INSIDE the fragment must not
+    # leak fragment content into the query (code-review finding —
+    # 'http://h/p#a/b?c' is the same page as 'http://h/p')
+    rawq = F.regexp_extract(url, r"^[^#]*?\?([^#]*)", 1)
     key = lambda p: F.substring_index(p, "=", 1)  # noqa: E731
     params = F.array_sort(
         F.filter(
@@ -229,7 +232,7 @@ _CANON_SQL = """
         COALESCE(array_to_string(
           list_sort(
             list_filter(
-              string_split(regexp_extract(raw_url, '\\?([^#]*)', 1), '&'),
+              string_split(regexp_extract(raw_url, '^[^#]*?\\?([^#]*)', 1), '&'),
               p -> p <> ''
                    AND NOT (substr(split_part(p, '=', 1), 1, 4) = 'utm_'
                             OR split_part(p, '=', 1)

@@ -93,6 +93,18 @@ def test_url_all_params_tracking_drops_query_entirely(spark):
     assert out == ["http://h.c/p"]
 
 
+def test_url_question_mark_inside_fragment_is_not_a_query(spark):
+    """A '?' after '#' belongs to the fragment, which drops entirely —
+    'http://h/p#a/b?c' is the same page as 'http://h/p' (code-review
+    finding: the unanchored extract leaked fragment content into the
+    canonical query)."""
+    out = _canon(
+        spark,
+        ["http://h.c/p#a/b?c", "http://h.c/p#top", "http://h.c/p?x=1#a?b"],
+    )
+    assert out == ["http://h.c/p", "http://h.c/p", "http://h.c/p?x=1"]
+
+
 def test_url_root_path_and_host_extraction(spark):
     assert _canon(spark, ["http://www.H.Co", "http://h.co//index.html"]) == [
         "http://h.co/",
@@ -526,8 +538,14 @@ def test_binned_winsorize_band_contains_exact_band_and_no_sort(spark, sf_dir):
         if e.clip == "in":
             assert b.clip == "in", eid
         if b.clip != "in":
-            # binned clamp lands within one bucket of the exact bound
-            assert abs(b.value_w - e.value_w) < W_BIN, (eid, b, e)
+            # binned clamp lands within one bucket of the exact bound.
+            # lo side is strict (p_lo ∈ [lo_edge, lo_edge + W_BIN)); hi
+            # side reaches exactly W_BIN when the exact p_hi lands on a
+            # bucket's lower edge (hi_edge = next edge) — so <=.
+            if b.clip == "lo":
+                assert abs(b.value_w - e.value_w) < W_BIN, (eid, b, e)
+            else:
+                assert abs(b.value_w - e.value_w) <= W_BIN, (eid, b, e)
 
 
 def test_chunk_overlap_covers_every_word_with_exact_overlap(spark, sf_dir):
