@@ -199,3 +199,32 @@ def test_priority_names_all_registered():
     registered = set(registry.queries())
     missing = [n for n in registry._PRIORITY if n not in registered]
     assert not missing
+
+
+def test_window_invariants_survive_an_uncommitted_driver_artifact():
+    """VERDICT r4 #1/#2 end-to-end: when the driver drops a NEW
+    CORRECTNESS_r*.json into the worktree (untracked, uncommitted), the
+    staleness machinery must fold it in with HEAD as the recording point
+    — all-green rows recorded at HEAD are maximally CURRENT, so the
+    window demand can only shrink, never explode — and the suite's
+    invariants must hold exactly as they did before the drop."""
+    import shutil
+
+    src = os.path.join(REPO, "CORRECTNESS_r04.json")
+    sim = os.path.join(REPO, "CORRECTNESS_r98.json")
+    assert not os.path.exists(sim)
+    required_before = _required()
+    shutil.copy(src, sim)
+    try:
+        # the simulated artifact is untracked -> _recording_commit must
+        # fall back to HEAD, not assert
+        assert _recording_commit(98) == _git("rev-parse", "HEAD").strip()
+        required_after = _required()
+        # rows green in the simulated round are green AT HEAD -> their
+        # queries can only leave the required set, never join it
+        assert required_after <= required_before
+        # and the window invariant itself still holds
+        outside = required_after - set(registry._PRIORITY)
+        assert outside == set(registry._DEFERRED)
+    finally:
+        os.remove(sim)
