@@ -78,6 +78,53 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     )
 
 
+def _top_level_bracket_group_bodies(line: str) -> list[str]:
+    """Bodies of top-level ``[...]`` groups in a formatted-plan line."""
+    bodies: list[str] = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(line):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                bodies.append(line[start:i])
+            depth = max(0, depth)
+    return bodies
+
+
+def unpartitioned_window_count(plan_or_df) -> int:
+    """Number of ``Window`` physical nodes with NO partition spec.
+
+    A global window moves every row to one partition ("No Partition Defined
+    for Window operation" at runtime) — the classic silent scale-killer. In
+    ``explain("formatted")`` a Window node's Arguments line carries
+    ``[exprs], [part], [order]`` when partitioned+ordered, ``[exprs], [part]``
+    when partitioned-unordered, ``[exprs], [order]`` when GLOBAL-ordered, and
+    ``[exprs]`` alone when global-unordered. With two groups the cases are
+    disambiguated by sort-direction tokens (`` ASC``/`` DESC``), which a
+    partition-column list never carries. Bounded global uses (row_number<=K
+    over an aggregate, cumsum over summary-sized input) must be whitelisted
+    by the sweep, not silently allowed.
+    """
+    plan = plan_or_df if isinstance(plan_or_df, str) else formatted_plan(plan_or_df)
+    count = 0
+    # Plain Window nodes only: WindowGroupLimit's Arguments are
+    # [part], [order], fn, k, mode (2 groups even when partitioned), and a
+    # GLOBAL group-limit lowers to TakeOrderedAndProject, never reaching here.
+    for m in re.finditer(r"\(\d+\) Window *\n(?:[^\n]+\n)*?Arguments: ([^\n]*)", plan):
+        groups = _top_level_bracket_group_bodies(m.group(1))
+        if len(groups) >= 3:
+            continue  # [exprs], [part], [order]
+        if len(groups) == 2 and not re.search(r" (?:ASC|DESC)\b", groups[1]):
+            continue  # [exprs], [part] — partitioned, unordered frame
+        count += 1
+    return count
+
+
 def assert_plan(
     df: DataFrame,
     *,

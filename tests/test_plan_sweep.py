@@ -23,6 +23,7 @@ import pytest
 
 import __spark_entry__ as entrymod
 from broadway_kinesis_spark.plans import formatted_plan
+from broadway_kinesis_spark.plans.audit import unpartitioned_window_count
 
 QUERIES = entrymod.queries()
 
@@ -71,6 +72,42 @@ ARROW_PYTHON_OK = {
 }
 
 
+#: queries allowed per-group Arrow Python (FlatMapGroupsInPandas /
+#: PythonMapInArrow / FlatMapGroupsInPandasWithState), and why. Verdict r5
+#: flagged that the sweep's Python-node patterns silently exempted this
+#: whole execution-node family; every entry must state its boundedness.
+GROUPED_PYTHON_OK = {
+    "dedup_embedding_cosine": (
+        "applyInPandas per CENTROID BLOCK: group count = K centroids, each"
+        " group a blocked candidate set, not the corpus (dedup.py)"
+    ),
+    "dedup_semantic": (
+        "applyInPandas per SemDedup cluster: K-seed blocking bounds each"
+        " group; pairwise work is within-cluster only (semantic.py)"
+    ),
+}
+
+#: queries allowed an UNPARTITIONED Window node, and why bounded. A global
+#: window moves all rows to one partition — allowed only over provably
+#: summary-sized input (post-aggregation top-k, summary cumsum).
+GLOBAL_WINDOW_OK = {
+    "url_host_topk": (
+        "row_number<=K over the per-host AGGREGATE (distinct hosts, not"
+        " pages); lowers to WindowGroupLimit/TakeOrdered at runtime"
+    ),
+    "text_vocab_coverage": (
+        "cumsum over the corpus VOCABULARY aggregate (distinct tokens),"
+        " orders of magnitude below corpus size"
+    ),
+    "text_vocab_topk": (
+        "row_number<=K over the vocabulary aggregate — WindowGroupLimit path"
+    ),
+    "agg_quantile_histogram": (
+        "cumsum over histogram BUCKET rows (fixed bucket count, summary-sized)"
+    ),
+}
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_silent_antipatterns(spark, sf_dir, name):
     plan = formatted_plan(QUERIES[name](spark, sf_dir))
@@ -86,10 +123,72 @@ def test_no_silent_antipatterns(spark, sf_dir, name):
         assert name in ARROW_PYTHON_OK, (
             f"{name} plans Arrow-batched Python and is not whitelisted:\n{plan}"
         )
+    if (
+        "FlatMapGroupsInPandas" in plan  # also matches ...WithState
+        or "PythonMapInArrow" in plan
+        or "MapInArrow" in plan
+    ):
+        assert name in GROUPED_PYTHON_OK, (
+            f"{name} plans grouped/Arrow-map Python and is not whitelisted:\n{plan}"
+        )
+    n_global = unpartitioned_window_count(plan)
+    if n_global:
+        assert name in GLOBAL_WINDOW_OK, (
+            f"{name} plans {n_global} UNPARTITIONED Window node(s) (all rows"
+            f" to one partition) and is not whitelisted:\n{plan}"
+        )
 
 
 def test_whitelists_reference_only_registered_queries():
     registered = set(QUERIES)
-    for wl in (CARTESIAN_OK, ROW_PYTHON_OK, ARROW_PYTHON_OK):
+    for wl in (
+        CARTESIAN_OK,
+        ROW_PYTHON_OK,
+        ARROW_PYTHON_OK,
+        GROUPED_PYTHON_OK,
+        GLOBAL_WINDOW_OK,
+    ):
         stale = set(wl) - registered
         assert not stale, f"whitelist entries for unregistered queries: {stale}"
+
+
+# ---------------------------------------------------------------------------
+# Injected violations: prove each sweep pattern actually FIRES. These build
+# tiny violating plans directly (not via the registry) and assert the same
+# detection logic the sweep uses flags them — so a regex typo can't silently
+# disarm the fence.
+# ---------------------------------------------------------------------------
+
+
+def test_sweep_detects_injected_grouped_python(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).withColumn("g", F.col("id") % 2)
+
+    def ident(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pdf
+
+    bad = df.groupBy("g").applyInPandas(ident, schema=df.schema)
+    plan = formatted_plan(bad)
+    assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_sweep_detects_injected_map_in_arrow(spark):
+    df = spark.range(10)
+    bad = df.mapInArrow(lambda it: it, schema=df.schema)
+    plan = formatted_plan(bad)
+    assert "PythonMapInArrow" in plan or "MapInArrow" in plan, plan
+
+
+def test_sweep_detects_injected_global_window(spark):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.range(10)
+    bad = df.withColumn("s", F.sum("id").over(W.orderBy("id")))
+    assert unpartitioned_window_count(bad) == 1
+    good = df.withColumn("g", F.col("id") % 2).withColumn(
+        "s", F.sum("id").over(W.partitionBy(F.col("id") % 2).orderBy("id"))
+    )
+    assert unpartitioned_window_count(good) == 0
