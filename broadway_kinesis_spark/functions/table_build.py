@@ -44,6 +44,28 @@ def corpus_sig(sf_dir: str, tables: tuple[str, ...]) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
 
 
+#: owner marker written into each built table location. Underscore-prefixed
+#: files are invisible to Spark's file listing (like _SUCCESS), so it rides
+#: inside the managed dir without affecting reads.
+_OWNER_MARKER = "_BKS_OWNER"
+
+
+def _location_owner(loc: str) -> int | None:
+    try:
+        with open(os.path.join(loc, _OWNER_MARKER), encoding="ascii") as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except OSError:
+        return False
+    return True
+
+
 def ensure_table(
     spark: SparkSession,
     name: str,
@@ -54,15 +76,34 @@ def ensure_table(
 ) -> str:
     """Create the layout table once (idempotent per session/corpus): bucket
     and sort on ``bucket_by=(n, key)``, or hive-partition on
-    ``partition_by`` — returns ``name`` for ``spark.table(...)``."""
+    ``partition_by`` — returns the table name for ``spark.table(...)``.
+
+    Orphan cleanup is OWNERSHIP-CHECKED (ADVICE r5): two concurrent Spark
+    processes sharing one warehouse dir (parallel pytest + bench) have
+    invisible-to-each-other in-memory catalogs, so "no catalog entry" does
+    NOT prove a location is orphaned. Each build stamps its pid into an
+    ``_BKS_OWNER`` marker; an unmatched location whose owner pid is still
+    alive belongs to a live sibling session and is left untouched — this
+    process diverts to a pid-scoped table name instead. Markerless or
+    dead-owner locations are true orphans and are cleared as before.
+    """
     if spark.catalog.tableExists(name):
         return name
     wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    loc = os.path.join(wh.removeprefix("file:"), name)
+    wh_base = wh.removeprefix("file:")
+    loc = os.path.join(wh_base, name)
     if os.path.isdir(loc):
-        import shutil
+        owner = _location_owner(loc)
+        if owner is not None and owner != os.getpid() and _pid_alive(owner):
+            # A live sibling session owns this location: do NOT delete it.
+            name = f"{name}_p{os.getpid()}"
+            if spark.catalog.tableExists(name):
+                return name
+            loc = os.path.join(wh_base, name)
+        if os.path.isdir(loc):
+            import shutil
 
-        shutil.rmtree(loc, ignore_errors=True)
+            shutil.rmtree(loc, ignore_errors=True)
     writer = build().write.mode("overwrite")
     if bucket_by is not None:
         n, key = bucket_by
@@ -70,4 +111,9 @@ def ensure_table(
     if partition_by is not None:
         writer = writer.partitionBy(partition_by)
     writer.saveAsTable(name)
+    try:
+        with open(os.path.join(loc, _OWNER_MARKER), "w", encoding="ascii") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        pass  # marker is best-effort; absence just means eager orphan cleanup
     return name

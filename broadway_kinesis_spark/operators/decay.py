@@ -6,17 +6,22 @@ smoothly instead of falling off a window cliff. Computed per
 ``event_type`` over ``events`` with age in whole days behind the
 corpus's own latest day.
 
-Exactness — the textstats.py one-transcendental-then-quantize pattern:
-age is an exact integer day difference; the decay factor is quantized
-ONCE per distinct age to integer micro-units,
-``ROUND(EXP(−(Λ_NUM·age)/Λ_DEN) · 1e6)`` (the exp input is one exact
-int-by-int division, so both engines feed exp the identical double; a
-1-ULP exp divergence cannot move the micro-unit rounding), and the
-decayed sum is then an EXACT integer Σ(cents · decay_micro) — order-free,
-partial-aggregation-proof — with one final division to a double score.
+Exactness — PROVABLY identical in both engines (ADVICE r5): the decay
+factor per integer age is not computed by each engine's ``exp`` (a 1-ULP
+libm divergence could in principle flip ``ROUND(x·1e6)`` at a .5
+boundary). Instead the whole finite weight table
+``w6[age] = half_up(e^(−λ·age)·1e6)`` is computed ONCE driver-side at
+import (λ = 0.05/day ⇒ w6 rounds to 0 for every age ≥ 291, so the table
+has 291 entries) and broadcast as IDENTICAL literals to both engines —
+an array literal indexed by age in the Spark plan, the same list literal
+in the oracle SQL. From there the decayed sum is an EXACT integer
+Σ(cents · w6) — order-free, partial-aggregation-proof — with one final
+division to a double score. Hash equality is by construction, not by
+libm agreement.
 
 Scale posture: the anchor day (max event day) is a scalar aggregate that
-broadcasts onto the scan; the decayed sum is one map-side-combinable
+broadcasts onto the scan; the weight table is a ~291-element literal in
+the projection (no join); the decayed sum is one map-side-combinable
 exchange. At 100 TB the decayed partials are NOT mergeable across runs
 (age shifts as the anchor moves) — the deployment recipe is per-day
 partials of raw Σcents (mergeable) decayed at READ time by the then-
@@ -30,6 +35,8 @@ extension beyond it.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,6 +46,24 @@ from broadway_kinesis_spark.session import load
 US_PER_DAY = 86_400_000_000
 L_NUM, L_DEN = 5, 100  # λ = 0.05/day as an exact ratio (half-life ~14 days)
 D_SCALE = 1_000_000  # decay factors quantized to micro-units
+
+
+def _build_w6_table() -> list[int]:
+    """w6[age] = round-half-up(e^(−λ·age)·1e6) for every age with a
+    non-zero weight. e^(−λ·age) is monotone decreasing, so the first age
+    rounding to 0 bounds the table; all later ages contribute 0."""
+    out: list[int] = []
+    age = 0
+    while True:
+        w = math.floor(math.exp(-(age * L_NUM) / L_DEN) * D_SCALE + 0.5)
+        if w == 0:
+            return out
+        out.append(w)
+        age += 1
+
+
+W6_TABLE = _build_w6_table()  # 291 entries at λ=0.05
+_W6_SQL_LIST = "[" + ", ".join(str(w) for w in W6_TABLE) + "]"
 
 
 @query(
@@ -53,8 +78,10 @@ D_SCALE = 1_000_000  # decay factors quantized to micro-units
         SELECT MAX(day_id) AS d0 FROM pts
     ), weighted AS (
         SELECT event_type, cents,
-               CAST(ROUND(EXP(-CAST((d0 - day_id) * {L_NUM} AS DOUBLE)
-                               / {L_DEN}) * {D_SCALE}) AS BIGINT) AS w6
+               CASE WHEN d0 - day_id < {len(W6_TABLE)}
+                    THEN list_extract(CAST({_W6_SQL_LIST} AS BIGINT[]),
+                                      CAST(d0 - day_id + 1 AS INTEGER))
+                    ELSE 0 END AS w6
         FROM pts, anchor
     )
     SELECT event_type,
@@ -69,8 +96,9 @@ D_SCALE = 1_000_000  # decay factors quantized to micro-units
 )
 def agg_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-weighted value per event_type: each event's cents weighted
-    by e^(−0.05·age_days) quantized to micro-units; ``decayed_micro`` is
-    the exact integer accumulator, ``decayed_value`` its float rendering."""
+    by the driver-computed micro-unit table ``W6_TABLE[age_days]`` (0 past
+    its end); ``decayed_micro`` is the exact integer accumulator,
+    ``decayed_value`` its float rendering."""
     events = load(spark, sf_dir, "events")
     pts = events.select(
         "event_type",
@@ -78,10 +106,13 @@ def agg_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     anchor = pts.agg(F.max("day_id").alias("d0"))
-    w6 = F.round(
-        F.exp(-((F.col("d0") - F.col("day_id")) * L_NUM).cast("double") / L_DEN)
-        * D_SCALE
-    ).cast("long")
+    age = F.col("d0") - F.col("day_id")
+    w6 = F.when(
+        age < len(W6_TABLE),
+        F.element_at(
+            F.lit(W6_TABLE).cast("array<bigint>"), (age + 1).cast("int")
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
     weighted = pts.crossJoin(F.broadcast(anchor)).withColumn("w6", w6)
     return weighted.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

@@ -67,26 +67,24 @@ US_PER_DAY = 86_400_000_000
                CAST(SUM(y * y) AS BIGINT) AS syy
         FROM pts GROUP BY event_type
     )
+    , d AS (
+        SELECT event_type, n, sx, sy,
+               CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+               CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+               CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS den_y,
+               CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE) AS inum
+        FROM s
+    )
     SELECT event_type, n, sx, sy,
-           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-               AS slope_cents_per_day,
-           (CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
-               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-               AS intercept_cents,
-           ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-            * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
-               / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
-    FROM s
+           CASE WHEN den <> 0 THEN num / den END AS slope_cents_per_day,
+           CASE WHEN den <> 0 THEN inum / den END AS intercept_cents,
+           CASE WHEN den <> 0 AND den_y <> 0
+                THEN (num * num) / (den * den_y) END AS r2
+    FROM d
     """,
 )
 def agg_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,12 +113,16 @@ def agg_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = nd * sxyd - sxd * syd
     den = nd * sxxd - sxd * sxd
     den_y = nd * syyd - syd * syd
+    # Degenerate groups (ADVICE r5): all-equal x gives den = 0 (and constant
+    # y gives den_y = 0) — a 0-division would emit NaN/±Inf whose cross-engine
+    # hash equality rests on both engines' IEEE division-by-zero quirks.
+    # Both engines emit NULL instead, by the same CASE shape.
     return s.select(
         "event_type",
         "n",
         "sx",
         "sy",
-        (num / den).alias("slope_cents_per_day"),
-        ((syd * sxxd - sxd * sxyd) / den).alias("intercept_cents"),
-        ((num * num) / (den * den_y)).alias("r2"),
+        F.when(den != 0, num / den).alias("slope_cents_per_day"),
+        F.when(den != 0, (syd * sxxd - sxd * sxyd) / den).alias("intercept_cents"),
+        F.when((den != 0) & (den_y != 0), (num * num) / (den * den_y)).alias("r2"),
     )

@@ -36,6 +36,10 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     try:
         for t in TABLES:
             path = os.path.join(sf_dir, f"{t}.parquet")
+            if not os.path.exists(path):
+                continue  # synthetic fixture dirs carry only the tables they need
+            if os.path.isdir(path):
+                path = os.path.join(path, "*.parquet")  # Spark-written dir table
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
         return con.execute(sql).df()
     finally:

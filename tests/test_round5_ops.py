@@ -630,3 +630,51 @@ def test_bloom_prefilter_prunes_and_never_drops_a_true_hit(spark, sf_dir):
     assert cand >= true_hits  # superset: no true hit gated away
     # selective: false positives are a small multiple of n/M
     assert cand <= true_hits + max(50, n_corp // 20), (cand, true_hits, n_corp)
+
+
+def test_group_regression_degenerate_groups_emit_null(spark):
+    """ADVICE r5: all-equal x (single-day group) makes den = nΣx²−(Σx)² = 0
+    and constant y makes den_y = 0 — both engines must emit NULL, not the
+    IEEE 0-division NaN/±Inf whose cross-engine hash equality is accidental.
+    Verified against the DuckDB oracle on the same synthetic corpus."""
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from oracle_harness import compare, run_oracle
+
+    rows = [
+        # single_day: 3 points, same day -> den = 0 -> all three fits NULL
+        ("single_day", datetime(2024, 3, 1, 1), 1.0),
+        ("single_day", datetime(2024, 3, 1, 2), 2.0),
+        ("single_day", datetime(2024, 3, 1, 3), 9.0),
+        # const_y: 3 days, constant y -> den != 0, den_y = 0 -> r2 NULL only
+        ("const_y", datetime(2024, 3, 1), 5.0),
+        ("const_y", datetime(2024, 3, 2), 5.0),
+        ("const_y", datetime(2024, 3, 3), 5.0),
+        # normal: a perfect 2 cents/day line -> slope 2, r2 = 1
+        ("normal", datetime(2024, 3, 1), 1.00),
+        ("normal", datetime(2024, 3, 2), 1.02),
+        ("normal", datetime(2024, 3, 3), 1.04),
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        got = {
+            r.event_type: r
+            for r in QUERIES["agg_group_regression"](spark, td).collect()
+        }
+        oracle_pdf = run_oracle(entrymod.oracle_sql()["agg_group_regression"], td)
+        spark_pdf = QUERIES["agg_group_regression"](spark, td).toPandas()
+        compare(spark_pdf, oracle_pdf, name="agg_group_regression[degenerate]")
+    sd = got["single_day"]
+    assert sd.slope_cents_per_day is None
+    assert sd.intercept_cents is None
+    assert sd.r2 is None
+    cy = got["const_y"]
+    assert cy.slope_cents_per_day == 0.0
+    assert cy.intercept_cents == 500.0
+    assert cy.r2 is None
+    nm = got["normal"]
+    assert abs(nm.slope_cents_per_day - 2.0) < 1e-12
+    assert abs(nm.r2 - 1.0) < 1e-12
