@@ -82,6 +82,7 @@ def _load_all_modules() -> None:
         epoch_build,
         funnel,
         graph,
+        imagehash,
         interpolate,
         joins,
         multimodal,

@@ -69,6 +69,7 @@ ARROW_PYTHON_OK = {
     "multimodal_frame_sample": "frame sampling over binary (mapInPandas)",
     "multimodal_metadata_stats": "metadata decode (mapInPandas)",
     "similarity_quantize_int8": "vectorized quantization path",
+    "dedup_image_phash": "pure-Python PPM decode + dHash (mapInPandas)",
 }
 
 
