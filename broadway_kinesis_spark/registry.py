@@ -69,6 +69,7 @@ def _load_all_modules() -> None:
         ann_persist,
         asof,
         bloom,
+        bpe_train,
         bucketed,
         cdc,
         chunking,

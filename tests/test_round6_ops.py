@@ -105,3 +105,74 @@ def test_image_phash_plan_one_arrow_stage_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+# ------------------------------------------------------------- BPE training
+def _bpe_reference(texts: list[str], n_merges: int):
+    """Pure-Python Sennrich-style BPE: freq-weighted adjacent pair counts
+    over the vocab, deterministic (count DESC, pair ASC) pick, left-to-right
+    non-overlapping merge."""
+    import collections
+    import re
+
+    from broadway_kinesis_spark.operators.textops import _BPE_PAT
+
+    vocab = collections.Counter()
+    for t in texts:
+        vocab.update(re.findall(_BPE_PAT, t.lower()))
+    words = {w: list(w) for w in vocab}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = collections.Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += vocab[w]
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, cnt))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def test_bpe_train_matches_python_reference_on_crafted_corpus(spark):
+    texts = [
+        "banana bandana banana",
+        "a banana and a bandana",
+        "nan nan banana!",
+    ]
+    expected = _bpe_reference(texts, 8)
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        got = [
+            (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+            for r in QUERIES["text_bpe_train"](spark, td)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+    assert got == expected
+    # merged symbols must actually grow: later merges may combine earlier
+    # outputs (the whole point of BPE over pair counting)
+    assert any(len(a) + len(b) > 2 for _, a, b, _ in got), got
+
+
+def test_bpe_train_fixture_merges_are_plausible(spark, sf_dir):
+    rows = QUERIES["text_bpe_train"](spark, sf_dir).orderBy("merge_rank").collect()
+    assert len(rows) == 8
+    assert [r.merge_rank for r in rows] == list(range(1, 9))
+    # counts are non-increasing only per-round-optimality is NOT implied
+    # (a merge can create a new dominant pair), but every count is positive
+    # and every symbol non-empty
+    for r in rows:
+        assert r.pair_count > 0
+        assert r.left_sym and r.right_sym
