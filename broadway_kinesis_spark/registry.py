@@ -104,6 +104,7 @@ def _load_all_modules() -> None:
         sketch_merge,
         skew,
         subqueries,
+        substring_spans,
         textops,
         textstats,
         urls,

@@ -176,3 +176,70 @@ def test_bpe_train_fixture_merges_are_plausible(spark, sf_dir):
     for r in rows:
         assert r.pair_count > 0
         assert r.left_sym and r.right_sym
+
+
+# ------------------------------------------------------- substring spans
+def _span_mask_reference(texts: dict[int, str], k: int, min_docs: int):
+    """Brute-force span flagging + token-position mask union."""
+    toks = {d: t.lower().split(" ") for d, t in texts.items()}
+    spans = {
+        d: [" ".join(l[i : i + k]) for i in range(len(l) - k + 1)]
+        for d, l in toks.items()
+    }
+    by_span: dict[str, set[int]] = {}
+    for d, ss in spans.items():
+        for s in ss:
+            by_span.setdefault(s, set()).add(d)
+    out = {}
+    for d, l in toks.items():
+        flagged = [i for i, s in enumerate(spans[d]) if len(by_span[s]) >= min_docs]
+        masked = set()
+        for i in flagged:
+            masked.update(range(i, i + k))
+        out[d] = (
+            len(l),
+            len(spans[d]),
+            len(flagged),
+            len(masked),
+            len(masked) / len(l),
+        )
+    return out
+
+
+def test_substring_spans_matches_python_reference(spark):
+    from broadway_kinesis_spark.operators.substring_spans import K_SPAN, MIN_DOCS
+
+    shared_run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = {
+        0: "intro words here " + shared_run + " tail one two three",
+        1: "completely different lead in text " + shared_run,
+        2: "no overlap with anybody at all in this short document text",
+        3: "tiny doc",  # shorter than K_SPAN -> zero spans
+    }
+    expected = _span_mask_reference(texts, K_SPAN, MIN_DOCS)
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            r.doc_id: (
+                r.n_tokens,
+                r.n_spans,
+                r.n_shared_spans,
+                r.n_masked_tokens,
+                r.masked_frac,
+            )
+            for r in QUERIES["dedup_substring_spans"](spark, td).collect()
+        }
+    assert got == expected
+    # the construction really exercises the interesting cases
+    assert expected[0][3] > 0 and expected[2][3] == 0 and expected[3][1] == 0
+
+
+def test_substring_spans_plan_no_python_no_cartesian(spark, sf_dir):
+    from broadway_kinesis_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["dedup_substring_spans"](spark, sf_dir))
+    for bad in ("BatchEvalPython", "MapInPandas", "ArrowEvalPython",
+                "FlatMapGroupsInPandas", "CartesianProduct",
+                "BroadcastNestedLoopJoin"):
+        assert bad not in plan, (bad, plan)
