@@ -23,8 +23,8 @@ Crash anywhere keeps the invariant: before the flip, ``_CURRENT`` names
 the old version whose watermark is one batch behind — the replayed batch
 folds onto it exactly once; after the flip, the watermark covers the
 batch and the replay is a no-op. This is the standard transactional
-recipe for non-idempotent foreachBatch sinks, kept hermetic on the same
-versioned-snapshot/atomic-pointer protocol as streaming/upsert.py.
+recipe for non-idempotent foreachBatch sinks, kept hermetic on the shared
+versioned-snapshot/atomic-pointer protocol (streaming/snapshot_store.py).
 
 Scale posture: the per-batch fold aggregates the BATCH map-side to
 (bucket, cnt) partials and outer-merges them with the summary-sized state
@@ -33,36 +33,18 @@ Scale posture: the per-batch fold aggregates the BATCH map-side to
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.operators.quantiles import W
-from broadway_kinesis_spark.streaming.upsert import (
-    _flip_pointer_and_gc,
+from broadway_kinesis_spark.streaming.snapshot_store import (  # noqa: F401
+    commit_snapshot_version,
+    committed_batch_id,  # re-exported: the fence's public read side
     current_version,
     read_snapshot,
 )
-
-_META = "_META"
-
-
-def committed_batch_id(state_dir: str) -> int:
-    """High-water mark of the current version (-1 before any commit, or
-    for pre-fence versions without a _META)."""
-    v = current_version(state_dir)
-    if v < 0:
-        return -1
-    try:
-        with open(
-            os.path.join(state_dir, f"v={v}", _META), encoding="utf-8"
-        ) as f:
-            return int(json.load(f)["last_batch_id"])
-    except FileNotFoundError:
-        return -1
 
 
 def fold_batch_into_histogram(
@@ -101,19 +83,13 @@ def fold_batch_into_histogram(
             if prev is not None
             else partial.select("bucket", F.col("cnt").cast("long").alias("cnt"))
         )
-
-        new_v = v + 1
-        new_dir = os.path.join(state_dir, f"v={new_v}")
-        if os.path.exists(new_dir):  # leftover from a crash before the flip
-            shutil.rmtree(new_dir)
-        merged.write.parquet(new_dir)
+        # commit_snapshot_version stamps _META (fsynced) BEFORE the pointer
+        # flip — the ordering the fence invariant rests on.
+        return commit_snapshot_version(
+            merged, state_dir, v, meta={"last_batch_id": batch_id}
+        )
     finally:
         partial.unpersist()
-    with open(os.path.join(new_dir, _META), "w", encoding="utf-8") as f:
-        json.dump({"last_batch_id": batch_id}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    return _flip_pointer_and_gc(state_dir, v, new_v)
 
 
 def histogram_state_sink(state_dir: str):

@@ -8,7 +8,7 @@ a persistent per-day sketch snapshot, and rolling distinct counts are
 served from the stored blobs alone — zero raw-event re-reads, at any
 window width, across query restarts.
 
-State layout and crash posture are inherited from streaming/upsert.py's
+State layout and crash posture are inherited from streaming/snapshot_store.py's
 versioned-snapshot/atomic-pointer protocol (``commit_snapshot_version``):
 each batch writes a NEW version of the (day_id, sk) table and flips
 ``_CURRENT``; a crash at any point leaves a complete version, and replay
@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from broadway_kinesis_spark.streaming.upsert import (
+from broadway_kinesis_spark.streaming.snapshot_store import (
     commit_snapshot_version,
     current_version,
     read_snapshot,

@@ -53,12 +53,20 @@ file-level rewrite + commit log, kept hermetic on plain parquet. At
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_CURRENT = "_CURRENT"
+from broadway_kinesis_spark.streaming.snapshot_store import (  # noqa: F401
+    commit_snapshot_version,  # re-exported: rolling_sketch-era public name
+    current_version,
+    flip_pointer_and_gc as _flip_pointer_and_gc,
+    link_tree as _link_tree,
+    prepare_version_dir as _prepare_version_dir,
+    read_snapshot,
+    read_snapshot_raw as _read_snapshot_raw,
+)
+
 
 #: columns a change row must carry: key -> (user_id, event_type),
 #: ordering -> (ts, seq), payload -> value.
@@ -78,46 +86,6 @@ def _kb(col: str = "user_id"):
     return F.pmod(F.col(col), F.lit(N_KB)).cast("int")
 
 
-def current_version(snapshot_dir: str) -> int:
-    """Version named by the pointer; -1 when no snapshot exists yet.
-
-    Only a MISSING pointer means bootstrap. An unparsable pointer is
-    corruption (e.g. a non-atomic copy/restore of the directory) and must
-    fail loudly — treating it as -1 would silently rebuild the snapshot
-    from the next batch alone, discarding all accumulated state."""
-    try:
-        with open(os.path.join(snapshot_dir, _CURRENT), encoding="utf-8") as f:
-            raw = f.read().strip()
-    except FileNotFoundError:
-        return -1
-    try:
-        return int(raw)
-    except ValueError as exc:
-        raise RuntimeError(
-            f"corrupted snapshot pointer {snapshot_dir}/{_CURRENT}: {raw!r} "
-            "(refusing to reset state; restore the pointer or remove the "
-            "snapshot directory deliberately)"
-        ) from exc
-
-
-def read_snapshot(spark, snapshot_dir: str) -> DataFrame | None:
-    """The rows of the current snapshot version (None before any commit).
-    Drops the ``kb`` partition column when present, so callers see the
-    logical schema whether the version is bucketed (this sink) or flat
-    (rolling_sketch.py shares the pointer protocol, not the layout)."""
-    df = _read_snapshot_raw(spark, snapshot_dir)
-    if df is not None and "kb" in df.columns:
-        df = df.drop("kb")
-    return df
-
-
-def _read_snapshot_raw(spark, snapshot_dir: str) -> DataFrame | None:
-    v = current_version(snapshot_dir)
-    if v < 0:
-        return None
-    return spark.read.parquet(os.path.join(snapshot_dir, f"v={v}"))
-
-
 def _latest_per_key(df: DataFrame) -> DataFrame:
     w = Window.partitionBy(*KEY_COLS).orderBy(
         *[F.desc(c) for c in ORDER_COLS]
@@ -127,57 +95,6 @@ def _latest_per_key(df: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-
-
-def _flip_pointer_and_gc(snapshot_dir: str, v: int, new_v: int) -> int:
-    """Steps 3-4 of the module protocol: atomically point ``_CURRENT`` at
-    ``new_v``, then GC versions older than the immediately previous one
-    (kept so a concurrent reader of the old pointer value never loses its
-    files mid-read). Under the bucketed layout GC is just unlink —
-    hard-linked files shared with newer versions only drop a refcount."""
-    tmp = os.path.join(snapshot_dir, _CURRENT + ".tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write(str(new_v))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(snapshot_dir, _CURRENT))
-    for name in os.listdir(snapshot_dir):
-        if name.startswith("v="):
-            try:
-                old = int(name[2:])
-            except ValueError:
-                continue
-            if old < v:
-                shutil.rmtree(os.path.join(snapshot_dir, name), ignore_errors=True)
-    return new_v
-
-
-def commit_snapshot_version(merged: DataFrame, snapshot_dir: str, v: int) -> int:
-    """Write ``merged`` as version ``v+1`` (flat layout) and flip the
-    pointer — the form streaming/rolling_sketch.py shares. Returns the new
-    version number."""
-    new_v = v + 1
-    new_dir = os.path.join(snapshot_dir, f"v={new_v}")
-    if os.path.exists(new_dir):  # leftover from a crash before the flip
-        shutil.rmtree(new_dir)
-    merged.write.parquet(new_dir)
-    return _flip_pointer_and_gc(snapshot_dir, v, new_v)
-
-
-def _link_tree(src: str, dst: str) -> None:
-    """Mirror ``src`` into ``dst`` via hard links (copy fallback for
-    filesystems without link support). Links make untouched buckets
-    byte-identical across versions at zero data I/O."""
-    os.makedirs(dst, exist_ok=True)
-    for name in os.listdir(src):
-        s, d = os.path.join(src, name), os.path.join(dst, name)
-        if os.path.isdir(s):
-            _link_tree(s, d)
-        else:
-            try:
-                os.link(s, d)
-            except OSError:
-                shutil.copy2(s, d)
 
 
 def upsert_batch_into_snapshot(batch_df: DataFrame, snapshot_dir: str) -> int:
@@ -220,9 +137,7 @@ def upsert_batch_into_snapshot(batch_df: DataFrame, snapshot_dir: str) -> int:
         merged, untouched_src, prev_untouched = batch_latest, None, None
 
     new_v = v + 1
-    new_dir = os.path.join(snapshot_dir, f"v={new_v}")
-    if os.path.exists(new_dir):  # leftover from a crash before the flip
-        shutil.rmtree(new_dir)
+    new_dir = _prepare_version_dir(snapshot_dir, new_v)
     if prev_untouched is not None:  # one-time migration of a flat version
         merged = merged.unionByName(prev_untouched.select(*_ALL, "kb"))
     merged.write.partitionBy("kb").parquet(new_dir)
