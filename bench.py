@@ -108,6 +108,14 @@ HEADLINE = [
     "dedup_url_canonical",
     "window_winsorize",
     "agg_quantile_histogram",
+    # Round 6 additions: image perceptual-hash near-dup (real decode +
+    # banded Hamming self-join — the multimodal dedup path), BPE merge
+    # training (8 vocab-sized rounds + 1-row collects; the iterative-
+    # trainer shape), and span-granularity exact-substring dedup (stride-1
+    # anchor explode + span-frequency shuffle + mask union).
+    "dedup_image_phash",
+    "text_bpe_train",
+    "dedup_substring_spans",
 ]
 
 

@@ -1,11 +1,13 @@
-"""BPE tokenizer TRAINING — learn the merge table over a corpus.
+"""BPE tokenizer TRAINING and ENCODING — learn a merge table, apply it.
 
 ``text_bpe_tokens`` (textops.py:241) stops at pre-tokenization; this is
 the missing training stage (Sennrich et al. 2016): starting from words as
 character sequences, repeatedly count adjacent symbol pairs (weighted by
 word frequency), merge the most frequent pair everywhere, and record the
 merge — the 4th iterative algorithm in the engine after k-means /
-connected components / PageRank.
+connected components / PageRank. ``text_bpe_encode`` then closes the
+tokenizer lifecycle: apply the learned table to the corpus and report
+per-document token counts (the number a packing/costing stage consumes).
 
 Distribution shape: after ONE corpus pass (pre-tokenize + word-frequency
 groupBy) every round operates on the VOCABULARY table (distinct words +
@@ -15,7 +17,9 @@ aggregation (map-side combinable), a 1-ROW top-1 collect (TakeOrdered,
 the same bounded-collect pruning mechanism as the k-means centroid
 collect), and a merge projection. No window, no join, no cartesian — the
 chosen rule is inlined as literals, keeping the plan LINEAR across
-rounds instead of doubling per round.
+rounds instead of doubling per round. Encoding applies the fold chain to
+the DISTINCT vocabulary once and joins symbol counts back to per-doc
+word counts — the corpus is never re-folded per rule.
 
 Merge application is a left-to-right FOLD over the symbol ARRAY
 (``F.aggregate`` in Spark, ``list_reduce`` in DuckDB): append each
@@ -80,12 +84,12 @@ def _pairs(w: DataFrame) -> DataFrame:
     )
 
 
-def _merge_fold(a: str, b: str):
+def _merge_fold(a: str, b: str, col: str = "l"):
     """Left-to-right non-overlapping application of merge rule (a, b) to
-    the symbol array column ``l``. ``F.get`` is out-of-bounds-NULL-safe, so
-    the empty initial accumulator falls through to the append branch."""
+    the symbol array column ``col``. ``F.get`` is out-of-bounds-NULL-safe,
+    so the empty initial accumulator falls through to the append branch."""
     return F.aggregate(
-        F.col("l"),
+        F.col(col),
         F.expr("CAST(array() AS array<string>)"),
         lambda acc, x: F.when(
             (F.get(acc, F.size(acc) - 1) == a) & (x == b),
@@ -96,16 +100,54 @@ def _merge_fold(a: str, b: str):
     )
 
 
-def _oracle_sql() -> str:
-    """Unrolled-CTE oracle: w{r} CTEs mirror the round-by-round merge.
-    ``list_reduce`` over the symbol-singleton lists seeds the accumulator
-    with the first symbol (same result as Spark's empty-seed fold); the
-    merge rule arrives as correlated columns from ``m{r}`` via
-    LEFT JOIN ON TRUE, which also keeps w{r} intact if a round runs dry."""
+def learn_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, int]]:
+    """Run the training loop; returns [(rank, left, right, pair_count)]."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PAT), F.lit(0))
+        ).alias("word")
+    )
+    # The one corpus-sized pass; everything after is vocab-sized, so cache
+    # the vocab table to stop each round's lineage at this point.
+    w = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(F.split("word", "").alias("l"), "freq")
+        .cache()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    cached = [w]
+    for r in range(1, N_MERGES + 1):
+        top = _pairs(w).orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, top[0].cnt
+        merges.append((r, a, b, cnt))
+        w = w.select(_merge_fold(a, b).alias("l"), "freq").cache()
+        cached.append(w)
+    # training state was intra-call only
+    for df in cached:
+        df.unpersist()
+    return merges
+
+
+# --------------------------------------------------------------- oracle SQL
+
+
+def _training_ctes() -> str:
+    """The shared WITH-chain: tok -> w0 -> (p{r}, m{r}, w{r})* — reused by
+    both queries' oracles. ``list_reduce`` over the symbol-singleton lists
+    seeds the accumulator with the first symbol (same result as Spark's
+    empty-seed fold); the merge rule arrives as correlated columns from
+    ``m{r}`` via LEFT JOIN ON TRUE, which also keeps w{r} intact if a
+    round runs dry."""
     parts = [
-        f"""
-    WITH tok AS (
-        SELECT UNNEST(regexp_extract_all(lower(text), '{_BPE_PAT}')) AS word
+        f"""tok AS (
+        SELECT doc_id,
+               UNNEST(regexp_extract_all(lower(text), '{_BPE_PAT}')) AS word
         FROM documents
     ), w0 AS (
         SELECT string_split(word, '') AS l,
@@ -134,45 +176,91 @@ def _oracle_sql() -> str:
         FROM w{r - 1} w LEFT JOIN m{r} m ON TRUE
     )"""
         )
+    return "".join(parts)
+
+
+def _train_oracle() -> str:
     selects = "\n    UNION ALL ".join(
         f"SELECT {r} AS merge_rank, a AS left_sym, b AS right_sym,"
         f" cnt AS pair_count FROM m{r}"
         for r in range(1, N_MERGES + 1)
     )
-    parts.append(f"\n    {selects}")
+    return f"\n    WITH {_training_ctes()}\n    {selects}"
+
+
+def _encode_oracle() -> str:
+    parts = [
+        f"\n    WITH {_training_ctes()}",
+        """, per AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY doc_id, word
+    ), v0 AS (
+        SELECT word, string_split(word, '') AS l
+        FROM (SELECT DISTINCT word FROM tok)
+    )""",
+    ]
+    for r in range(1, N_MERGES + 1):
+        parts.append(
+            f""", v{r} AS (
+        SELECT v.word,
+               list_reduce(
+                   list_transform(v.l, s -> [s]),
+                   (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
+                               THEN acc[1:len(acc) - 1] || [acc[-1] || x[1]]
+                               ELSE acc || x END
+               ) AS l
+        FROM v{r - 1} v LEFT JOIN m{r} m ON TRUE
+    )"""
+        )
+    parts.append(
+        f""", syms AS (
+        SELECT word, CAST(len(l) AS BIGINT) AS n_syms FROM v{N_MERGES}
+    )
+    SELECT per.doc_id,
+           CAST(SUM(per.cnt) AS BIGINT) AS n_words,
+           CAST(SUM(per.cnt * syms.n_syms) AS BIGINT) AS n_bpe_tokens
+    FROM per JOIN syms ON per.word = syms.word
+    GROUP BY per.doc_id"""
+    )
     return "".join(parts)
 
 
-@query("text_bpe_train", oracle=_oracle_sql())
+@query("text_bpe_train", oracle=_train_oracle())
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the top-{N_MERGES} BPE merge table over `documents`: per round
     the most frequent adjacent symbol pair (freq-weighted, lexicographic
     tie-break) with its count at merge time."""
+    return spark.createDataFrame(learn_merges(spark, sf_dir), _OUT_SCHEMA)
+
+
+@query("text_bpe_encode", oracle=_encode_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merge table: per-document pre-token count and
+    BPE-token count. The fold chain runs over the DISTINCT vocabulary once
+    (one projection, all {N_MERGES} rules nested); per-doc counts come
+    from a vocab-sized join back — the corpus is never re-folded."""
+    rules = learn_merges(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
+    dw = docs.select(
+        "doc_id",
         F.explode(
             F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PAT), F.lit(0))
-        ).alias("word")
+        ).alias("word"),
     )
-    # The one corpus-sized pass; everything after is vocab-sized, so cache
-    # the vocab table to stop each round's lineage at this point.
-    w = (
-        tok.groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-        .select(F.split("word", "").alias("l"), "freq")
-        .cache()
+    per = dw.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    merges: list[tuple[int, str, str, int]] = []
-    cached = [w]
-    for r in range(1, N_MERGES + 1):
-        top = _pairs(w).orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
-        if not top:
-            break
-        a, b, cnt = top[0].a, top[0].b, top[0].cnt
-        merges.append((r, a, b, cnt))
-        w = w.select(_merge_fold(a, b).alias("l"), "freq").cache()
-        cached.append(w)
-    # the result is a literal table; the vocab caches were intra-call only
-    for df in cached:
-        df.unpersist()
-    return spark.createDataFrame(merges, _OUT_SCHEMA)
+    vocab = per.select("word").distinct().select(
+        "word", F.split("word", "").alias("l")
+    )
+    for _, a, b, _ in rules:
+        vocab = vocab.select("word", _merge_fold(a, b).alias("l"))
+    syms = vocab.select("word", F.size("l").cast("long").alias("n_syms"))
+    return (
+        per.join(syms, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_syms")).cast("long").alias("n_bpe_tokens"),
+        )
+    )

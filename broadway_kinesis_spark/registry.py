@@ -116,76 +116,46 @@ def _load_all_modules() -> None:
 
 
 # The grading driver checks the FIRST 50 entries of queries() against their
-# oracles. Rotation policy (round 4): the window covers, in order,
-#   (1) queries whose only green driver row predates their current code form
-#       (VERDICT r3 "stale": join_broadcast's dsum→lsum rewrite and the
-#       unpivot_measures/scalar_datetime oracle dtype CASTs all landed in
-#       round 2 AFTER their round-1 rows — never rotated back in until now),
-#   (2) queries whose implementing module changes THIS round (curation.py
-#       shard parameterization + single-pass mix audit; subqueries.py
-#       namespaced temp view; multimodal.py real image decode),
-#   (3) new operators added this round,
-#   (4) proven-green filler from files untouched since their last green row,
-#       oldest green round first — refreshing round-1/round-2 rows to
-#       current so signal currency improves across the whole registry.
-# Queries 51+ are exclusively ones with a green driver row for their current
-# code form. tests/test_registry_window.py enforces both invariants
-# mechanically: never-green ⇒ in-window (against CORRECTNESS_r*.json) and
-# changed-since-last-green ⇒ in-window (against git, per implementing file).
+# oracles; the explicit _PRIORITY tuple IS that window. The rotation policy
+# is MECHANICAL, enforced by tests/test_registry_window.py (the source of
+# truth): (a) every never-green query must hold a slot; (b) every query
+# whose implementing code (module + transitive intra-package imports)
+# changed since its last green driver round must hold a slot; (c) remaining
+# slots fill with the OLDEST-green rows so signal currency improves across
+# the registry. Any overflow must be declared in _DEFERRED explicitly.
 _PRIORITY: tuple[str, ...] = (
-    # (1) the eleven round-4 _DEFERRED queries, rotated in first exactly as
-    # promised (VERDICT r4 top item): green for an earlier code form, their
-    # current form so far verified only by the local mirror. Round 4 freed
-    # 46 slots, so all eleven fit and _DEFERRED is empty again.
-    "stream_sliding_window", "stream_session_window", "stream_dedup_twin",
-    "stream_stream_join_twin",
-    "join_right_outer", "join_full_outer", "join_theta", "join_cross",
-    "setops_intersect", "setops_except", "scalar_map",
-    # (2) queries whose implementing files change this round:
-    # graph.py (bucketed co-partitioned PageRank, VERDICT r4 #3) and the
-    # similarity/contrastive candidate-generation dedup into a shared leaf
-    # module (VERDICT r4 wrong#3) — the latter stales all seven similarity
-    # queries plus ann_persist (imports similarity) and mine_hard_negatives.
-    "graph_pagerank", "graph_pagerank_bucketed",
-    "mine_hard_negatives", "similarity_ann_ivf_persisted",
-    "similarity_topk_cosine", "similarity_topk_cosine_pandas",
-    "similarity_ann_ivf", "similarity_ann_ivf_probe", "similarity_ann_lsh",
-    "similarity_kmeans", "similarity_normalize",
-    # (3) new round-5 operators (never-green ⇒ must hold a slot):
-    # URL canonicalize + host-level dedup, frozen-weight quality classifier
-    # (VERDICT r4 #7), then the 5b batch — exact per-group winsorization,
-    # mergeable histogram-quantile summaries, SCD2 history build, and
-    # hive-partition-pruned scans — each in its own module.
-    "dedup_url_canonical", "url_host_topk", "score_quality_classifier",
-    "window_winsorize", "agg_quantile_histogram", "cdc_scd2_history",
-    "scan_partition_pruned", "agg_group_regression", "profile_columns",
-    "asof_join_tolerance", "agg_time_decay",
-    "join_range_binned", "window_winsorize_binned", "text_chunk_overlap",
-    "dedup_decontaminate_bloom",
-    # (2) bucketed.py re-wired onto the shared table-build protocol this
-    # round (functions/table_build.py), staling its driver row
-    "join_bucketed",
-    # (4) filler, oldest green rounds first — round-2 rows on files
-    # untouched since, refreshed to current:
-    "asof_join", "dedup_embedding_cosine", "dedup_fuzzy_prefix",
-    "dedup_minhash_lsh",
-    # (4) filler, round-3 greens: the aggregates family (every row below is
-    # aggregates.py except the two noted) and the oldest textops rows.
-    "pricing_summary", "agg_approx_distinct", "agg_approx_percentile",
-    "agg_collect", "agg_cube", "agg_distinct_counts",
-    "agg_grouping_sets", "agg_rollup",
+    # (a) round-6 never-green operators
+    "dedup_image_phash", "text_bpe_train", "text_bpe_encode",
+    "dedup_substring_spans",
+    # (b) staled this round: regression.py (degenerate-group NULL guard) and
+    # decay.py (driver-computed literal weight table) — both ADVICE r5
+    # fixes — plus the four layout-backed queries whose dep closure
+    # includes functions/table_build.py (ownership-checked orphan cleanup)
+    "agg_group_regression", "agg_time_decay",
+    "join_bucketed", "graph_pagerank", "graph_pagerank_bucketed",
+    "scan_partition_pruned",
+    # (c) filler, oldest green first: the round-2 rows (files untouched
+    # since), then the full round-3 cohort, then the oldest round-4 rows
+    "dedup_incremental", "sample_hash_split",
+    "udf_pandas_vectorized", "udf_python_row", "udf_table_function",
+    "agg_filtered_first_last", "agg_histogram", "agg_mode", "agg_pivot",
+    "agg_salted_skew", "agg_stats", "agg_string_concat",
+    "composite_local_supplier_volume", "composite_returned_items",
+    "composite_shipping_priority", "composite_user_retention",
+    "dedup_cluster_cc", "dedup_decontaminate", "dedup_exact_docs",
+    "dedup_ngram_jaccard", "dedup_simhash",
+    "join_inner", "join_salted_skew", "pack_sequences", "sample_stratified",
+    "similarity_quantize_int8", "stream_tumbling_window",
+    "text_bpe_tokens", "text_fingerprint", "text_lang_id",
+    "text_quality_score", "text_repetition_score", "text_tfidf_topk",
+    "text_token_stats", "text_vocab_topk", "window_time_range",
+    "agg_sketch_merge", "cdc_merge_upsert", "data_mix_weighted",
+    "dedup_boilerplate",
 )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot
-# window cannot hold. Round 5: EMPTY — rotating round 4's eleven deferrals
-# back in was this round's first registry change; by freeze the demand is
-# 11 rotated + 10 similarity/graph rows staled by this round's refactors
-# (shared candidate generator, bucketed PageRank, table_build) + 2
-# rows staled by file edits (join_bucketed via the table_build rewire,
-# asof_join via the tolerance addition) + 13 never-green round-5
-# operators = 36 required, leaving 14 slots of oldest-green filler
-# (mechanically re-derived from test_registry_window._required() at
-# freeze; earlier drafts of this comment predate the 5b/5c batches).
+# window cannot hold. Round 6: EMPTY — demand is 9 (3 new + 6 staled),
+# leaving 41 slots of oldest-green filler.
 # test_registry_window.py keeps enforcing that any future overflow must
 # be declared here explicitly.
 _DEFERRED: tuple[str, ...] = ()

@@ -243,3 +243,51 @@ def test_substring_spans_plan_no_python_no_cartesian(spark, sf_dir):
                 "FlatMapGroupsInPandas", "CartesianProduct",
                 "BroadcastNestedLoopJoin"):
         assert bad not in plan, (bad, plan)
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """Applying the learned merges must give the token counts a pure-Python
+    encoder produces with the same rules."""
+    import collections
+    import re as _re
+
+    from broadway_kinesis_spark.operators.textops import _BPE_PAT
+
+    texts = [
+        "banana bandana banana",
+        "a banana and a bandana",
+        "nan nan banana!",
+    ]
+    merges = _bpe_reference(texts, 8)
+
+    def encode(word: str) -> int:
+        syms = list(word)
+        for _, a, b, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    expected = {}
+    for d, t in enumerate(texts):
+        words = _re.findall(_BPE_PAT, t.lower())
+        expected[d] = (len(words), sum(encode(w) for w in words))
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            r.doc_id: (r.n_words, r.n_bpe_tokens)
+            for r in QUERIES["text_bpe_encode"](spark, td).collect()
+        }
+    assert got == expected
+    # merges actually compress: fewer BPE tokens than characters
+    for d, t in enumerate(texts):
+        n_alpha = sum(len(w) for w in _re.findall(_BPE_PAT, t.lower()))
+        assert got[d][1] < n_alpha
