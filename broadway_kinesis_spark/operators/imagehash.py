@@ -58,14 +58,18 @@ HAM_T = 6  # max Hamming distance for a verified near-dup pair
 _ROW = IMG_W * 3  # bytes per pixel row in the synthesized P6 corpus
 
 
-def phash48(flat_bytes) -> int:
-    """48-bit block-difference hash of a flattened byte plane (numpy 1-D
-    uint8). Pure-integer: block sums are exact int64, comparisons are
-    cross-multiplied — shared by the operator and its tests."""
+def phash48(flat_values) -> int:
+    """48-bit block-difference hash of a flattened non-negative integer
+    signal (image byte plane, audio magnitude profile, ...). Pure-integer:
+    block sums are exact int64 (float64 bincount weights stay exact below
+    2^53), comparisons are cross-multiplied — shared by the image and
+    audio operators and their tests."""
     import numpy as np
 
-    flat = np.asarray(flat_bytes, dtype=np.int64).reshape(-1)
+    flat = np.asarray(flat_values, dtype=np.int64).reshape(-1)
     length = flat.shape[0]
+    if length == 0:
+        return 0
     blk = (np.arange(length) * B_BLOCKS) // length
     sums = np.bincount(blk, weights=flat, minlength=B_BLOCKS).astype(np.int64)
     cnts = np.bincount(blk, minlength=B_BLOCKS)
@@ -74,6 +78,57 @@ def phash48(flat_bytes) -> int:
         if int(sums[r]) * int(cnts[r + 1]) > int(sums[r + 1]) * int(cnts[r]):
             fp |= 1 << r
     return fp
+
+
+def banded_pairs(fps: DataFrame) -> DataFrame:
+    """Candidate-generate + verify near-dup pairs from a ``(media_id,
+    phash)`` DataFrame: {N_BANDS}x{BAND_BITS}-bit banded self-join, exact
+    ``bit_count(xor) <= {HAM_T}`` verify — shared by the image and audio
+    fingerprint operators."""
+    bands = fps.select(
+        "media_id",
+        "phash",
+        F.explode(F.array(*[F.lit(b) for b in range(N_BANDS)])).alias("band"),
+    ).withColumn(
+        "bkey",
+        F.expr(f"shiftright(phash, band * {BAND_BITS})").bitwiseAND(
+            F.lit((1 << BAND_BITS) - 1)
+        ),
+    )
+    a = bands.select(
+        F.col("media_id").alias("m1"), F.col("phash").alias("p1"), "band", "bkey"
+    )
+    b = bands.select(
+        F.col("media_id").alias("m2"), F.col("phash").alias("p2"), "band", "bkey"
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("m1") < F.col("m2"))
+        .select("m1", "m2", "p1", "p2")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("p1").bitwiseXOR(F.col("p2"))).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= HAM_T)
+        .select("m1", "m2", "hamming")
+    )
+
+
+#: oracle fragment: bands/candidates/verify over a CTE named ``fp`` with
+#: columns (media_id, phash) — the SQL twin of :func:`banded_pairs`.
+PAIR_SQL_TAIL = f""", bands AS (
+        SELECT media_id, phash, band,
+               (phash >> (band * {BAND_BITS})) & {(1 << BAND_BITS) - 1} AS bkey
+        FROM fp, UNNEST([{", ".join(str(x) for x in range(N_BANDS))}]) AS tb(band)
+    ), cand AS (
+        SELECT DISTINCT a.media_id AS m1, b.media_id AS m2,
+                        a.phash AS p1, b.phash AS p2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.media_id < b.media_id
+    )
+    SELECT m1, m2, CAST(bit_count(xor(p1, p2)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(p1, p2)) <= {HAM_T}"""
 
 
 @query(
@@ -103,22 +158,19 @@ def phash48(flat_bytes) -> int:
                CASE WHEN lo.sv * hi.cv > hi.sv * lo.cv THEN 1 ELSE 0 END AS bit
         FROM s lo JOIN s hi
           ON lo.media_id = hi.media_id AND hi.blk = lo.blk + 1
-    ), fp AS (
+    ), fp0 AS (
         SELECT media_id,
                CAST(SUM(bit * (CAST(1 AS BIGINT) << r)) AS BIGINT) AS phash
         FROM bits GROUP BY media_id
-    ), bands AS (
-        SELECT media_id, phash, band,
-               (phash >> (band * {BAND_BITS})) & {(1 << BAND_BITS) - 1} AS bkey
-        FROM fp, UNNEST([{", ".join(str(x) for x in range(N_BANDS))}]) AS tb(band)
-    ), cand AS (
-        SELECT DISTINCT a.media_id AS m1, b.media_id AS m2,
-                        a.phash AS p1, b.phash AS p2
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bkey = b.bkey AND a.media_id < b.media_id
-    )
-    SELECT m1, m2, CAST(bit_count(xor(p1, p2)) AS INT) AS hamming
-    FROM cand WHERE bit_count(xor(p1, p2)) <= {HAM_T}
+    ), fp AS (
+        -- a signal shorter than {B_BLOCKS} occupies non-adjacent blocks:
+        -- the blk+1 join then has NO rows for it, but its fingerprint is
+        -- defined (every comparison against an empty block is false) = 0.
+        -- LEFT JOIN keeps such media instead of silently dropping them.
+        SELECT d.media_id, COALESCE(f.phash, CAST(0 AS BIGINT)) AS phash
+        FROM (SELECT DISTINCT media_id FROM b) d
+        LEFT JOIN fp0 f ON d.media_id = f.media_id
+    ){PAIR_SQL_TAIL}
     """,
 )
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,31 +194,4 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = media.select("media_id", "payload").mapInPandas(
         hash_batch, "media_id long, phash long"
     ).cache()
-    bands = fps.select(
-        "media_id",
-        "phash",
-        F.explode(F.array(*[F.lit(b) for b in range(N_BANDS)])).alias("band"),
-    ).withColumn(
-        "bkey",
-        F.expr(f"shiftright(phash, band * {BAND_BITS})").bitwiseAND(
-            F.lit((1 << BAND_BITS) - 1)
-        ),
-    )
-    a = bands.select(
-        F.col("media_id").alias("m1"), F.col("phash").alias("p1"), "band", "bkey"
-    )
-    b = bands.select(
-        F.col("media_id").alias("m2"), F.col("phash").alias("p2"), "band", "bkey"
-    )
-    cand = (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col("m1") < F.col("m2"))
-        .select("m1", "m2", "p1", "p2")
-        .distinct()
-    )
-    ham = F.bit_count(F.col("p1").bitwiseXOR(F.col("p2"))).cast("int")
-    return (
-        cand.withColumn("hamming", ham)
-        .filter(F.col("hamming") <= HAM_T)
-        .select("m1", "m2", "hamming")
-    )
+    return banded_pairs(fps)

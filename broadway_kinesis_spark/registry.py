@@ -68,6 +68,7 @@ def _load_all_modules() -> None:
         aggregates,
         ann_persist,
         asof,
+        audiohash,
         bloom,
         bpe_train,
         bucketed,
@@ -125,8 +126,8 @@ def _load_all_modules() -> None:
 # the registry. Any overflow must be declared in _DEFERRED explicitly.
 _PRIORITY: tuple[str, ...] = (
     # (a) round-6 never-green operators
-    "dedup_image_phash", "text_bpe_train", "text_bpe_encode",
-    "dedup_substring_spans",
+    "dedup_image_phash", "dedup_audio_fingerprint",
+    "text_bpe_train", "text_bpe_encode", "dedup_substring_spans",
     # (b) staled this round: regression.py (degenerate-group NULL guard) and
     # decay.py (driver-computed literal weight table) — both ADVICE r5
     # fixes — plus the four layout-backed queries whose dep closure
@@ -150,7 +151,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_quality_score", "text_repetition_score", "text_tfidf_topk",
     "text_token_stats", "text_vocab_topk", "window_time_range",
     "agg_sketch_merge", "cdc_merge_upsert", "data_mix_weighted",
-    "dedup_boilerplate",
 )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot

@@ -70,6 +70,7 @@ ARROW_PYTHON_OK = {
     "multimodal_metadata_stats": "metadata decode (mapInPandas)",
     "similarity_quantize_int8": "vectorized quantization path",
     "dedup_image_phash": "pure-Python PPM decode + dHash (mapInPandas)",
+    "dedup_audio_fingerprint": "pure-Python WAV decode + envelope hash (mapInPandas)",
 }
 
 

@@ -291,3 +291,58 @@ def test_bpe_encode_matches_python_reference(spark):
     for d, t in enumerate(texts):
         n_alpha = sum(len(w) for w in _re.findall(_BPE_PAT, t.lower()))
         assert got[d][1] < n_alpha
+
+
+# ------------------------------------------------------------ audio phash
+def test_audio_fingerprint_pairs_match_python_reference(spark):
+    """Banded pipeline == brute-force Python reference of the same
+    envelope-hash + band + verify rules — including a clip SHORTER than
+    B_BLOCKS samples (sparse blocks: the oracle's adjacency join has no
+    rows there; fingerprint must be 0, not dropped)."""
+    import numpy as np
+
+    from broadway_kinesis_spark.operators.imagehash import (
+        BAND_BITS,
+        HAM_T,
+        N_BANDS,
+        phash48,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    texts = {
+        0: base,
+        1: base,  # exact dup
+        2: base[:41] + "Z" + base[42:],  # near dup
+        3: "zzzz AAAA 0000 !!!! " * 12,  # unrelated
+        4: "tiny doc here now ok",  # 20 chars -> 10 samples < B_BLOCKS
+        5: "tiny doc here now ok",  # its exact dup (fp 0 vs fp 0 pair)
+    }
+
+    def fp_of(text: str) -> int:
+        n2 = (len(text) // 2) * 2
+        s = np.frombuffer(text.encode("ascii")[:n2], dtype="<i2")
+        return phash48(np.abs(s.astype(np.int64)))
+
+    fps = {d: fp_of(t) for d, t in texts.items() if len(t) >= 2}
+    expected = set()
+    for d1 in fps:
+        for d2 in fps:
+            if d1 >= d2:
+                continue
+            p1, p2 = fps[d1], fps[d2]
+            shares = any(
+                (p1 >> (b * BAND_BITS)) & ((1 << BAND_BITS) - 1)
+                == (p2 >> (b * BAND_BITS)) & ((1 << BAND_BITS) - 1)
+                for b in range(N_BANDS)
+            )
+            if shares and bin(p1 ^ p2).count("1") <= HAM_T:
+                expected.add((d1, d2, bin(p1 ^ p2).count("1")))
+    assert (0, 1, 0) in expected and (4, 5, 0) in expected
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            (r.m1, r.m2, r.hamming)
+            for r in QUERIES["dedup_audio_fingerprint"](spark, td).collect()
+        }
+    assert got == expected
