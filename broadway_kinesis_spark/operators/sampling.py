@@ -73,3 +73,49 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < F.col("rate"))
         .drop("rate")
     )
+
+
+# Fixed-SIZE per-stratum sampling (round 6): rate-based sampling keeps a
+# fraction; pipelines also need "exactly K docs per source" (eval panels,
+# inspection samples, per-domain quotas). The deterministic reservoir is a
+# hash-priority top-k: priority = md5(doc_id || salt) — uniform, engine-
+# independent, no RNG state — and the K smallest priorities per stratum
+# win. One shuffle (the window partition), mergeable at any scale (top-k
+# unions preserve the sample), and adding documents can only displace
+# existing picks the way a true reservoir would, never reshuffle them.
+K_RESERVOIR = 25
+_SQL_PRI = "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':r6'), 1, 15))::BIGINT"
+
+
+@query(
+    "sample_reservoir_group",
+    oracle=f"""
+    SELECT source, doc_id, CAST(rk AS INT) AS rk FROM (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY {_SQL_PRI}, doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= {K_RESERVOIR}
+    """,
+)
+def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly {K_RESERVOIR} documents per source, chosen by deterministic
+    md5 hash priority (salt ':r6'), ranked 1..K within each stratum."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    pri = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":r6"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(pri.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K_RESERVOIR)
+    )
