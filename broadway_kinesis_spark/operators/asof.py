@@ -194,3 +194,81 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("attributed"),
         )
     )
+
+
+@query(
+    "asof_join_forward",
+    oracle="""
+    WITH p AS (
+        SELECT user_id AS k, epoch_us(ts) AS t,
+               MAX(event_id) AS purchase_id
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ), v AS (
+        SELECT user_id, epoch_us(ts) AS t, event_id AS view_id
+        FROM events
+        WHERE event_type = 'view'
+    )
+    SELECT v.view_id, v.user_id, v.t AS view_us, p.purchase_id,
+           p.t - v.t AS lead_us
+    FROM v ASOF LEFT JOIN p ON v.user_id = p.k AND v.t <= p.t
+    """,
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of (pandas ``merge_asof(direction='forward')``): for
+    every view event, the EARLIEST purchase at-or-after it by the same
+    user, with the conversion lead time — the time-to-convert shape.
+
+    Same single-shuffle union-merge as :func:`asof_join`, run in reverse:
+    one window per key ordered by (t DESC, tag) carries the nearest
+    LATER purchase backward with ``last(..., ignorenulls=True)``. A
+    purchase at exactly v.t is eligible (purchase tag sorts first at
+    equal time in the descending order), and the right side is
+    pre-deduplicated to one row per (key, time) — ``max(event_id)`` —
+    matching the backward operator's tie convention."""
+    ev = load(spark, sf_dir, "events")
+
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.col("user_id").alias("k"),
+            F.unix_micros("ts").alias("t"),
+        )
+        .agg(F.max("event_id").alias("purchase_id"))
+        .select(
+            "k", "t", F.lit(0).alias("tag"),
+            F.lit(None).cast("long").alias("view_id"), "purchase_id",
+        )
+    )
+    view = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("k"),
+        F.unix_micros("ts").alias("t"),
+        F.lit(1).alias("tag"),
+        F.col("event_id").alias("view_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    merged = purch.unionByName(view).withColumn(
+        "purchase_t", F.when(F.col("tag") == 0, F.col("t"))
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.desc("t"), F.asc("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # materialize window columns BEFORE the tag filter (same trap as the
+    # tolerance variant: post-filter evaluation would see view-only rows)
+    m_pid = F.last("purchase_id", ignorenulls=True).over(w)
+    lead = F.last("purchase_t", ignorenulls=True).over(w) - F.col("t")
+    return (
+        merged.withColumn("m_purchase_id", m_pid)
+        .withColumn("lead_raw", lead)
+        .filter(F.col("tag") == 1)
+        .select(
+            "view_id",
+            F.col("k").alias("user_id"),
+            F.col("t").alias("view_us"),
+            F.col("m_purchase_id").alias("purchase_id"),
+            F.col("lead_raw").alias("lead_us"),
+        )
+    )

@@ -97,3 +97,44 @@ def test_asof_and_tolerance_match_brute_force(spark, tmp_path_factory, queries, 
             assert (g_vid, g_gap, g_att) == (vid, gap, True), (pid, evs)
         else:
             assert (g_vid, g_gap, g_att) == (None, None, False), (pid, evs)
+
+
+def _brute_forward(evs):
+    """view_id -> (purchase_id | None, lead_us | None): earliest purchase
+    at-or-after the view by the same user; among purchases at the same
+    instant the max event_id (the deduped-right convention)."""
+    out = {}
+    us = lambda slot: slot * 10 * 60 * 1_000_000  # noqa: E731
+    for i, (et, u, slot) in enumerate(evs):
+        if et != "view":
+            continue
+        best = None  # (t, -purchase_id) minimized -> earliest t, max id
+        for j, (et2, u2, slot2) in enumerate(evs):
+            if et2 == "purchase" and u2 == u and slot2 >= slot:
+                cand = (us(slot2), -j)
+                if best is None or cand < best:
+                    best = cand
+        if best is None:
+            out[i] = (None, None)
+        else:
+            out[i] = (-best[1], best[0] - us(slot))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_EVENT, min_size=1, max_size=24))
+def test_asof_forward_matches_brute_force(spark, tmp_path_factory, queries, evs):
+    import os
+
+    td = str(tmp_path_factory.mktemp("asoff"))
+    _mk_events(spark, evs).write.mode("overwrite").parquet(
+        os.path.join(td, "events.parquet")
+    )
+    want = _brute_forward(evs)
+    got = {
+        r.view_id: (r.purchase_id, r.lead_us)
+        for r in queries["asof_join_forward"](spark, td).collect()
+    }
+    assert set(got) == set(want)
+    for vid, exp in want.items():
+        assert got[vid] == exp, (vid, got[vid], exp, evs)
