@@ -49,6 +49,7 @@ CARTESIAN_OK = {
         " the deliberate brute-force baseline the ANN variants exist to beat"
     ),
     "text_lang_id": "5 language profiles pivoted into a 1-row broadcast",
+    "agg_heavy_hitters": "1-row token-total anchor broadcast onto gate + final filter",
     "text_tfidf_topk": "1-row corpus-size N anchor (broadcast)",
 }
 

@@ -346,3 +346,63 @@ def test_audio_fingerprint_pairs_match_python_reference(spark):
             for r in QUERIES["dedup_audio_fingerprint"](spark, td).collect()
         }
     assert got == expected
+
+
+# ----------------------------------------------------------- heavy hitters
+def test_heavy_hitters_gate_is_lossless_and_actually_prunes(spark):
+    """On a skewed crafted corpus: result == exact Python counts (the gate
+    drops nothing), and the candidate set is much smaller than the
+    vocabulary (the gate actually gates)."""
+    import collections
+
+    from broadway_kinesis_spark.operators.heavyhitters import (
+        N_SHARDS,
+        THETA_DEN,
+        THETA_NUM,
+    )
+
+    # 2 genuinely heavy tokens + a long tail of singletons. Corpus must be
+    # big enough that the per-shard bound theta*N/S exceeds 1, otherwise
+    # the gate is vacuous (every token qualifies): N > S*DEN/NUM = 3200.
+    texts = []
+    for i in range(400):
+        row = ["hot", "warm"] if i % 2 == 0 else ["hot"]
+        row += [f"rare{i}_{j}" for j in range(10)]
+        texts.append(" ".join(row))
+    counts = collections.Counter()
+    for t in texts:
+        counts.update(t.split(" "))
+    total = sum(counts.values())
+    expected = {
+        t: c for t, c in counts.items() if c * THETA_DEN >= total * THETA_NUM
+    }
+    assert 0 < len(expected) < 5  # only the heavy ones
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        rows = QUERIES["agg_heavy_hitters"](spark, td).collect()
+        got = {r.token: r.cnt for r in rows}
+        assert got == expected
+        assert all(r.total_tokens == total for r in rows)
+
+        # gate effectiveness: candidate tokens (any shard >= theta*N/S)
+        # are far fewer than the vocabulary on this tail-heavy corpus
+        from pyspark.sql import functions as F
+
+        from broadway_kinesis_spark.session import load
+
+        tok = load(spark, td, "documents").select(
+            F.pmod(F.col("doc_id"), F.lit(N_SHARDS)).cast("int").alias("shard"),
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+        l1 = tok.groupBy("shard", "token").count()
+        n_cand = (
+            l1.filter(
+                F.col("count") * (THETA_DEN * N_SHARDS) >= total * THETA_NUM
+            )
+            .select("token")
+            .distinct()
+            .count()
+        )
+        assert n_cand < len(counts) / 10, (n_cand, len(counts))
