@@ -406,3 +406,23 @@ def test_heavy_hitters_gate_is_lossless_and_actually_prunes(spark):
             .count()
         )
         assert n_cand < len(counts) / 10, (n_cand, len(counts))
+
+
+# ------------------------------------------------------------- bigram LM
+def test_bigram_lm_separates_word_order_unigram_cannot(spark):
+    """A scrambled document with the SAME token multiset as the natural
+    ones must score strictly lower under the bigram model — the
+    ordering-awareness the unigram filter lacks by construction."""
+    natural = "the cat sat on the mat and the dog sat on the rug"
+    words = natural.split(" ")
+    scrambled = " ".join(words[::2] + words[1::2])  # deterministic shuffle
+    texts = [(i, natural) for i in range(9)] + [(9, scrambled)]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        rows = {
+            r.doc_id: r.avg_logprob
+            for r in QUERIES["text_bigram_logprob"](spark, td).collect()
+        }
+    assert rows[9] < rows[0], rows
+    assert all(rows[i] == rows[0] for i in range(9))
