@@ -272,3 +272,105 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lead_raw").alias("lead_us"),
         )
     )
+
+
+@query(
+    "asof_join_nearest",
+    oracle="""
+    WITH v AS (
+        SELECT user_id AS k, epoch_us(ts) AS t,
+               MAX(event_id) AS view_id
+        FROM events
+        WHERE event_type = 'view'
+        GROUP BY 1, 2
+    ), p AS (
+        SELECT user_id, epoch_us(ts) AS t, event_id AS purchase_id
+        FROM events
+        WHERE event_type = 'purchase'
+    ), back AS (
+        SELECT p.purchase_id, p.user_id, p.t,
+               v.view_id AS b_id, p.t - v.t AS b_gap
+        FROM p ASOF LEFT JOIN v ON p.user_id = v.k AND p.t >= v.t
+    ), fwd AS (
+        SELECT p.purchase_id, v.view_id AS f_id, v.t - p.t AS f_gap
+        FROM p ASOF LEFT JOIN v ON p.user_id = v.k AND p.t < v.t
+    )
+    SELECT back.purchase_id, back.user_id, back.t AS purchase_us,
+           CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR b_gap <= f_gap)
+                THEN b_id ELSE f_id END AS view_id,
+           CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR b_gap <= f_gap)
+                THEN b_gap ELSE f_gap END AS abs_gap_us
+    FROM back JOIN fwd ON back.purchase_id = fwd.purchase_id
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of (pandas ``merge_asof(direction='nearest')``): for
+    every purchase, the view closest in time by the same user, in EITHER
+    direction; equidistant candidates resolve backward (pandas' rule). A
+    view at exactly the purchase time is a backward match with gap 0.
+
+    Still one shuffle: BOTH direction passes are windows over the SAME
+    (key) partitioning of the same union — Catalyst plans one exchange
+    feeding two sorts (t ASC / t DESC). The oracle composes DuckDB's
+    backward (>=) and strictly-forward (<) ASOF joins with the same
+    tie-break CASE."""
+    ev = load(spark, sf_dir, "events")
+
+    view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(
+            F.col("user_id").alias("k"),
+            F.unix_micros("ts").alias("t"),
+        )
+        .agg(F.max("event_id").alias("view_id"))
+        .select(
+            "k", "t", F.lit(0).alias("tag"),
+            F.lit(None).cast("long").alias("purchase_id"), "view_id",
+        )
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"),
+        F.unix_micros("ts").alias("t"),
+        F.lit(1).alias("tag"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("long").alias("view_id"),
+    )
+    merged = view.unionByName(purch).withColumn(
+        "view_t", F.when(F.col("tag") == 0, F.col("t"))
+    )
+    wb = (
+        Window.partitionBy("k")
+        .orderBy("t", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # strictly-forward: views at the SAME time must not win the forward
+    # pass (they are backward matches) — purchase tag 1 sorts BEFORE the
+    # equal-time view's tag 0 in (t DESC, tag DESC) order
+    wf = (
+        Window.partitionBy("k")
+        .orderBy(F.desc("t"), F.desc("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b_id = F.last("view_id", ignorenulls=True).over(wb)
+    b_gap = F.col("t") - F.last("view_t", ignorenulls=True).over(wb)
+    f_id = F.last("view_id", ignorenulls=True).over(wf)
+    f_gap = F.last("view_t", ignorenulls=True).over(wf) - F.col("t")
+    back_wins = F.col("b_id").isNotNull() & (
+        F.col("f_id").isNull() | (F.col("b_gap") <= F.col("f_gap"))
+    )
+    return (
+        merged.withColumn("b_id", b_id)
+        .withColumn("b_gap", b_gap)
+        .withColumn("f_id", f_id)
+        .withColumn("f_gap", f_gap)
+        .filter(F.col("tag") == 1)
+        .select(
+            "purchase_id",
+            F.col("k").alias("user_id"),
+            F.col("t").alias("purchase_us"),
+            F.when(back_wins, F.col("b_id")).otherwise(F.col("f_id")).alias("view_id"),
+            F.when(back_wins, F.col("b_gap"))
+            .otherwise(F.col("f_gap"))
+            .alias("abs_gap_us"),
+        )
+    )

@@ -133,7 +133,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_train", "text_bpe_encode", "dedup_substring_spans",
     "sample_reservoir_group", "asof_join_forward", "agg_heavy_hitters",
     "text_bigram_logprob", "composite_curation_report",
-    # (b) asof.py gained the forward variant, staling its siblings
+    "asof_join_nearest",
+    # (b) asof.py gained forward/nearest variants, staling its siblings
     "asof_join", "asof_join_tolerance",
     # (b) staled this round: regression.py (degenerate-group NULL guard) and
     # decay.py (driver-computed literal weight table) — both ADVICE r5
@@ -155,7 +156,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_inner", "join_salted_skew", "pack_sequences", "sample_stratified",
     "similarity_quantize_int8", "stream_tumbling_window",
     "text_bpe_tokens", "text_fingerprint", "text_lang_id",
-    "text_quality_score", "text_repetition_score",
+    "text_quality_score",
 )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot

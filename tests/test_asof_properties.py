@@ -138,3 +138,56 @@ def test_asof_forward_matches_brute_force(spark, tmp_path_factory, queries, evs)
     assert set(got) == set(want)
     for vid, exp in want.items():
         assert got[vid] == exp, (vid, got[vid], exp, evs)
+
+
+def _brute_nearest(evs):
+    """purchase_id -> (view_id | None, abs_gap_us | None): closest view in
+    either direction; ties resolve backward (pandas' rule); same-instant
+    view counts as a backward gap-0 match; view ties at equal distance
+    and direction resolve by max event_id on the deduped side."""
+    us = lambda slot: slot * 10 * 60 * 1_000_000  # noqa: E731
+    out = {}
+    for i, (et, u, slot) in enumerate(evs):
+        if et != "purchase":
+            continue
+        back = None  # (t, view_id) maximized
+        fwd = None  # (t, -view_id) minimized
+        for j, (et2, u2, slot2) in enumerate(evs):
+            if et2 != "view" or u2 != u:
+                continue
+            if slot2 <= slot:
+                cand = (us(slot2), j)
+                if back is None or cand > back:
+                    back = cand
+            else:
+                cand = (us(slot2), -j)
+                if fwd is None or cand < fwd:
+                    fwd = cand
+        b = (back[1], us(slot) - back[0]) if back else None
+        f = (-fwd[1], fwd[0] - us(slot)) if fwd else None
+        if b is not None and (f is None or b[1] <= f[1]):
+            out[i] = b
+        elif f is not None:
+            out[i] = f
+        else:
+            out[i] = (None, None)
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_EVENT, min_size=1, max_size=24))
+def test_asof_nearest_matches_brute_force(spark, tmp_path_factory, queries, evs):
+    import os
+
+    td = str(tmp_path_factory.mktemp("asofn"))
+    _mk_events(spark, evs).write.mode("overwrite").parquet(
+        os.path.join(td, "events.parquet")
+    )
+    want = _brute_nearest(evs)
+    got = {
+        r.purchase_id: (r.view_id, r.abs_gap_us)
+        for r in queries["asof_join_nearest"](spark, td).collect()
+    }
+    assert set(got) == set(want)
+    for pid, exp in want.items():
+        assert got[pid] == exp, (pid, got[pid], exp, evs)
