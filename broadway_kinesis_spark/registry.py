@@ -79,6 +79,7 @@ def _load_all_modules() -> None:
         clustering,
         composite,
         contrastive,
+        cumdistinct,
         curation_report,
         curation,
         decay,
@@ -133,6 +134,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_train", "text_bpe_encode", "dedup_substring_spans",
     "sample_reservoir_group", "asof_join_forward", "agg_heavy_hitters",
     "text_bigram_logprob", "composite_curation_report",
+    "window_cumulative_distinct",
     "asof_join_nearest",
     # (b) asof.py gained forward/nearest variants, staling its siblings
     "asof_join", "asof_join_tolerance",
@@ -156,12 +158,11 @@ _PRIORITY: tuple[str, ...] = (
     "join_inner", "join_salted_skew", "pack_sequences", "sample_stratified",
     "similarity_quantize_int8", "stream_tumbling_window",
     "text_bpe_tokens", "text_fingerprint", "text_lang_id",
-    "text_quality_score",
 )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot
-# window cannot hold. Round 6: EMPTY — demand is 9 (3 new + 6 staled),
-# leaving 41 slots of oldest-green filler.
+# window cannot hold. Round 6: EMPTY — demand is 20 (12 new + 8 staled),
+# leaving 30 slots of oldest-green filler.
 # test_registry_window.py keeps enforcing that any future overflow must
 # be declared here explicitly.
 _DEFERRED: tuple[str, ...] = ()
