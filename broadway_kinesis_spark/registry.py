@@ -112,6 +112,7 @@ def _load_all_modules() -> None:
         substring_spans,
         textops,
         textstats,
+        triangles,
         urls,
         windows,
         winsorize,
@@ -135,7 +136,7 @@ _PRIORITY: tuple[str, ...] = (
     "sample_reservoir_group", "asof_join_forward", "agg_heavy_hitters",
     "text_bigram_logprob", "composite_curation_report",
     "window_cumulative_distinct",
-    "asof_join_nearest",
+    "asof_join_nearest", "graph_triangle_count",
     # (b) asof.py gained forward/nearest variants, staling its siblings
     "asof_join", "asof_join_tolerance",
     # (b) staled this round: regression.py (degenerate-group NULL guard) and
@@ -157,7 +158,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard", "dedup_simhash",
     "join_inner", "join_salted_skew", "pack_sequences", "sample_stratified",
     "similarity_quantize_int8", "stream_tumbling_window",
-    "text_bpe_tokens", "text_fingerprint", "text_lang_id",
+    "text_bpe_tokens", "text_fingerprint",
 )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot

@@ -50,6 +50,7 @@ CARTESIAN_OK = {
     ),
     "text_lang_id": "5 language profiles pivoted into a 1-row broadcast",
     "agg_heavy_hitters": "1-row token-total anchor broadcast onto gate + final filter",
+    "graph_triangle_count": "1-row edge/triangle totals broadcast into the report row",
     "text_tfidf_topk": "1-row corpus-size N anchor (broadcast)",
 }
 

@@ -426,3 +426,59 @@ def test_bigram_lm_separates_word_order_unigram_cannot(spark):
         }
     assert rows[9] < rows[0], rows
     assert all(rows[i] == rows[0] for i in range(9))
+
+
+# ---------------------------------------------------------- triangle count
+def test_triangle_count_matches_brute_force(spark):
+    """Degree-oriented wedge closure == brute-force triangle enumeration on
+    a crafted catalog, including a hub part that must be excluded."""
+    import itertools
+
+    from broadway_kinesis_spark.operators.triangles import HUB_CAP
+
+    # parts induce: triangle {1,2,3}, triangle {4,5,6}, and edges {3,4} +
+    # {1,4} which close a THIRD triangle {1,3,4}; hub part p99 is shipped
+    # by everyone and must not create edges
+    sp = [
+        (1, 101), (2, 101), (3, 101),       # p101 -> clique {1,2,3}
+        (3, 102), (4, 102),                 # p102 -> edge {3,4}
+        (4, 103), (5, 103), (6, 103),       # p103 -> clique {4,5,6}
+        (1, 104), (4, 104),                 # p104 -> edge {1,4}
+    ] + [(s, 99) for s in range(1, HUB_CAP + 3)]  # hub part, > cap suppliers
+    rows = [(i, s, p) for i, (s, p) in enumerate(sp)]
+    df = spark.createDataFrame(rows, ["l_orderkey", "l_suppkey", "l_partkey"])
+
+    # brute force on the CAPPED projection
+    from collections import defaultdict
+
+    by_part = defaultdict(set)
+    for s, p in sp:
+        by_part[p].add(s)
+    edges = set()
+    for p, ss in by_part.items():
+        if len(ss) > HUB_CAP:
+            continue
+        for u, v in itertools.combinations(sorted(ss), 2):
+            edges.add((u, v))
+    nodes = {n for e in edges for n in e}
+    tri = sum(
+        1
+        for a, b, c in itertools.combinations(sorted(nodes), 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    )
+    deg = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "lineitem.parquet"))
+        r = QUERIES["graph_triangle_count"](spark, td).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (
+        len(nodes),
+        len(edges),
+        wedges,
+        tri,
+    )
+    assert tri == 3  # {1,2,3}, {4,5,6}, and {1,3,4} through the edge parts
