@@ -1,0 +1,116 @@
+"""Containment dedup — the asymmetric Jaccard the symmetric family misses.
+
+A 40-word excerpt quoted inside a 4000-word page has Jaccard ≈ 0.01 and
+sails through every symmetric near-dup pass (MinHash, SimHash, n-gram
+Jaccard all threshold the SYMMETRIC overlap), yet it is exactly the
+sub-document duplication CCNet/RefinedWeb-style curation wants flagged:
+containment(A→B) = |A∩B| / |A| is ~1 whenever A's shingles live inside
+B, regardless of how much bigger B is.
+
+Machinery is shared with ``dedup_ngram_jaccard`` by IMPORT (the
+candidate-generation lesson of rounds 4-5: one shingle implementation,
+many consumers): the same 3-gram shingle arrays, the same DF-capped
+inverted index for candidates — a shingle in more than DF_CAP docs is a
+stop shingle — and the same array-intersect verification, except scored
+DIRECTIONALLY: each unordered candidate pair verifies both ways and
+emits a (contained, container) row per direction clearing C_T. The
+division is one exact int/int per row, identical in both engines.
+
+Scale posture: identical to the ngram operator's (it is the same index
+build + a different verification projection); candidate volume is
+bounded by the DF cap, verification is O(candidates · shingles/doc).
+
+Reference parity: [TGT] — engine extension (SURVEY §2.B dedup family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from broadway_kinesis_spark.operators.dedup import (
+    DF_CAP,
+    _SQL_SHINGLES,
+    _shingled,
+)
+from broadway_kinesis_spark.registry import query
+from broadway_kinesis_spark.session import load
+
+C_T = 0.8  # containment threshold: >= 80% of the contained doc's shingles
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH shingled AS ({_SQL_SHINGLES}),
+    idx AS (
+        SELECT doc_id, UNNEST(shingles) AS shingle FROM shingled
+    ), capped AS (
+        SELECT doc_id, shingle FROM idx
+        QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {DF_CAP}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM capped a JOIN capped b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ), scored AS (
+        SELECT c.d1, c.d2,
+               CAST(len(list_intersect(x1.shingles, x2.shingles)) AS BIGINT) AS ni,
+               CAST(len(x1.shingles) AS BIGINT) AS n1,
+               CAST(len(x2.shingles) AS BIGINT) AS n2
+        FROM cand c
+        JOIN shingled x1 ON x1.doc_id = c.d1
+        JOIN shingled x2 ON x2.doc_id = c.d2
+    )
+    SELECT contained_id, container_id, containment FROM (
+        SELECT d1 AS contained_id, d2 AS container_id,
+               CAST(ni AS DOUBLE) / n1 AS containment
+        FROM scored
+        UNION ALL
+        SELECT d2 AS contained_id, d1 AS container_id,
+               CAST(ni AS DOUBLE) / n2 AS containment
+        FROM scored
+    ) WHERE containment >= {C_T}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional sub-document duplication: (contained, container) pairs
+    where >= {C_T} of the contained doc's 3-gram shingles appear in the
+    container — including excerpt-in-page pairs symmetric Jaccard misses."""
+    docs = load(spark, sf_dir, "documents")
+    shingled = _shingled(docs).cache()
+    sh = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    capped = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).filter(F.col("df") <= DF_CAP)
+    a = capped.select(F.col("doc_id").alias("d1"), "shingle")
+    b = capped.select(F.col("doc_id").alias("d2"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    x1 = shingled.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))
+    x2 = shingled.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"))
+    scored = (
+        cand.join(x1, "d1")
+        .join(x2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("sh1", "sh2")).cast("long").alias("ni"),
+            F.size("sh1").cast("long").alias("n1"),
+            F.size("sh2").cast("long").alias("n2"),
+        )
+    )
+    fwd = scored.select(
+        F.col("d1").alias("contained_id"),
+        F.col("d2").alias("container_id"),
+        (F.col("ni").cast("double") / F.col("n1")).alias("containment"),
+    )
+    rev = scored.select(
+        F.col("d2").alias("contained_id"),
+        F.col("d1").alias("container_id"),
+        (F.col("ni").cast("double") / F.col("n2")).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= C_T)

@@ -78,6 +78,7 @@ def _load_all_modules() -> None:
         classifier,
         clustering,
         composite,
+        containment,
         contrastive,
         cumdistinct,
         curation_report,
@@ -136,7 +137,7 @@ _PRIORITY: tuple[str, ...] = (
     "sample_reservoir_group", "asof_join_forward", "agg_heavy_hitters",
     "text_bigram_logprob", "composite_curation_report",
     "window_cumulative_distinct",
-    "asof_join_nearest", "graph_triangle_count",
+    "asof_join_nearest", "graph_triangle_count", "dedup_containment",
     # (b) asof.py gained forward/nearest variants, staling its siblings
     "asof_join", "asof_join_tolerance",
     # (b) staled this round: regression.py (degenerate-group NULL guard) and
@@ -158,7 +159,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard", "dedup_simhash",
     "join_inner", "join_salted_skew", "pack_sequences", "sample_stratified",
     "similarity_quantize_int8", "stream_tumbling_window",
-    "text_bpe_tokens", "text_fingerprint",
+    "text_bpe_tokens",
 )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot

@@ -482,3 +482,42 @@ def test_triangle_count_matches_brute_force(spark):
         tri,
     )
     assert tri == 3  # {1,2,3}, {4,5,6}, and {1,3,4} through the edge parts
+
+
+# ------------------------------------------------------------- containment
+def test_containment_flags_excerpt_symmetric_jaccard_misses(spark):
+    """An excerpt quoted inside a much larger page: containment ~1 for
+    (excerpt -> page) while symmetric Jaccard is far below the near-dup
+    threshold — the directional pair must appear, the reverse must not,
+    and the unrelated doc must stay clean."""
+    import itertools
+
+    from broadway_kinesis_spark.operators.containment import C_T
+    from broadway_kinesis_spark.operators.dedup import JACCARD_T
+
+    words = [f"w{i}" for i in range(300)]
+    page = " ".join(words)  # 300-word page
+    excerpt = " ".join(words[100:140])  # 40-word exact excerpt
+    other = " ".join(f"z{i}" for i in range(80))
+    texts = {0: page, 1: excerpt, 2: other}
+
+    def shingles(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    s0, s1 = shingles(page), shingles(excerpt)
+    inter = len(s0 & s1)
+    jac = inter / (len(s0) + len(s1) - inter)
+    cont = inter / len(s1)
+    assert cont >= C_T and jac < JACCARD_T  # the construction is the gap case
+
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            (r.contained_id, r.container_id): r.containment
+            for r in QUERIES["dedup_containment"](spark, td).collect()
+        }
+    assert (1, 0) in got and abs(got[(1, 0)] - cont) < 1e-12
+    assert (0, 1) not in got  # the page is NOT contained in its excerpt
+    assert all(2 not in pair for pair in got)
