@@ -105,6 +105,7 @@ def _load_all_modules() -> None:
         sampling,
         scalars,
         scd,
+        scenecut,
         semantic,
         similarity,
         sketch_merge,
@@ -138,6 +139,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_bigram_logprob", "composite_curation_report",
     "window_cumulative_distinct",
     "asof_join_nearest", "graph_triangle_count", "dedup_containment",
+    "multimodal_scene_cut",
     # (b) asof.py gained forward/nearest variants, staling its siblings
     "asof_join", "asof_join_tolerance",
     # (b) staled this round: regression.py (degenerate-group NULL guard) and
@@ -159,8 +161,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard", "dedup_simhash",
     "join_inner", "join_salted_skew", "pack_sequences", "sample_stratified",
     "similarity_quantize_int8", "stream_tumbling_window",
-    "text_bpe_tokens",
-)
+    )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot
 # window cannot hold. Round 6: EMPTY — demand is 20 (12 new + 8 staled),

@@ -73,6 +73,7 @@ ARROW_PYTHON_OK = {
     "similarity_quantize_int8": "vectorized quantization path",
     "dedup_image_phash": "pure-Python PPM decode + dHash (mapInPandas)",
     "dedup_audio_fingerprint": "pure-Python WAV decode + envelope hash (mapInPandas)",
+    "multimodal_scene_cut": "frame-delta walk over binary payloads (mapInPandas)",
 }
 
 

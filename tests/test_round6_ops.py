@@ -521,3 +521,30 @@ def test_containment_flags_excerpt_symmetric_jaccard_misses(spark):
     assert (1, 0) in got and abs(got[(1, 0)] - cont) < 1e-12
     assert (0, 1) not in got  # the page is NOT contained in its excerpt
     assert all(2 not in pair for pair in got)
+
+
+# -------------------------------------------------------------- scene cut
+def test_scene_cut_detects_crafted_shot_boundary(spark):
+    """A payload of two homogeneous 'shots' (constant low bytes, then
+    constant high bytes) must cut exactly at the boundary frame and
+    nowhere else; a uniform clip must cut nowhere."""
+    from broadway_kinesis_spark.operators.multimodal import FRAME_BYTES
+
+    shot_a = "a" * (FRAME_BYTES * 3)
+    shot_b = "z" * (FRAME_BYTES * 3)
+    texts = {0: shot_a + shot_b, 1: "m" * (FRAME_BYTES * 4), 2: "x"}
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            r.media_id: r for r in QUERIES["multimodal_scene_cut"](spark, td).collect()
+        }
+    r0 = got[0]
+    assert r0.n_frames == 6 and r0.n_deltas == 5
+    # only the a->z boundary delta (frame index 3) is non-zero -> one cut
+    assert r0.n_cuts == 1 and r0.first_cut == 3
+    assert r0.total_delta == FRAME_BYTES * (ord("z") - ord("a"))
+    r1 = got[1]
+    assert r1.n_cuts == 0 and r1.first_cut is None and r1.total_delta == 0
+    r2 = got[2]  # single frame: no deltas at all
+    assert r2.n_frames == 1 and r2.n_deltas == 0 and r2.first_cut is None
