@@ -164,8 +164,8 @@ _PRIORITY: tuple[str, ...] = (
     )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot
-# window cannot hold. Round 6: EMPTY — demand is 20 (12 new + 8 staled),
-# leaving 30 slots of oldest-green filler.
+# window cannot hold. Round 6: EMPTY — demand is 23 (15 new operators + 8
+# staled by this round's edits), leaving 27 slots of oldest-green filler.
 # test_registry_window.py keeps enforcing that any future overflow must
 # be declared here explicitly.
 _DEFERRED: tuple[str, ...] = ()
