@@ -1,0 +1,129 @@
+"""Bottom-K containment probing — the scale tier for sub-document dedup.
+
+``dedup_containment`` probes the inverted index with EVERY shingle of
+every document; at fresh-x100 that candidate shuffle exceeds local spill
+(BASELINE.md round-6 note) because volume is Σ min(DF, cap)·cap. This
+operator is the documented knob built out: each document probes with
+only its BOTTOM-K shingles (the K smallest by md5 — a bottom-K sketch,
+the classic mergeable sample of a set), so candidate volume drops to
+K·DF per document — a corpus-size-independent per-doc bound — while a
+document 80% contained in another still shares a probe shingle with
+probability ~1 − 0.2^K (≈ 1 − 3e-12 at K = {K_BOTTOM}).
+
+The operator's SEMANTICS are the bottom-K probe itself (the oracle
+mirrors the sketch exactly, so hash equality is by definition, not a
+probabilistic claim — the ADVICE r5 lesson about honest docstrings):
+pairs are (contained, container) where a bottom-{K_BOTTOM} probe shingle
+of the contained doc hits the container's capped index AND full-set
+containment verifies >= {C_T}. Against the exhaustive operator the only
+possible difference is a candidate whose ENTIRE bottom-K misses the
+container — the crafted test pins equality on excerpt constructions.
+
+Probe selection is a zero-shuffle projection: sort md5(shingle)||shingle
+(hex is fixed-width, so lexicographic order == hash order, and appending
+the shingle makes keys distinct) and slice the first K — no window, no
+exchange. The candidate join is directional by construction: probe side
+= potential contained doc, index side = potential container.
+
+Reference parity: [TGT] — engine extension (SURVEY §2.B dedup family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from broadway_kinesis_spark.operators.containment import C_T
+from broadway_kinesis_spark.operators.dedup import (
+    DF_CAP,
+    _SQL_SHINGLES,
+    _shingled,
+)
+from broadway_kinesis_spark.registry import query
+from broadway_kinesis_spark.session import load
+
+K_BOTTOM = 16
+
+
+@query(
+    "dedup_containment_bottomk",
+    oracle=f"""
+    WITH shingled AS ({_SQL_SHINGLES}),
+    probe AS (
+        SELECT doc_id,
+               list_transform(
+                   list_sort(list_transform(shingles, s -> md5(s) || s))[1:{K_BOTTOM}],
+                   e -> substr(e, 33)
+               ) AS probes
+        FROM shingled
+    ), pe AS (
+        SELECT doc_id, UNNEST(probes) AS shingle FROM probe
+    ), idx AS (
+        SELECT doc_id, UNNEST(shingles) AS shingle FROM shingled
+    ), capped AS (
+        SELECT doc_id, shingle FROM idx
+        QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {DF_CAP}
+    ), cand AS (
+        SELECT DISTINCT p.doc_id AS contained_id, i.doc_id AS container_id
+        FROM pe p JOIN capped i
+          ON p.shingle = i.shingle AND p.doc_id <> i.doc_id
+    ), scored AS (
+        SELECT c.contained_id, c.container_id,
+               CAST(len(list_intersect(x1.shingles, x2.shingles)) AS BIGINT) AS ni,
+               CAST(len(x1.shingles) AS BIGINT) AS n1
+        FROM cand c
+        JOIN shingled x1 ON x1.doc_id = c.contained_id
+        JOIN shingled x2 ON x2.doc_id = c.container_id
+    )
+    SELECT contained_id, container_id,
+           CAST(ni AS DOUBLE) / n1 AS containment
+    FROM scored
+    WHERE CAST(ni AS DOUBLE) / n1 >= {C_T}
+    """,
+)
+def dedup_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional sub-document duplication through a bottom-{K_BOTTOM}
+    sketch probe: candidate volume bounded by K·DF per document, exact
+    full-set containment verify >= {C_T}."""
+    docs = load(spark, sf_dir, "documents")
+    shingled = _shingled(docs).cache()
+    keyed = F.transform("shingles", lambda s: F.concat(F.md5(s), s))
+    probes = F.transform(
+        F.slice(F.array_sort(keyed), 1, K_BOTTOM), lambda e: F.substring(e, 33, 1 << 20)
+    )
+    pe = shingled.select(
+        "doc_id", F.explode(probes).alias("shingle")
+    )
+    idx = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    capped = idx.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).filter(F.col("df") <= DF_CAP)
+    cand = (
+        pe.select(F.col("doc_id").alias("contained_id"), "shingle")
+        .join(
+            capped.select(F.col("doc_id").alias("container_id"), "shingle"),
+            "shingle",
+        )
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .select("contained_id", "container_id")
+        .distinct()
+    )
+    x1 = shingled.select(
+        F.col("doc_id").alias("contained_id"), F.col("shingles").alias("sh1")
+    )
+    x2 = shingled.select(
+        F.col("doc_id").alias("container_id"), F.col("shingles").alias("sh2")
+    )
+    cont = F.size(F.array_intersect("sh1", "sh2")).cast("long").cast(
+        "double"
+    ) / F.size("sh1").cast("long")
+    return (
+        cand.join(x1, "contained_id")
+        .join(x2, "container_id")
+        .select(
+            "contained_id",
+            "container_id",
+            cont.alias("containment"),
+        )
+        .filter(F.col("containment") >= C_T)
+    )

@@ -79,6 +79,7 @@ def _load_all_modules() -> None:
         clustering,
         composite,
         containment,
+        containment_bottomk,
         contrastive,
         cumdistinct,
         curation_report,
@@ -139,7 +140,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_bigram_logprob", "composite_curation_report",
     "window_cumulative_distinct",
     "asof_join_nearest", "graph_triangle_count", "dedup_containment",
-    "multimodal_scene_cut",
+    "multimodal_scene_cut", "dedup_containment_bottomk",
     # (b) asof.py gained forward/nearest variants, staling its siblings
     "asof_join", "asof_join_tolerance",
     # (b) staled this round: regression.py (degenerate-group NULL guard) and
@@ -154,7 +155,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental", "sample_hash_split",
     "udf_pandas_vectorized", "udf_python_row", "udf_table_function",
     "agg_filtered_first_last", "agg_histogram", "agg_mode", "agg_pivot",
-    "agg_salted_skew", "agg_stats", "agg_string_concat",
+    "agg_salted_skew", "agg_stats",
     "composite_local_supplier_volume", "composite_returned_items",
     "composite_shipping_priority", "composite_user_retention",
     "dedup_cluster_cc", "dedup_decontaminate", "dedup_exact_docs",

@@ -548,3 +548,30 @@ def test_scene_cut_detects_crafted_shot_boundary(spark):
     assert r1.n_cuts == 0 and r1.first_cut is None and r1.total_delta == 0
     r2 = got[2]  # single frame: no deltas at all
     assert r2.n_frames == 1 and r2.n_deltas == 0 and r2.first_cut is None
+
+
+def test_containment_bottomk_equals_exhaustive_on_crafted_corpus(spark):
+    """The bottom-K probe tier must recover every pair the exhaustive
+    operator finds on the excerpt construction (a full-probe miss needs
+    ALL K bottom shingles of the contained doc absent from the container
+    — impossible for a true excerpt, whose shingles are a subset)."""
+    words = [f"w{i}" for i in range(300)]
+    texts = {
+        0: " ".join(words),
+        1: " ".join(words[100:140]),
+        2: " ".join(words[40:90]),  # a second excerpt
+        3: " ".join(f"z{i}" for i in range(80)),
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        full = {
+            (r.contained_id, r.container_id, round(r.containment, 9))
+            for r in QUERIES["dedup_containment"](spark, td).collect()
+        }
+        bk = {
+            (r.contained_id, r.container_id, round(r.containment, 9))
+            for r in QUERIES["dedup_containment_bottomk"](spark, td).collect()
+        }
+    assert bk == full
+    assert {(1, 0), (2, 0)} <= {(a, b) for a, b, _ in full}
