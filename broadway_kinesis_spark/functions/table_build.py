@@ -59,8 +59,14 @@ def _location_owner(loc: str) -> int | None:
 
 
 def _pid_alive(pid: int) -> bool:
+    # A live process owned by another user raises PermissionError — that is
+    # proof of LIFE, not death (ADVICE r6): only ESRCH means no such process.
     try:
         os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
     except OSError:
         return False
     return True

@@ -165,8 +165,9 @@ _PRIORITY: tuple[str, ...] = (
     )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot
-# window cannot hold. Round 6: EMPTY — demand is 23 (15 new operators + 8
-# staled by this round's edits), leaving 27 slots of oldest-green filler.
+# window cannot hold. Round 6: EMPTY — demand was 24 (16 new operators + 8
+# staled by that round's edits), leaving 26 slots of oldest-green filler
+# (counts per test_registry_window.py, the source of truth).
 # test_registry_window.py keeps enforcing that any future overflow must
 # be declared here explicitly.
 _DEFERRED: tuple[str, ...] = ()
