@@ -116,6 +116,11 @@ HEADLINE = [
     "dedup_image_phash",
     "text_bpe_train",
     "dedup_substring_spans",
+    # Round 7 addition: video temporal dedup — per-frame dHash sequence to
+    # ordered shingles in one Arrow stage, then the capped inverted-index
+    # join; the multimodal analogue of the text shingle family and the
+    # round's real-compute addition.
+    "dedup_video_temporal",
 ]
 
 

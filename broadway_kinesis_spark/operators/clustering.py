@@ -110,10 +110,11 @@ def connected_components(edges: DataFrame, max_iters: int = MAX_CC_ITERS) -> Dat
         adj.unpersist()
 
 
-@query(
-    "dedup_cluster_cc",
-    oracle=f"""
-    WITH RECURSIVE
+#: oracle CTE chain ending in ``comp(doc_id, component_id)`` — the SQL twin
+#: of ``connected_components`` over the two-channel evidence-edge union.
+#: Must follow a ``WITH RECURSIVE`` head; shared with the leakage-safe
+#: split oracle (operators/splits.py), which buckets on these labels.
+SQL_COMP_CTES = f"""
     shingled AS ({_SQL_SHINGLES}),
     idx AS (
         SELECT doc_id, shingle FROM (
@@ -145,7 +146,13 @@ def connected_components(edges: DataFrame, max_iters: int = MAX_CC_ITERS) -> Dat
         UNION
         SELECT e2.t AS node, r.lab FROM reach r JOIN edges e2 ON e2.s = r.node
     ),
-    comp AS (SELECT node AS doc_id, MIN(lab) AS component_id FROM reach GROUP BY node)
+    comp AS (SELECT node AS doc_id, MIN(lab) AS component_id FROM reach GROUP BY node)"""
+
+
+@query(
+    "dedup_cluster_cc",
+    oracle=f"""
+    WITH RECURSIVE {SQL_COMP_CTES}
     SELECT doc_id, component_id,
            COUNT(*) OVER (PARTITION BY component_id) AS cluster_size
     FROM comp

@@ -111,12 +111,14 @@ def _load_all_modules() -> None:
         similarity,
         sketch_merge,
         skew,
+        splits,
         subqueries,
         substring_spans,
         textops,
         textstats,
         triangles,
         urls,
+        videohash,
         windows,
         winsorize,
     )
@@ -133,40 +135,40 @@ def _load_all_modules() -> None:
 # slots fill with the OLDEST-green rows so signal currency improves across
 # the registry. Any overflow must be declared in _DEFERRED explicitly.
 _PRIORITY: tuple[str, ...] = (
-    # (a) round-6 never-green operators
-    "dedup_image_phash", "dedup_audio_fingerprint",
-    "text_bpe_train", "text_bpe_encode", "dedup_substring_spans",
-    "sample_reservoir_group", "asof_join_forward", "agg_heavy_hitters",
-    "text_bigram_logprob", "composite_curation_report",
-    "window_cumulative_distinct",
-    "asof_join_nearest", "graph_triangle_count", "dedup_containment",
-    "multimodal_scene_cut", "dedup_containment_bottomk",
-    # (b) asof.py gained forward/nearest variants, staling its siblings
-    "asof_join", "asof_join_tolerance",
-    # (b) staled this round: regression.py (degenerate-group NULL guard) and
-    # decay.py (driver-computed literal weight table) — both ADVICE r5
-    # fixes — plus the four layout-backed queries whose dep closure
-    # includes functions/table_build.py (ownership-checked orphan cleanup)
-    "agg_group_regression", "agg_time_decay",
+    # (a) round-7 never-green operators
+    "dedup_split_leakage_safe", "dedup_video_temporal",
+    # (b) staled this round: imagehash.py rewritten to the parametric
+    # multi-word fingerprint (stales both modality fingerprints),
+    # clustering.py's oracle CTEs factored for reuse by the split,
+    # functions/table_build.py's pid-liveness fix (ADVICE r6 — stales the
+    # four layout-backed queries)
+    "dedup_audio_fingerprint", "dedup_image_phash", "dedup_cluster_cc",
     "join_bucketed", "graph_pagerank", "graph_pagerank_bucketed",
     "scan_partition_pruned",
-    # (c) filler, oldest green first: the round-2 rows (files untouched
-    # since), then the full round-3 cohort, then the oldest round-4 rows
-    "dedup_incremental", "sample_hash_split",
-    "udf_pandas_vectorized", "udf_python_row", "udf_table_function",
-    "agg_filtered_first_last", "agg_histogram", "agg_mode", "agg_pivot",
-    "agg_salted_skew", "agg_stats",
-    "composite_local_supplier_volume", "composite_returned_items",
-    "composite_shipping_priority", "composite_user_retention",
-    "dedup_cluster_cc", "dedup_decontaminate", "dedup_exact_docs",
-    "dedup_ngram_jaccard", "dedup_simhash",
-    "join_inner", "join_salted_skew", "pack_sequences", "sample_stratified",
-    "similarity_quantize_int8", "stream_tumbling_window",
+    # (c) filler, oldest green first: the remaining round-3 cohort, then
+    # the round-4 rows alphabetically
+    "agg_string_concat", "text_bpe_tokens", "text_fingerprint",
+    "text_lang_id", "text_quality_score", "text_repetition_score",
+    "text_tfidf_topk", "text_token_stats", "text_vocab_topk",
+    "window_time_range",
+    "agg_sketch_merge", "cdc_merge_upsert", "data_mix_weighted",
+    "dedup_boilerplate", "dedup_exact_rows", "dedup_keep_first",
+    "dedup_semantic", "filter_null_semantics", "funnel_conversion",
+    "join_anti", "join_broadcast", "join_left_outer",
+    "join_range_interval", "join_semi",
+    "multimodal_audio_stats", "multimodal_byte_features",
+    "multimodal_frame_sample", "multimodal_image_stats",
+    "multimodal_metadata_stats",
+    "pii_scrub", "pipeline_clean_corpus", "pipeline_epoch_build",
+    "pipeline_quality_funnel", "sample_epoch_shuffle",
+    "scalar_array", "scalar_conditional", "scalar_datetime",
+    "scalar_json", "scalar_math", "scalar_string",
+    "scan_project_filter",
     )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot
-# window cannot hold. Round 6: EMPTY — demand was 24 (16 new operators + 8
-# staled by that round's edits), leaving 26 slots of oldest-green filler
+# window cannot hold. Round 7: EMPTY — demand is 9 (2 new operators + 7
+# staled by this round's edits), leaving 41 slots of oldest-green filler
 # (counts per test_registry_window.py, the source of truth).
 # test_registry_window.py keeps enforcing that any future overflow must
 # be declared here explicitly.

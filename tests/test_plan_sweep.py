@@ -74,6 +74,10 @@ ARROW_PYTHON_OK = {
     "dedup_image_phash": "pure-Python PPM decode + dHash (mapInPandas)",
     "dedup_audio_fingerprint": "pure-Python WAV decode + envelope hash (mapInPandas)",
     "multimodal_scene_cut": "frame-delta walk over binary payloads (mapInPandas)",
+    "dedup_video_temporal": (
+        "pure-Python frame walk + per-frame dHash + temporal shingles, ONE"
+        " Arrow stage linear in corpus bytes (videohash.py)"
+    ),
 }
 
 
