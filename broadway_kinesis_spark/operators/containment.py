@@ -76,6 +76,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional sub-document duplication: (contained, container) pairs
     where >= {C_T} of the contained doc's 3-gram shingles appear in the
     container — including excerpt-in-page pairs symmetric Jaccard misses."""
+    from broadway_kinesis_spark.session import size_shuffle_partitions
+
+    # Shares the ngram index's shuffle-expansion profile: size partitions
+    # to the corpus before planning (no-op at fixture scale).
+    size_shuffle_partitions(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
     shingled = _shingled(docs).cache()
     sh = shingled.select("doc_id", F.explode("shingles").alias("shingle"))

@@ -85,6 +85,12 @@ def dedup_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional sub-document duplication through a bottom-{K_BOTTOM}
     sketch probe: candidate volume bounded by K·DF per document, exact
     full-set containment verify >= {C_T}."""
+    from broadway_kinesis_spark.session import size_shuffle_partitions
+
+    # The probe bounds candidates by K·DF/doc but the verify still joins
+    # full shingle streams: size partitions to the corpus before planning
+    # (no-op at fixture scale).
+    size_shuffle_partitions(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
     shingled = _shingled(docs).cache()
     keyed = F.transform("shingles", lambda s: F.concat(F.md5(s), s))

@@ -228,6 +228,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     than {DF_CAP} docs are dropped from the index (stop-shingle cap — the
     skew guard that keeps hot shingles from emitting quadratic pairs), then
     exact Jaccard over the full shingle sets filters to >= {JACCARD_T}."""
+    from broadway_kinesis_spark.session import size_shuffle_partitions
+
+    # The shingle explode + candidate self-join expand the corpus ~two
+    # orders of magnitude in-shuffle: size partitions to the corpus BEFORE
+    # planning, or the x100 tier dies spilling at the session default
+    # (round-6 forensics; the helper is a no-op at fixture scale).
+    size_shuffle_partitions(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
     # Arrays are cached once (compact: one row/doc) and feed BOTH the index
     # explode and pair verification — measured faster here than rebuilding

@@ -138,12 +138,17 @@ _PRIORITY: tuple[str, ...] = (
     # (a) round-7 never-green operators
     "dedup_split_leakage_safe", "dedup_video_temporal",
     # (b) staled this round: imagehash.py rewritten to the parametric
-    # multi-word fingerprint (stales both modality fingerprints),
-    # clustering.py's oracle CTEs factored for reuse by the split,
+    # multi-word fingerprint (stales both modality fingerprints);
+    # clustering.py's oracle CTEs factored for reuse by the split;
+    # dedup.py + the containment pair gained the size_shuffle_partitions
+    # call (stales the whole dedup.py family and its importers);
     # functions/table_build.py's pid-liveness fix (ADVICE r6 — stales the
     # four layout-backed queries)
-    "dedup_audio_fingerprint", "dedup_image_phash", "dedup_cluster_cc",
-    "join_bucketed", "graph_pagerank", "graph_pagerank_bucketed",
+    "dedup_audio_fingerprint", "dedup_cluster_cc", "dedup_containment",
+    "dedup_containment_bottomk", "dedup_embedding_cosine", "dedup_exact_docs",
+    "dedup_fuzzy_prefix", "dedup_image_phash", "dedup_incremental",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "graph_pagerank", "graph_pagerank_bucketed", "join_bucketed",
     "scan_partition_pruned",
     # (c) filler, oldest green first: the remaining round-3 cohort, then
     # the round-4 rows alphabetically
@@ -160,15 +165,11 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample", "multimodal_image_stats",
     "multimodal_metadata_stats",
     "pii_scrub", "pipeline_clean_corpus", "pipeline_epoch_build",
-    "pipeline_quality_funnel", "sample_epoch_shuffle",
-    "scalar_array", "scalar_conditional", "scalar_datetime",
-    "scalar_json", "scalar_math", "scalar_string",
-    "scan_project_filter",
     )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot
-# window cannot hold. Round 7: EMPTY — demand is 9 (2 new operators + 7
-# staled by this round's edits), leaving 41 slots of oldest-green filler
+# window cannot hold. Round 7: EMPTY — demand is 18 (2 new operators + 16
+# staled by this round's edits), leaving 32 slots of oldest-green filler
 # (counts per test_registry_window.py, the source of truth).
 # test_registry_window.py keeps enforcing that any future overflow must
 # be declared here explicitly.

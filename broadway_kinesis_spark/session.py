@@ -124,6 +124,78 @@ def build_session(
 # future decimal/percentile-heavy operator needs it back.
 
 
+#: measured in-memory expansion of the inverted-index family's shuffles
+#: relative to the PARQUET bytes of its input tables: shingle/candidate
+#: rows blow a compressed text corpus up ~two orders of magnitude (round-6
+#: forensics: the 69 MB fresh-x100 documents corpus needed ~128 partitions
+#: or the candidate self-join died spilling at default memory).
+INDEX_SHUFFLE_EXPANSION = 128
+
+#: per-partition shuffle-data target. Small enough that a partition's
+#: build side fits execution memory with the default per-core budget;
+#: AQE coalesces upward when partitions come out tiny, so the cost of
+#: over-partitioning is scheduling overhead only.
+TARGET_PARTITION_BYTES = 64 << 20
+
+
+def _mem_bytes(spark: SparkSession) -> int:
+    for key in ("spark.executor.memory", "spark.driver.memory"):
+        try:
+            raw = spark.conf.get(key)
+        except Exception:
+            continue
+        if raw:
+            units = {"k": 10, "m": 20, "g": 30, "t": 40}
+            raw = raw.strip().lower().removesuffix("b")
+            if raw[-1] in units:
+                return int(float(raw[:-1])) << units[raw[-1]]
+            return int(raw)
+    return 1 << 30  # Spark's own driver default
+
+
+def size_shuffle_partitions(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = ("documents",),
+    expansion: int = INDEX_SHUFFLE_EXPANSION,
+) -> int:
+    """Size ``spark.sql.shuffle.partitions`` from corpus bytes and executor
+    memory for shuffle-EXPANDING operators (the inverted-index dedup
+    family), replacing the hand-tuned per-run env var the round-6 x100
+    runs needed (VERDICT r6 #10/#7).
+
+    The rule: expanded shuffle bytes = parquet bytes x ``expansion``; each
+    partition should hold at most ``min(TARGET_PARTITION_BYTES, 30% of
+    per-core memory)`` of that, never fewer partitions than the session
+    already has. At fixture scale (<= a few MB) this is a no-op — the
+    floor wins — so correctness-harness sessions are untouched; at the
+    fresh-x100 tier it lands at the ~128-plus-partition layout the
+    measured runs required. On a real cluster the same rule runs against
+    executor memory; AQE still coalesces any stage that comes out finer
+    than needed.
+    """
+    total = 0
+    for t in tables:
+        try:
+            total += os.stat(os.path.join(sf_dir, f"{t}.parquet")).st_size
+        except OSError:
+            pass
+    cores = max(spark.sparkContext.defaultParallelism, 1)
+    per_task = max(int(0.3 * _mem_bytes(spark)) // cores, 8 << 20)
+    target = min(TARGET_PARTITION_BYTES, per_task)
+    try:
+        floor = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        floor = cores
+    parts = max(floor, -(-total * expansion // target))
+    if parts > floor:
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        except Exception:
+            pass  # a locked conf falls back to the session's own sizing
+    return parts
+
+
 # Both memo layers are keyed by (session, path) with the file's stat
 # signature stored NEXT TO the value: a rewritten file REPLACES its entry
 # rather than accreting a new key (ADVICE r3: the old
