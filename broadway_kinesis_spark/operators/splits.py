@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
 from broadway_kinesis_spark.operators.clustering import (
     SQL_COMP_CTES,
     connected_components,
@@ -58,18 +59,27 @@ def _bucket(grp_col):
     )
 
 
-def leakage_safe_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document assignment (doc_id, n_chars, grp, clustered, split):
-    group key = dup-cluster component id where the doc has one, else its
-    own id; split = md5-bucket of the GROUP key. The registered query
-    aggregates this; tests assert the zero-straddle property on it."""
-    docs = load(spark, sf_dir, "documents")
-    edges = (
+def _evidence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
         dedup_ngram_jaccard(spark, sf_dir)
         .select("d1", "d2")
         .union(dedup_fuzzy_prefix(spark, sf_dir).select("d1", "d2"))
         .distinct()
     )
+
+
+def leakage_safe_assignment(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
+    """Per-document assignment (doc_id, n_chars, grp, clustered, split):
+    group key = dup-cluster component id where the doc has one, else its
+    own id; split = md5-bucket of the GROUP key. The registered queries
+    aggregate this; tests assert the zero-straddle property on it.
+    ``edges`` defaults to an inline recompute of both evidence channels;
+    the persisted tier passes the stored pair table instead."""
+    docs = load(spark, sf_dir, "documents")
+    if edges is None:
+        edges = _evidence_edges(spark, sf_dir)
     labels = connected_components(edges).select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )
@@ -90,9 +100,10 @@ def leakage_safe_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_split_leakage_safe",
-    oracle=f"""
+#: shared by the inline and persisted tiers — the persisted edge table
+#: holds exactly the recomputed channels' pairs, so the SAME oracle is the
+#: layout-invariance proof (the graph_pagerank_bucketed trick).
+_SPLIT_ORACLE = f"""
     WITH RECURSIVE {SQL_COMP_CTES},
     assigned AS (
         SELECT d.doc_id, d.n_chars,
@@ -112,21 +123,47 @@ def leakage_safe_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_cluster_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM assigned GROUP BY 1
-    """,
-)
+    """
+
+
+def _summarize(assigned: DataFrame) -> DataFrame:
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("grp").alias("n_groups"),
+        F.sum(F.when(F.col("clustered"), 1).otherwise(0)).alias(
+            "n_cluster_docs"
+        ),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query("dedup_split_leakage_safe", oracle=_SPLIT_ORACLE)
 def dedup_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-aware 80/10/10 split summary: per split, document count,
     distinct group count, docs covered by a dup cluster, and total chars
     — whole near-dup clusters land on one side by construction."""
-    return (
-        leakage_safe_assignment(spark, sf_dir)
-        .groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("grp").alias("n_groups"),
-            F.sum(F.when(F.col("clustered"), 1).otherwise(0)).alias(
-                "n_cluster_docs"
-            ),
-            F.sum("n_chars").alias("total_chars"),
-        )
-    )
+    return _summarize(leakage_safe_assignment(spark, sf_dir))
+
+
+def ensure_split_edges(spark: SparkSession, sf_dir: str) -> str:
+    """Create (once per corpus version) the persisted evidence-pair table
+    — build/idempotence/orphan protocol from functions/table_build.py."""
+    name = f"_bks_split_edges_{corpus_sig(sf_dir, ('documents',))}"
+    return ensure_table(spark, name, lambda: _evidence_edges(spark, sf_dir))
+
+
+@query("dedup_split_leakage_safe_persisted", oracle=_SPLIT_ORACLE)
+def dedup_split_leakage_safe_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The deployment form of ``dedup_split_leakage_safe``: identical
+    semantics, identical oracle — but the evidence edges live in a pair
+    table built ONCE per corpus version (the measured fresh-x10 run shows
+    the inline recompute of both channels dominates the composite at
+    ~527 s while the group-key machinery itself is map-side; in a real
+    pipeline the dedup family's pair outputs are already persisted, so
+    splitting pays only the CC rounds over the candidate graph + one
+    broadcast join + the 3-group rollup). The shared oracle is the
+    layout-invariance proof."""
+    edges = spark.table(ensure_split_edges(spark, sf_dir))
+    return _summarize(leakage_safe_assignment(spark, sf_dir, edges=edges))

@@ -206,6 +206,27 @@ def test_leakage_safe_split_zero_straddle_and_nonvacuous(spark):
     assert len(multi) >= 40
 
 
+def test_leakage_safe_split_persisted_tier_matches_inline(spark, sf_dir):
+    """The persisted-edges deployment tier must return EXACTLY the inline
+    summary, and its edge table must be built once (second call serves
+    from the catalog)."""
+    from broadway_kinesis_spark.operators.splits import ensure_split_edges
+
+    inline = {
+        tuple(r) for r in QUERIES["dedup_split_leakage_safe"](spark, sf_dir).collect()
+    }
+    persisted = {
+        tuple(r)
+        for r in QUERIES["dedup_split_leakage_safe_persisted"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert persisted == inline and len(persisted) == 3
+    name = ensure_split_edges(spark, sf_dir)
+    assert spark.catalog.tableExists(name)
+    assert ensure_split_edges(spark, sf_dir) == name  # idempotent
+
+
 def test_leakage_safe_split_groups_match_cluster_cc(spark, sf_dir):
     """The split's group key must agree with dedup_cluster_cc's component
     labels on the fixture — same evidence channels, same components."""
