@@ -86,6 +86,7 @@ def _load_all_modules() -> None:
         curation,
         decay,
         dedup,
+        dedup_report,
         epoch_build,
         funnel,
         graph,
@@ -137,7 +138,7 @@ def _load_all_modules() -> None:
 _PRIORITY: tuple[str, ...] = (
     # (a) round-7 never-green operators
     "dedup_split_leakage_safe", "dedup_split_leakage_safe_persisted",
-    "dedup_video_temporal",
+    "dedup_video_temporal", "composite_dedup_recall",
     # (b) staled this round: imagehash.py rewritten to the parametric
     # multi-word fingerprint (stales both modality fingerprints);
     # clustering.py's oracle CTEs factored for reuse by the split;
@@ -165,12 +166,12 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_audio_stats", "multimodal_byte_features",
     "multimodal_frame_sample", "multimodal_image_stats",
     "multimodal_metadata_stats",
-    "pii_scrub", "pipeline_clean_corpus",
+    "pii_scrub",
     )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot
-# window cannot hold. Round 7: EMPTY — demand is 19 (3 new operators + 16
-# staled by this round's edits), leaving 31 slots of oldest-green filler
+# window cannot hold. Round 7: EMPTY — demand is 20 (4 new operators + 16
+# staled by this round's edits), leaving 30 slots of oldest-green filler
 # (counts per test_registry_window.py, the source of truth).
 # test_registry_window.py keeps enforcing that any future overflow must
 # be declared here explicitly.

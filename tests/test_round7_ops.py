@@ -136,6 +136,77 @@ def test_video_temporal_plan_one_arrow_stage_no_cartesian(spark, sf_dir):
     assert "BatchEvalPython" not in plan, plan
 
 
+# --------------------------------------------------- dedup recall report
+def test_dedup_recall_report_matches_python_mirror(spark):
+    """On a corpus of BORDERLINE-Jaccard pairs (j in [0.5, 0.6), where a
+    4-band minhash really does miss ~half the true pairs) the report must
+    equal a pure-Python mirror of both channels — and the corpus must be
+    non-vacuous: at least one pair verified by the index channel but
+    missed by every LSH band."""
+    import hashlib
+    import itertools
+
+    from broadway_kinesis_spark.operators.dedup import (
+        BAND_R,
+        JACCARD_T,
+        N_BANDS,
+        N_SIG,
+    )
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+
+    def shingle_set(text: str) -> set[str]:
+        w = text.lower().split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    texts, did = {}, 0
+    for k in range(16):  # 16 borderline pairs, vocab private per pair
+        repl = 5 if k < 8 else 6  # j = 13/23 and 12/24 respectively
+        base = [f"p{k}w{i}" for i in range(20)]
+        part = base[: 20 - repl] + [f"p{k}x{i}" for i in range(repl)]
+        texts[did], texts[did + 1] = " ".join(base), " ".join(part)
+        did += 2
+    for j in range(10):  # singleton noise
+        texts[did] = " ".join(f"s{j}u{i}" for i in range(15))
+        did += 1
+
+    sh = {d: shingle_set(t) for d, t in texts.items()}
+    sigs = {
+        d: [min(md5(f"{s}:{g}") for g in ss) for s in range(N_SIG)]
+        for d, ss in sh.items()
+    }
+    bkeys = {
+        d: [
+            md5("".join(sg[BAND_R * b : BAND_R * (b + 1)]))
+            for b in range(N_BANDS)
+        ]
+        for d, sg in sigs.items()
+    }
+    ex, mh = set(), set()
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        if not inter:
+            continue  # no shared shingle: neither channel proposes it
+        if inter / (len(sh[a]) + len(sh[b]) - inter) >= JACCARD_T:
+            ex.add((a, b))  # DF cap never binds on pair-private vocab
+            if any(x == y for x, y in zip(bkeys[a], bkeys[b])):
+                mh.add((a, b))
+    expected = {
+        "n_index": len(ex),
+        "n_lsh": len(mh),
+        "n_both": len(ex & mh),
+        "only_index": len(ex - mh),
+        "only_lsh": len(mh - ex),
+        "lsh_recall_micro": len(ex & mh) * 1_000_000 // len(ex),
+    }
+    assert expected["only_index"] >= 1  # the banding really missed pairs
+    assert 0 < expected["n_lsh"] < expected["n_index"]
+    with tempfile.TemporaryDirectory() as td:
+        _write_docs(td, spark, list(texts.items()))
+        got = QUERIES["composite_dedup_recall"](spark, td).collect()[0].asDict()
+    assert got == expected
+
+
 # ------------------------------------------------- leakage-safe group split
 def _md5_bucket(key: int) -> int:
     return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % 100
