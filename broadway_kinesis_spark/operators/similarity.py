@@ -80,9 +80,9 @@ _SQL_E = f"""
 """
 
 
-@query(
-    "similarity_topk_cosine",
-    oracle=f"""
+#: full exact-top-k oracle body — shared with the ANN recall report
+#: (operators/ann_report.py), which nests it as a sub-WITH.
+SQL_TOPK_EXACT = f"""
     WITH e AS ({_SQL_E}),
          q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES})
     SELECT query_id, cand_id, cos_sim FROM (
@@ -96,8 +96,10 @@ _SQL_E = f"""
             WHERE c.vec_id <> q.vec_id
         )
     ) WHERE rn <= {K}
-    """,
-)
+    """
+
+
+@query("similarity_topk_cosine", oracle=SQL_TOPK_EXACT)
 def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force top-k cosine: broadcast the (small) query set
     against every candidate; the candidate table is scanned once and never
@@ -327,9 +329,9 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PROBE = 2  # clusters probed per query in the centroid IVF
 
 
-@query(
-    "similarity_ann_ivf_probe",
-    oracle=f"""
+#: full IVF-probe oracle body — shared with the ANN recall report
+#: (operators/ann_report.py), which nests it as a sub-WITH.
+SQL_TOPK_IVF_PROBE = f"""
     WITH e AS (
         SELECT vec_id, label, embedding::DOUBLE[] AS v,
                sqrt({_sql_dot('embedding::DOUBLE[]', 'embedding::DOUBLE[]')}) AS nrm
@@ -367,8 +369,10 @@ N_PROBE = 2  # clusters probed per query in the centroid IVF
             JOIN e c ON c.label = p.label AND c.vec_id <> p.query_id
         )
     ) WHERE rn <= {K}
-    """,
-)
+    """
+
+
+@query("similarity_ann_ivf_probe", oracle=SQL_TOPK_IVF_PROBE)
 def similarity_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF mechanics: coarse centroids = per-cluster mean vectors
     (computed in-plan, decimal-stabilized so both engines agree bitwise),

@@ -67,6 +67,7 @@ def _load_all_modules() -> None:
     from broadway_kinesis_spark.operators import (  # noqa: F401
         aggregates,
         ann_persist,
+        ann_report,
         asof,
         audiohash,
         bigram,
@@ -138,20 +139,25 @@ def _load_all_modules() -> None:
 _PRIORITY: tuple[str, ...] = (
     # (a) round-7 never-green operators
     "dedup_split_leakage_safe", "dedup_split_leakage_safe_persisted",
-    "dedup_video_temporal", "composite_dedup_recall",
+    "dedup_video_temporal", "composite_dedup_recall", "composite_ann_recall",
     # (b) staled this round: imagehash.py rewritten to the parametric
     # multi-word fingerprint (stales both modality fingerprints);
     # clustering.py's oracle CTEs factored for reuse by the split;
     # dedup.py + the containment pair gained the size_shuffle_partitions
     # call (stales the whole dedup.py family and its importers);
-    # functions/table_build.py's pid-liveness fix (ADVICE r6 — stales the
-    # four layout-backed queries)
+    # similarity.py's oracle bodies factored for the ANN recall report
+    # (stales the similarity family); functions/table_build.py's
+    # pid-liveness fix (ADVICE r6 — stales the four layout-backed queries)
     "dedup_audio_fingerprint", "dedup_cluster_cc", "dedup_containment",
     "dedup_containment_bottomk", "dedup_embedding_cosine", "dedup_exact_docs",
     "dedup_fuzzy_prefix", "dedup_image_phash", "dedup_incremental",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "graph_pagerank", "graph_pagerank_bucketed", "join_bucketed",
     "scan_partition_pruned",
+    "similarity_ann_ivf", "similarity_ann_ivf_persisted",
+    "similarity_ann_ivf_probe", "similarity_ann_lsh", "similarity_kmeans",
+    "similarity_normalize", "similarity_topk_cosine",
+    "similarity_topk_cosine_pandas",
     # (c) filler, oldest green first: the remaining round-3 cohort, then
     # the round-4 rows alphabetically
     "agg_string_concat", "text_bpe_tokens", "text_fingerprint",
@@ -161,17 +167,12 @@ _PRIORITY: tuple[str, ...] = (
     "agg_sketch_merge", "cdc_merge_upsert", "data_mix_weighted",
     "dedup_boilerplate", "dedup_exact_rows", "dedup_keep_first",
     "dedup_semantic", "filter_null_semantics", "funnel_conversion",
-    "join_anti", "join_broadcast", "join_left_outer",
-    "join_range_interval", "join_semi",
-    "multimodal_audio_stats", "multimodal_byte_features",
-    "multimodal_frame_sample", "multimodal_image_stats",
-    "multimodal_metadata_stats",
-    "pii_scrub",
+    "join_anti", "join_broadcast",
     )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot
-# window cannot hold. Round 7: EMPTY — demand is 20 (4 new operators + 16
-# staled by this round's edits), leaving 30 slots of oldest-green filler
+# window cannot hold. Round 7: EMPTY — demand is 29 (5 new operators + 24
+# staled by this round's edits), leaving 21 slots of oldest-green filler
 # (counts per test_registry_window.py, the source of truth).
 # test_registry_window.py keeps enforcing that any future overflow must
 # be declared here explicitly.

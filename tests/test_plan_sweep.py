@@ -48,6 +48,11 @@ CARTESIAN_OK = {
         "broadcast 20-row query set joined non-equi (self-pair exclusion) —"
         " the deliberate brute-force baseline the ANN variants exist to beat"
     ),
+    "composite_ann_recall": (
+        "composes similarity_topk_cosine (broadcast 20-row query set,"
+        " non-equi) + ann_ivf_probe (K-row centroid assignment) — both"
+        " bounded anchors already whitelisted above"
+    ),
     "text_lang_id": "5 language profiles pivoted into a 1-row broadcast",
     "agg_heavy_hitters": "1-row token-total anchor broadcast onto gate + final filter",
     "graph_triangle_count": "1-row edge/triangle totals broadcast into the report row",

@@ -207,6 +207,40 @@ def test_dedup_recall_report_matches_python_mirror(spark):
     assert got == expected
 
 
+# ------------------------------------------------------ ANN recall report
+def test_ann_recall_report_clustered_vs_fixture(spark, sf_dir):
+    """On a corpus with REAL cluster structure every query's exact top-k
+    lives in its own probed cluster => recall exactly 1.0 per query; the
+    report's arithmetic must hold row-wise; and on the near-orthogonal
+    driver fixture (no cluster structure) mean recall must be WELL below
+    1 — the discrimination the report exists to provide."""
+    import math
+
+    from broadway_kinesis_spark.operators.similarity import K, N_QUERIES
+
+    rows = []
+    for vid in range(75):
+        c = vid % 3
+        base = [0.0] * 64
+        base[c * 20] = 1.0  # orthogonal centroids
+        base[c * 20 + 1 + (vid // 3) % 5] = 0.05 * (1 + vid % 4)  # jitter
+        nrm = math.sqrt(sum(x * x for x in base))
+        rows.append((vid, [x / nrm for x in base], c))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    df = df.withColumn("embedding", df["embedding"].cast("array<float>"))
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "embeddings.parquet"))
+        got = QUERIES["composite_ann_recall"](spark, td).collect()
+    assert len(got) == N_QUERIES
+    for r in got:
+        assert r.n_exact == K and r.n_hits == K and r.recall_micro == 1_000_000
+    fixture = QUERIES["composite_ann_recall"](spark, sf_dir).collect()
+    mean = sum(r.recall_micro for r in fixture) / len(fixture)
+    assert mean < 800_000  # near-orthogonal vectors: IVF provably lossy here
+    for r in fixture:
+        assert r.recall_micro == r.n_hits * 1_000_000 // r.n_exact
+
+
 # ------------------------------------------------- leakage-safe group split
 def _md5_bucket(key: int) -> int:
     return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % 100
