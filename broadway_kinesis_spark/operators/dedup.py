@@ -448,6 +448,59 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 EDIT_T = 12      # max prefix edit distance for a fuzzy pair
 PREFIX_N = 40    # chars of normalized prefix compared
 
+# --- bounding the fuzzy channel (VERDICT r7 #1) — measured, not guessed --
+#
+# The channel's scale limiter was the per-pair Levenshtein volume (~25 M
+# same-block pairs at fresh x10 = 527 s with the full O(L²) DP). Two
+# lossless rewrites were built and MEASURED head-to-head (BASELINE.md r8):
+#
+# - PassJoin-style segment gate (Li et al. 2011, public): partition each
+#   40-char prefix into EDIT_T+1 segments; any <= EDIT_T-edit pair keeps
+#   one segment intact, so an equi-join on (block, seg_idx, gram) is a
+#   lossless candidate filter. Measured at fresh x10: candidate ratio only
+#   0.63 (3-char segments at a 30%-of-length edit budget are information-
+#   poor) for 46 s of generation + a pair-distinct shuffle that grows with
+#   the quadratic it was meant to avoid. Net ≈ wash; REJECTED.
+# - Banded (threshold) Levenshtein: `levenshtein(l, r, EDIT_T)` runs the
+#   O(EDIT_T·L) diagonal band instead of the O(L²) table and returns -1
+#   the moment the band proves distance > EDIT_T. Same 25 M pairs in
+#   157 s (3.4×), zero plan change. ADOPTED.
+#
+# The surviving bound at 100 TB is the blocking key itself: (lang,
+# size-bucket) blocks grow linearly with the corpus, so the per-block
+# quadratic eventually dominates any per-pair constant. The deployment
+# knob is a tighter key (lang, length bucket, first-token hash) trading
+# recall — a policy choice, documented rather than hidden.
+
+
+def _fuzzy_prefixes(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, size_bucket, pfx) — the blocked, normalized prefixes."""
+    return docs.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 50).cast("long").alias("size_bucket"),
+        F.substring(F.lower("text"), 1, PREFIX_N).alias("pfx"),
+    )
+
+
+def _fuzzy_candidates(p: DataFrame) -> DataFrame:
+    """Every same-block (d1 < d2) pair with both prefixes attached."""
+    a = p.select(
+        F.col("doc_id").alias("d1"), "lang", "size_bucket", F.col("pfx").alias("pfx1")
+    )
+    b = p.select(
+        F.col("doc_id").alias("d2"),
+        F.col("lang").alias("lang2"),
+        F.col("size_bucket").alias("sb2"),
+        F.col("pfx").alias("pfx2"),
+    )
+    return a.join(
+        b,
+        (F.col("lang") == F.col("lang2"))
+        & (F.col("size_bucket") == F.col("sb2"))
+        & (F.col("d1") < F.col("d2")),
+    ).select("d1", "d2", "pfx1", "pfx2")
+
 
 @query(
     "dedup_fuzzy_prefix",
@@ -471,34 +524,19 @@ def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (lang, size bucket) so the O(block²) pair generation never goes
     corpus-wide and each Levenshtein runs on a fixed-size prefix (full-text
     edit distance is O(len²) per pair — never do that at scale; prefix or
-    sketch first). `levenshtein` is the same classic DP in both engines, so
-    the integer distances hash exactly. At 100 TB the blocking key tightens
-    (lang, length bucket, first-token hash) to hold block² x {PREFIX_N}²
-    within task budgets."""
+    sketch first).
+
+    The per-pair DP is the BANDED threshold form (module note above —
+    measured 3.4× over the full table at fresh x10): Spark's 3-arg
+    ``levenshtein(l, r, EDIT_T)`` walks only the |i-j| <= EDIT_T diagonal
+    band and returns -1 once the distance provably exceeds the threshold,
+    so the filter keeps ``0 <= dist`` — within the band the returned value
+    IS the exact distance, which is why the plain-DP DuckDB oracle hashes
+    identically (the lossless-rewrite proof)."""
     d = load(spark, sf_dir, "documents")
-    p = d.select(
-        "doc_id",
-        "lang",
-        (F.col("n_chars") / 50).cast("long").alias("size_bucket"),
-        F.substring(F.lower("text"), 1, PREFIX_N).alias("pfx"),
-    )
-    a = p.select(
-        F.col("doc_id").alias("d1"), "lang", "size_bucket", F.col("pfx").alias("pfx1")
-    )
-    b = p.select(
-        F.col("doc_id").alias("d2"),
-        F.col("lang").alias("lang2"),
-        F.col("size_bucket").alias("sb2"),
-        F.col("pfx").alias("pfx2"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("lang") == F.col("lang2"))
-        & (F.col("size_bucket") == F.col("sb2"))
-        & (F.col("d1") < F.col("d2")),
-    )
-    dist = F.levenshtein("pfx1", "pfx2")
+    pairs = _fuzzy_candidates(_fuzzy_prefixes(d))
+    dist = F.levenshtein("pfx1", "pfx2", EDIT_T)
     return (
         pairs.select("d1", "d2", dist.alias("edit_dist"))
-        .filter(F.col("edit_dist") <= EDIT_T)
+        .filter(F.col("edit_dist") >= 0)
     )
