@@ -110,11 +110,11 @@ def connected_components(edges: DataFrame, max_iters: int = MAX_CC_ITERS) -> Dat
         adj.unpersist()
 
 
-#: oracle CTE chain ending in ``comp(doc_id, component_id)`` — the SQL twin
-#: of ``connected_components`` over the two-channel evidence-edge union.
-#: Must follow a ``WITH RECURSIVE`` head; shared with the leakage-safe
-#: split oracle (operators/splits.py), which buckets on these labels.
-SQL_COMP_CTES = f"""
+#: CTE chain for the two DOCUMENT evidence channels: ``jp`` (exact
+#: n-gram-Jaccard pairs) and ``fz`` (fuzzy prefix pairs), plus the shared
+#: ``shingled``/``cand`` structure other channels reuse (containment's edge
+#: CTEs in operators/containment.py join the same ``cand``/``shingled``).
+SQL_CHANNEL_CTES = f"""
     shingled AS ({_SQL_SHINGLES}),
     idx AS (
         SELECT doc_id, shingle FROM (
@@ -138,8 +138,17 @@ SQL_COMP_CTES = f"""
         JOIN p b ON a.lang = b.lang AND a.size_bucket = b.size_bucket
                 AND a.doc_id < b.doc_id
         WHERE levenshtein(a.pfx, b.pfx) <= {EDIT_T}
-    ),
-    e AS (SELECT d1, d2 FROM jp UNION SELECT d1, d2 FROM fz),
+    )"""
+
+
+def sql_cc_tail(edge_sql: str) -> str:
+    """CTE tail running the Hash-Min fixpoint (as a recursive min-label
+    reachability) over ``edge_sql`` — any SELECT producing undirected
+    (d1, d2) rows — ending in ``comp(doc_id, component_id)``. The edge
+    union is a parameter so the leakage-safe split (operators/splits.py)
+    can widen it with containment + semantic channels while this module's
+    two-channel clustering keeps its original oracle."""
+    return f"""e AS ({edge_sql}),
     edges AS (SELECT d1 AS s, d2 AS t FROM e UNION ALL SELECT d2 AS s, d1 AS t FROM e),
     reach AS (
         SELECT DISTINCT s AS node, s AS lab FROM edges
@@ -147,6 +156,16 @@ SQL_COMP_CTES = f"""
         SELECT e2.t AS node, r.lab FROM reach r JOIN edges e2 ON e2.s = r.node
     ),
     comp AS (SELECT node AS doc_id, MIN(lab) AS component_id FROM reach GROUP BY node)"""
+
+
+#: oracle CTE chain ending in ``comp(doc_id, component_id)`` — the SQL twin
+#: of ``connected_components`` over the two-channel evidence-edge union.
+#: Must follow a ``WITH RECURSIVE`` head.
+SQL_COMP_CTES = (
+    SQL_CHANNEL_CTES
+    + ",\n    "
+    + sql_cc_tail("SELECT d1, d2 FROM jp UNION SELECT d1, d2 FROM fz")
+)
 
 
 @query(

@@ -38,6 +38,29 @@ from broadway_kinesis_spark.session import load
 
 C_T = 0.8  # containment threshold: >= 80% of the contained doc's shingles
 
+#: CTE fragment ending in ``ct(d1, d2)`` — the UNDIRECTED normalization of
+#: this operator's directional pairs (a pair appears once, d1 < d2, if
+#: EITHER direction clears {C_T}). Composes after clustering.py's
+#: ``SQL_CHANNEL_CTES`` (it joins that chain's ``cand``/``shingled``);
+#: the containment score is the same CAST-to-DOUBLE division as the
+#: registered oracle below, so the pair set is bit-identical to
+#: ``dedup_containment``'s normalized output. Consumed by the
+#: leakage-safe split's oracle (operators/splits.py).
+SQL_CONTAIN_EDGE_CTES = f"""
+    ctsc AS (
+        SELECT c.d1, c.d2,
+               CAST(len(list_intersect(x1.shingles, x2.shingles)) AS BIGINT) AS ni,
+               CAST(len(x1.shingles) AS BIGINT) AS n1,
+               CAST(len(x2.shingles) AS BIGINT) AS n2
+        FROM cand c
+        JOIN shingled x1 ON x1.doc_id = c.d1
+        JOIN shingled x2 ON x2.doc_id = c.d2
+    ), ct AS (
+        SELECT d1, d2 FROM ctsc
+        WHERE CAST(ni AS DOUBLE) / n1 >= {C_T}
+           OR CAST(ni AS DOUBLE) / n2 >= {C_T}
+    )"""
+
 
 @query(
     "dedup_containment",

@@ -27,35 +27,44 @@ _SQL_DOT = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]))"
 SEM_K = 8       # semantic-dedup coarse clusters (seed centroids)
 SEM_T = 0.35    # within-cluster near-dup cosine threshold
 
+#: CTE chain ending in ``sm(d1, d2)`` — the verified within-cluster
+#: semantic near-dup pairs (d1 < d2). Names are ``sm``-prefixed so the
+#: chain composes with the document channels' CTEs (clustering.py /
+#: containment.py) inside one WITH without collisions; shared by this
+#: module's oracle and the leakage-safe split's (operators/splits.py).
+SQL_SEM_PAIR_CTES = f"""
+    sme AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt({_SQL_DOT.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')}) AS nrm
+        FROM embeddings
+    ), smc AS (
+        SELECT vec_id AS cid, v AS cv FROM sme ORDER BY vec_id LIMIT {SEM_K}
+    ), smasg AS (
+        SELECT vec_id, v, nrm, cid FROM (
+            SELECT sme.vec_id, sme.v, sme.nrm, smc.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY sme.vec_id
+                       ORDER BY list_sum(list_transform(list_zip(sme.v, smc.cv),
+                                         x -> (x[1]-x[2])*(x[1]-x[2]))), smc.cid
+                   ) AS rn
+            FROM sme, smc
+        ) WHERE rn = 1
+    ), sm AS (
+        SELECT a.vec_id AS d1, b.vec_id AS d2
+        FROM smasg a JOIN smasg b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+         AND {_SQL_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) >= {SEM_T}
+    )"""
+
 
 @query(
     "dedup_semantic",
     oracle=f"""
-    WITH e AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v,
-               sqrt({_SQL_DOT.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')}) AS nrm
-        FROM embeddings
-    ), c AS (
-        SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {SEM_K}
-    ), asg AS (
-        SELECT vec_id, v, nrm, cid FROM (
-            SELECT e.vec_id, e.v, e.nrm, c.cid,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY list_sum(list_transform(list_zip(e.v, c.cv),
-                                         x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid
-                   ) AS rn
-            FROM e, c
-        ) WHERE rn = 1
-    ), dup AS (
-        SELECT DISTINCT b.vec_id
-        FROM asg a JOIN asg b
-          ON a.cid = b.cid AND a.vec_id < b.vec_id
-         AND {_SQL_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) >= {SEM_T}
-    )
+    WITH {SQL_SEM_PAIR_CTES}
     SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
            d.vec_id IS NULL AS keep
-    FROM asg a LEFT JOIN dup d ON a.vec_id = d.vec_id
+    FROM smasg a
+    LEFT JOIN (SELECT DISTINCT d2 AS vec_id FROM sm) d ON a.vec_id = d.vec_id
     """,
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,15 +101,35 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster count scales WITH corpus size (K ∝ N) so cluster sizes — and
     with them the per-task matmul — stay constant; the fixed {SEM_K}
     here is fixture-sized, not the deployment setting."""
-    import numpy as np
-    import pandas as pd
+    asg = _assignments(spark, sf_dir)
+    dup = (
+        semantic_dup_pairs(spark, sf_dir, asg=asg)
+        .select(F.col("d2").alias("dup_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        asg.join(dup, asg.vec_id == dup.dup_id, "left")
+        .select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cluster"),
+            F.col("is_dup").isNull().alias("keep"),
+        )
+    )
 
-    e = load(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    dot = lambda a, b: F.aggregate(  # noqa: E731
+
+def _dot(a, b):
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    e = e.select("vec_id", v.alias("v"), F.sqrt(dot(v, v)).alias("nrm"))
+
+
+def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, nrm, cid) — each vector with its nearest seed centroid
+    (deterministic: sq-distance ties break on centroid id)."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    e = e.select("vec_id", v.alias("v"), F.sqrt(_dot(v, v)).alias("nrm"))
     c = (
         e.orderBy("vec_id")
         .limit(SEM_K)
@@ -114,13 +143,29 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = F.row_number().over(
         Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
     )
-    asg = (
+    return (
         e.crossJoin(F.broadcast(c))
         .withColumn("dist", sqdist)
         .withColumn("rn", rn)
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", "nrm", "cid")
     )
+
+
+def semantic_dup_pairs(
+    spark: SparkSession, sf_dir: str, asg: DataFrame | None = None
+) -> DataFrame:
+    """Verified within-cluster semantic near-dup pairs (d1, d2), d1 < d2 —
+    the SQL twin is ``SQL_SEM_PAIR_CTES``'s ``sm``. Two-tier as in the
+    module docstring: per-cluster matmul candidates at a 1e-9 slack, then
+    the exact sequential-fold cosine as the emit filter, so the pair set
+    is defined by the fold (bitwise-equal to DuckDB) in both engines.
+    Shared with the leakage-safe split's evidence union (splits.py)."""
+    import numpy as np
+    import pandas as pd
+
+    if asg is None:
+        asg = _assignments(spark, sf_dir)
     slack = SEM_T - 1e-9
 
     def block_candidates(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -144,20 +189,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"),
         F.col("nrm").alias("nrm_b"),
     )
-    cos = dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))
-    dup = (
+    cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .filter(cos >= SEM_T)
-        .select(F.col("id_b").alias("dup_id"))
-        .distinct()
-        .withColumn("is_dup", F.lit(1))
-    )
-    return (
-        asg.join(dup, asg.vec_id == dup.dup_id, "left")
-        .select(
-            "vec_id",
-            F.col("cid").cast("long").alias("cluster"),
-            F.col("is_dup").isNull().alias("keep"),
-        )
+        .select(F.col("id_a").alias("d1"), F.col("id_b").alias("d2"))
     )

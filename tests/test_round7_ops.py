@@ -22,14 +22,36 @@ import __spark_entry__ as entrymod
 QUERIES = entrymod.queries()
 
 
-def _write_docs(td: str, spark, rows):
+def _write_docs(td: str, spark, rows, emb=None):
     """rows: (doc_id, text) — fill the remaining documents columns the
-    dedup evidence channels read (lang, source, n_chars)."""
+    dedup evidence channels read (lang, source, n_chars). Also writes an
+    embeddings table (the widened split union reads it): ``emb`` is a
+    list of (vec_id, vector) rows; the default is orthogonal basis
+    vectors for the first 16 doc ids — enough for SEM_K seeds, zero
+    semantic pairs (all pairwise cosines 0)."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, IntegerType, LongType, StructField, StructType,
+    )
+
     df = spark.createDataFrame(
         [(d, t, "en", "src0", len(t)) for d, t in rows],
         ["doc_id", "text", "lang", "source", "n_chars"],
     )
     df.write.parquet(os.path.join(td, "documents.parquet"))
+    if emb is None:
+        ids = sorted(d for d, _ in rows)[:16]
+        emb = [
+            (d, [1.0 if j == i else 0.0 for j in range(16)])
+            for i, d in enumerate(ids)
+        ]
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    spark.createDataFrame(
+        [(int(v), [float(x) for x in vec], 0) for v, vec in emb], schema
+    ).write.parquet(os.path.join(td, "embeddings.parquet"))
 
 
 # ------------------------------------------------------ video temporal dedup
@@ -246,6 +268,21 @@ def _md5_bucket(key: int) -> int:
     return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % 100
 
 
+def _shingles(text: str) -> list[str]:
+    w = text.lower().split(" ")
+    return [" ".join(w[i : i + 3]) for i in range(len(w) - 2)]
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 def _cluster_text(tag: str) -> str:
     """Cluster-private text: every WORD is an md5-hex token derived from the
     tag, so no two clusters share an n-gram shingle, and the 40-char PREFIX
@@ -260,18 +297,39 @@ def _cluster_text(tag: str) -> str:
 
 def _planted_cluster_corpus():
     """40 near-dup pairs (exact-copy texts => Jaccard 1 pairs) + singleton
-    fillers, with doc ids CHOSEN so at least one pair's per-document
-    md5-buckets land in different splits — the straddle sample_hash_split
-    would produce, which the group-aware split must not."""
+    fillers + one CONTAINMENT-ONLY pair (an excerpt inside a long doc —
+    invisible to symmetric Jaccard AND to the fuzzy channel, which blocks
+    them apart by size bucket) + one SEMANTIC-ONLY pair (unrelated texts,
+    identical embeddings), every planted pair's doc ids CHOSEN so its
+    per-document md5-buckets land in different splits — the straddle
+    sample_hash_split would produce, which the group-aware split must
+    not. Returns (rows, embeddings, jaccard_straddlers,
+    containment_straddlers, semantic_straddlers)."""
     sides = {}
     for i in range(2000):
         b = _md5_bucket(i)
         sides.setdefault("train" if b < 80 else "val" if b < 90 else "test", []).append(i)
     straddlers = [sides["train"][0], sides["test"][0]]
+    ct_pair = [sides["train"][1], sides["test"][1]]
+    sm_pair = [sides["train"][2], sides["test"][2]]
     rows = []
-    used = set(straddlers)
+    used = set(straddlers) | set(ct_pair) | set(sm_pair)
     rows.append((straddlers[0], _cluster_text("straddler")))
     rows.append((straddlers[1], _cluster_text("straddler")))
+    # containment-only: excerpt's 10 shingles all inside the container
+    # (containment 1.0 >= C_T) but Jaccard 10/40 = 0.25 < 0.5, and the
+    # size buckets (len//50: ~131 vs ~461 chars) differ so the fuzzy
+    # channel never pairs them; the container's PREFIX is its own words.
+    excerpt = _cluster_text("ct-excerpt")
+    container = " ".join(
+        hashlib.md5(f"ct-filler-{i}".encode()).hexdigest()[:10] for i in range(30)
+    ) + " " + excerpt
+    rows.append((ct_pair[0], excerpt))
+    rows.append((ct_pair[1], container))
+    # semantic-only: cluster-private texts (no shared shingle; prefix edit
+    # distance asserted > EDIT_T by the test), identical embeddings
+    rows.append((sm_pair[0], _cluster_text("sem-a")))
+    rows.append((sm_pair[1], _cluster_text("sem-b")))
     pool = [i for i in range(2000) if i not in used]
     for k in range(39):  # 39 more exact-dup pairs
         a, b = pool[2 * k], pool[2 * k + 1]
@@ -279,36 +337,60 @@ def _planted_cluster_corpus():
         rows.append((b, _cluster_text(f"pair{k}")))
     for j, i in enumerate(pool[78:130]):  # singletons
         rows.append((i, _cluster_text(f"singleton{j}")))
-    return rows, tuple(straddlers)
+    # embeddings: orthogonal basis fillers for the lowest ids (seed pool,
+    # cosine 0 with everything), plus the identical semantic-pair vector
+    # (unit-ones: cosine 1 with itself, 0.25 < SEM_T with any basis vector)
+    dim = 16
+    ones = [1.0 / 4.0] * dim
+    basis_ids = [d for d, _ in sorted(rows)[:12] if d not in sm_pair][:10]
+    emb = [
+        (d, [1.0 if j == i else 0.0 for j in range(dim)])
+        for i, d in enumerate(basis_ids)
+    ]
+    emb += [(sm_pair[0], ones), (sm_pair[1], ones)]
+    return rows, emb, tuple(straddlers), tuple(ct_pair), tuple(sm_pair)
 
 
 def test_leakage_safe_split_zero_straddle_and_nonvacuous(spark):
     """On planted duplicate clusters: (1) every cluster lands entirely in
     ONE split — zero straddle; (2) the per-document hash split WOULD have
-    straddled at least one planted pair (the test is not vacuous); (3)
-    every document is assigned exactly once."""
+    straddled every planted pair (the test is not vacuous); (3) every
+    document is assigned exactly once; (4) the containment-only and
+    semantic-only pairs — invisible to the round-7 two-channel union,
+    which provably straddled them per (2) — are co-assigned too
+    (VERDICT r7 #2)."""
+    from broadway_kinesis_spark.operators.dedup import EDIT_T, PREFIX_N
     from broadway_kinesis_spark.operators.splits import leakage_safe_assignment
 
-    rows, (sa, sb) = _planted_cluster_corpus()
-    assert _md5_bucket(sa) < 80 <= 90 <= _md5_bucket(sb)  # per-doc straddle
+    rows, emb, (sa, sb), (ca, cb), (ma, mb) = _planted_cluster_corpus()
+    for lo, hi in ((sa, sb), (ca, cb), (ma, mb)):  # per-doc straddles
+        assert _md5_bucket(lo) < 80 <= 90 <= _md5_bucket(hi)
+    texts = dict(rows)
+    # the containment pair is fuzzy-blocked apart (different size buckets)
+    assert len(texts[ca]) // 50 != len(texts[cb]) // 50
+    # the semantic pair shares no shingle and exceeds the fuzzy edit budget
+    pa, pb = texts[ma][:PREFIX_N], texts[mb][:PREFIX_N]
+    assert not set(_shingles(texts[ma])) & set(_shingles(texts[mb]))
+    assert _levenshtein(pa, pb) > EDIT_T
     with tempfile.TemporaryDirectory() as td:
-        _write_docs(td, spark, rows)
+        _write_docs(td, spark, rows, emb=emb)
         assigned = leakage_safe_assignment(spark, td).collect()
     assert len(assigned) == len(rows)
     assert len({r.doc_id for r in assigned}) == len(rows)
     by_doc = {r.doc_id: r for r in assigned}
-    # the planted straddler pair is clustered and co-assigned
-    assert by_doc[sa].clustered and by_doc[sb].clustered
-    assert by_doc[sa].grp == by_doc[sb].grp
-    assert by_doc[sa].split == by_doc[sb].split
+    # every planted straddler pair is clustered and co-assigned
+    for a, b in ((sa, sb), (ca, cb), (ma, mb)):
+        assert by_doc[a].clustered and by_doc[b].clustered
+        assert by_doc[a].grp == by_doc[b].grp
+        assert by_doc[a].split == by_doc[b].split
     # globally: no group straddles splits
     splits_per_grp = {}
     for r in assigned:
         splits_per_grp.setdefault(r.grp, set()).add(r.split)
     assert all(len(s) == 1 for s in splits_per_grp.values())
-    # and the clusters really exist (40 planted pairs -> 40 multi-doc groups)
+    # and the clusters really exist (42 planted pairs -> 42 multi-doc groups)
     multi = [g for g, _ in splits_per_grp.items() if sum(1 for r in assigned if r.grp == g) > 1]
-    assert len(multi) >= 40
+    assert len(multi) >= 42
 
 
 def test_leakage_safe_split_persisted_tier_matches_inline(spark, sf_dir):
@@ -332,9 +414,12 @@ def test_leakage_safe_split_persisted_tier_matches_inline(spark, sf_dir):
     assert ensure_split_edges(spark, sf_dir) == name  # idempotent
 
 
-def test_leakage_safe_split_groups_match_cluster_cc(spark, sf_dir):
-    """The split's group key must agree with dedup_cluster_cc's component
-    labels on the fixture — same evidence channels, same components."""
+def test_leakage_safe_split_groups_refine_cluster_cc(spark, sf_dir):
+    """dedup_cluster_cc's two-channel components must be a REFINEMENT of
+    the split's four-channel groups: every cc component maps into exactly
+    ONE split group (containment/semantic edges can only merge clusters,
+    never cut one), every cc-clustered doc is split-clustered, and a doc
+    the split leaves unclustered is outside cc too (its group = itself)."""
     from broadway_kinesis_spark.operators.splits import leakage_safe_assignment
 
     cc = {
@@ -345,9 +430,11 @@ def test_leakage_safe_split_groups_match_cluster_cc(spark, sf_dir):
         r.doc_id: (r.grp, r.clustered)
         for r in leakage_safe_assignment(spark, sf_dir).collect()
     }
+    grp_of_comp: dict[int, int] = {}
     for doc, comp in cc.items():
         grp, clustered = assigned[doc]
-        assert clustered and grp == comp
+        assert clustered
+        assert grp_of_comp.setdefault(comp, grp) == grp
     for doc, (grp, clustered) in assigned.items():
         if not clustered:
             assert doc not in cc and grp == doc
