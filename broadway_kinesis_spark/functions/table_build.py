@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -72,6 +73,57 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+#: build-lock protocol (VERDICT r7 #3). The owner MARKER only lands after
+#: ``saveAsTable`` finishes, so without a lock two LIVE sessions can race
+#: the build window itself: B sees A's half-written location, reads "no
+#: marker => orphan", and rmtree's A's in-progress build (observed as a
+#: transient parity failure when pytest and oracle_check shared one
+#: warehouse). The lock is a sibling file ``<loc>.building`` holding the
+#: builder's pid, created atomically (O_CREAT|O_EXCL): stale locks (dead
+#: or recycled-own pid) are broken; a LIVE sibling's lock is waited out
+#: for a bounded window, after which the caller diverts to a pid-scoped
+#: table name — the same divert the marker path already takes.
+_LOCK_SUFFIX = ".building"
+_LOCK_WAIT_S = 60.0
+_LOCK_POLL_S = 0.5
+
+
+def _lock_holder(lock: str) -> int | None:
+    try:
+        with open(lock, encoding="ascii") as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _acquire_build_lock(loc: str) -> str | None:
+    """Atomically claim ``<loc>.building``; returns the lock path, or None
+    when a LIVE sibling kept it through the bounded wait (divert)."""
+    lock = loc + _LOCK_SUFFIX
+    deadline = time.monotonic() + _LOCK_WAIT_S
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            holder = _lock_holder(lock)
+            if holder is None or holder == os.getpid() or not _pid_alive(holder):
+                # corrupt, recycled-own-pid, or dead-builder lock: break it
+                # (this process holds no lock here — ensure_table releases
+                # in a finally, so a same-pid holder is a stale leftover)
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
+                continue
+            if time.monotonic() >= deadline:
+                return None
+            time.sleep(_LOCK_POLL_S)
+            continue
+        with os.fdopen(fd, "w", encoding="ascii") as f:
+            f.write(str(os.getpid()))
+        return lock
+
+
 def ensure_table(
     spark: SparkSession,
     name: str,
@@ -92,34 +144,59 @@ def ensure_table(
     alive belongs to a live sibling session and is left untouched — this
     process diverts to a pid-scoped table name instead. Markerless or
     dead-owner locations are true orphans and are cleared as before.
+
+    The build itself runs under a pid-stamped LOCK file (VERDICT r7 #3 —
+    see ``_acquire_build_lock``), closing the window where a sibling saw
+    a marker-less in-progress build as an orphan; a caller that cannot
+    get the lock within the bounded wait diverts to a pid-scoped name,
+    exactly like the live-owner marker path.
     """
     if spark.catalog.tableExists(name):
         return name
     wh = spark.conf.get("spark.sql.warehouse.dir", "")
     wh_base = wh.removeprefix("file:")
     loc = os.path.join(wh_base, name)
-    if os.path.isdir(loc):
-        owner = _location_owner(loc)
-        if owner is not None and owner != os.getpid() and _pid_alive(owner):
-            # A live sibling session owns this location: do NOT delete it.
-            name = f"{name}_p{os.getpid()}"
-            if spark.catalog.tableExists(name):
-                return name
-            loc = os.path.join(wh_base, name)
+    lock = _acquire_build_lock(loc)
+    if lock is None:
+        # a live sibling kept the lock through the wait: build our own copy
+        return ensure_table(
+            spark,
+            f"{name}_p{os.getpid()}",
+            build,
+            bucket_by=bucket_by,
+            partition_by=partition_by,
+        )
+    try:
         if os.path.isdir(loc):
+            owner = _location_owner(loc)
+            if owner is not None and owner != os.getpid() and _pid_alive(owner):
+                # A live sibling session owns this FINISHED location: do
+                # NOT delete it — divert (releasing this name's lock).
+                return ensure_table(
+                    spark,
+                    f"{name}_p{os.getpid()}",
+                    build,
+                    bucket_by=bucket_by,
+                    partition_by=partition_by,
+                )
             import shutil
 
             shutil.rmtree(loc, ignore_errors=True)
-    writer = build().write.mode("overwrite")
-    if bucket_by is not None:
-        n, key = bucket_by
-        writer = writer.bucketBy(n, key).sortBy(key)
-    if partition_by is not None:
-        writer = writer.partitionBy(partition_by)
-    writer.saveAsTable(name)
-    try:
-        with open(os.path.join(loc, _OWNER_MARKER), "w", encoding="ascii") as f:
-            f.write(str(os.getpid()))
-    except OSError:
-        pass  # marker is best-effort; absence just means eager orphan cleanup
-    return name
+        writer = build().write.mode("overwrite")
+        if bucket_by is not None:
+            n, key = bucket_by
+            writer = writer.bucketBy(n, key).sortBy(key)
+        if partition_by is not None:
+            writer = writer.partitionBy(partition_by)
+        writer.saveAsTable(name)
+        try:
+            with open(os.path.join(loc, _OWNER_MARKER), "w", encoding="ascii") as f:
+                f.write(str(os.getpid()))
+        except OSError:
+            pass  # marker is best-effort; absence means eager orphan cleanup
+        return name
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass

@@ -33,8 +33,14 @@ endianness bug cannot hash-match the oracle, which recomputes the
 fingerprint in closed form from the WAV construction (sample i =
 byte[2i] | byte[2i+1]<<8, signed; fixture text is pure ASCII so code
 points == payload bytes). |x| is taken AFTER widening to int64 (int16
-abs overflows on -32768); block cross-products stay far under 2^63
-(energy sums ≤ 32768²·n_samples).
+abs overflows on -32768). Exactness bounds (ADVICE r7 — the earlier
+"far under 2^63" claim only bounded the SUM, not the cross-multiply):
+the energy measure's block sums reach 2^30·(n/49), so its sums
+accumulate in int64 (imagehash._block_sums — exact to n < 49·2^33
+samples, with the Python-int cross-multiply in phash_words unbounded),
+and the ORACLE computes sv2 and its cross-product in HUGEINT — the
+BIGINT form overflowed past ~4.5 M samples (~100 s at 44.1 kHz),
+fixture-safe but latent at real clip lengths.
 
 Clips with no samples (sub-2-byte text) carry no envelope and are
 excluded in BOTH engines rather than colliding on a degenerate zero
@@ -96,7 +102,7 @@ _MEASURES = [("bs", "sv"), ("bs", "sv2"), ("bsd", "sv")]
     ), bs AS (
         SELECT media_id, blk,
                CAST(SUM(mag) AS BIGINT) AS sv,
-               CAST(SUM(mag * mag) AS BIGINT) AS sv2,
+               CAST(SUM(mag * mag) AS HUGEINT) AS sv2,
                CAST(COUNT(*) AS BIGINT) AS cv
         FROM v GROUP BY media_id, blk
     ), vd AS (

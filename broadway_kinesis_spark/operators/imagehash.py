@@ -107,18 +107,32 @@ assert HAM_T < N_BANDS
 
 
 def _block_sums(flat_values):
-    """Exact per-block (sum, count) of a flattened non-negative int signal."""
+    """Exact per-block (sum, count) of a flattened non-negative int signal.
+
+    Sums accumulate in INT64, not float64 bincount weights (ADVICE r7):
+    the energy measure (x², audiohash.py) passes the float64 2^53 exact
+    range once a block holds ≳2^23 samples — real clip lengths, not
+    fixture ones. ``blk(i) = i*B//L`` is non-decreasing, so when L >= B
+    every block is a contiguous non-empty segment starting at
+    ``ceil(k*L/B)`` and ``np.add.reduceat`` gives exact int64 segment
+    sums at memory bandwidth; the short-signal path (< B samples, empty
+    blocks possible) uses ``np.add.at``.
+    """
     import numpy as np
 
     flat = np.asarray(flat_values, dtype=np.int64).reshape(-1)
     length = flat.shape[0]
     if length == 0:
         return None, None
-    blk = (np.arange(length) * B_BLOCKS) // length
-    # float64 bincount weights stay exact below 2^53 — block sums here are
-    # bounded by 32768 * signal length, far under that.
-    sums = np.bincount(blk, weights=flat, minlength=B_BLOCKS).astype(np.int64)
-    cnts = np.bincount(blk, minlength=B_BLOCKS)
+    if length >= B_BLOCKS:
+        starts = (np.arange(B_BLOCKS) * length + B_BLOCKS - 1) // B_BLOCKS
+        sums = np.add.reduceat(flat, starts)
+        cnts = np.diff(np.append(starts, length))
+    else:
+        blk = (np.arange(length) * B_BLOCKS) // length
+        sums = np.zeros(B_BLOCKS, dtype=np.int64)
+        np.add.at(sums, blk, flat)
+        cnts = np.bincount(blk, minlength=B_BLOCKS)
     return sums, cnts
 
 

@@ -35,6 +35,16 @@ engines (no shingles). Every frame is exactly {FRAME_BYTES} bytes after
 padding, so all {B_BLOCKS} dHash blocks are occupied and the per-frame
 hash needs no sparse-block corner.
 
+Oracle fixture assumption (ADVICE r7, same standing contract as
+audiohash/imagehash): the oracle reconstructs the payload BYTES as
+``ascii(c)`` over per-CHARACTER splits while ``n`` counts UTF-8 BYTES
+(``octet_length(encode(text))``) — on a non-ASCII document the
+character list is shorter than n, ``bl[i]`` goes NULL, and the oracle
+silently diverges from Spark's real byte payload. The synthesized
+corpora are pure ASCII (code points == bytes), which is what makes the
+closed-form oracle byte-exact; a non-ASCII corpus would need the
+oracle's ``bl`` derived from ``encode(text)`` bytes instead.
+
 Scale posture (100 TB): one Arrow-batched decode+hash+shingle stage
 (shuffle-free, linear in corpus bytes) emits one row per (clip,
 distinct shingle) — frames never materialize as a DataFrame; the only

@@ -49,9 +49,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            from broadway_kinesis_spark.session import tune
+            from broadway_kinesis_spark.session import (
+                reset_shuffle_partitions,
+                tune,
+            )
 
-            return fn(tune(spark), sf_dir)
+            s = tune(spark)
+            # undo any prior query's corpus-sized shuffle inflation before
+            # this one plans (session.size_shuffle_partitions / ADVICE r7)
+            reset_shuffle_partitions(s)
+            return fn(s, sf_dir)
 
         REGISTRY[name] = Query(name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "")
         return fn

@@ -148,7 +148,9 @@ def _mem_bytes(spark: SparkSession) -> int:
             units = {"k": 10, "m": 20, "g": 30, "t": 40}
             raw = raw.strip().lower().removesuffix("b")
             if raw[-1] in units:
-                return int(float(raw[:-1])) << units[raw[-1]]
+                # float math BEFORE the shift: "1.5g" is 1.5 GiB, not 1
+                # (ADVICE r7 — int(float(...)) << unit truncated "0.5g" to 0)
+                return int(float(raw[:-1]) * (1 << units[raw[-1]]))
             return int(raw)
     return 1 << 30  # Spark's own driver default
 
@@ -183,17 +185,48 @@ def size_shuffle_partitions(
     cores = max(spark.sparkContext.defaultParallelism, 1)
     per_task = max(int(0.3 * _mem_bytes(spark)) // cores, 8 << 20)
     target = min(TARGET_PARTITION_BYTES, per_task)
+    # The floor is the session's BASE setting, recorded at this session's
+    # FIRST sizing call — not the current conf value, which may carry a
+    # previous large-corpus query's inflation. Sizing from the base (and
+    # always re-setting) means each sized query gets ITS corpus's number:
+    # a small corpus after a big one sizes back DOWN instead of ratcheting
+    # (ADVICE r7); queries that never call this helper are restored by the
+    # registry wrapper via reset_shuffle_partitions().
+    key = id(spark)
     try:
-        floor = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        base = _BASE_SHUFFLE.setdefault(
+            key, spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        floor = int(base)
     except Exception:
         floor = cores
     parts = max(floor, -(-total * expansion // target))
-    if parts > floor:
-        try:
+    try:
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) != parts:
             spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-        except Exception:
-            pass  # a locked conf falls back to the session's own sizing
+    except Exception:
+        pass  # a locked conf falls back to the session's own sizing
     return parts
+
+
+_BASE_SHUFFLE: dict[int, str] = {}
+
+
+def reset_shuffle_partitions(spark: SparkSession) -> None:
+    """Restore the session's base ``spark.sql.shuffle.partitions`` if a
+    previous :func:`size_shuffle_partitions` call inflated it — called by
+    the registry wrapper before every query plans, so one large-corpus
+    dedup query cannot leak its partition count into every subsequent
+    unrelated query in the session (ADVICE r7). No-op until the first
+    sizing call records a base."""
+    base = _BASE_SHUFFLE.get(id(spark))
+    if base is None:
+        return
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") != base:
+            spark.conf.set("spark.sql.shuffle.partitions", base)
+    except Exception:
+        pass
 
 
 # Both memo layers are keyed by (session, path) with the file's stat

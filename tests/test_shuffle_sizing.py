@@ -52,3 +52,51 @@ def test_missing_table_is_empty_corpus(spark):
     with tempfile.TemporaryDirectory() as td:
         parts = size_shuffle_partitions(spark, td)
     assert parts == int(before)
+
+
+def test_sizing_does_not_ratchet_and_reset_restores(spark):
+    """ADVICE r7: a large-corpus sizing must not inflate every later query
+    — the floor is the session BASE, so a later small-corpus sizing sets
+    back DOWN, and reset_shuffle_partitions (the registry wrapper's
+    per-query hook) restores the base outright."""
+    from broadway_kinesis_spark.session import reset_shuffle_partitions
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            big = size_shuffle_partitions(spark, _sparse_docs_dir(td, 69 << 20))
+            assert big > int(before)
+            assert int(spark.conf.get("spark.sql.shuffle.partitions")) == big
+        with tempfile.TemporaryDirectory() as td2:
+            small = size_shuffle_partitions(spark, _sparse_docs_dir(td2, 1 << 20))
+            assert small == int(before)  # base floor, NOT the ratcheted value
+            assert spark.conf.get("spark.sql.shuffle.partitions") == before
+        with tempfile.TemporaryDirectory() as td3:
+            size_shuffle_partitions(spark, _sparse_docs_dir(td3, 69 << 20))
+        reset_shuffle_partitions(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_mem_bytes_parses_fractional_settings():
+    """ADVICE r7: '1.5g' must read as 1.5 GiB (int(float) << shift
+    truncated it to 1 GiB, and '0.5g' to zero). Memory confs are static,
+    so the parse is probed through a conf stub."""
+    from broadway_kinesis_spark.session import _mem_bytes
+
+    class _Stub:
+        def __init__(self, val):
+            self.conf = self
+            self._val = val
+
+        def get(self, key):
+            if key == "spark.executor.memory":
+                return self._val
+            raise KeyError(key)
+
+    assert _mem_bytes(_Stub("1.5g")) == int(1.5 * (1 << 30))
+    assert _mem_bytes(_Stub("0.5g")) == 1 << 29
+    assert _mem_bytes(_Stub("8g")) == 8 << 30
+    assert _mem_bytes(_Stub("512m")) == 512 << 20
+    assert _mem_bytes(_Stub("1073741824")) == 1 << 30
