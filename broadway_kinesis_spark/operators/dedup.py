@@ -38,8 +38,20 @@ from pyspark.sql import functions as F
 from broadway_kinesis_spark.registry import query
 from broadway_kinesis_spark.session import load
 
-N_SIG = 12          # minhash signature length
-BAND_R = 3          # rows per band -> 4 bands
+# MinHash operating point — chosen BY the round-8 banding sweep
+# (tools/banding_sweep.py; table in BASELINE.md), not by convention. The
+# LSH s-curve threshold is ~(1/bands)^(1/r); the original (12, 3) = 4
+# bands put it at 0.63, ABOVE the 0.5 verify threshold, so borderline
+# true pairs systematically missed every band (fence-corpus recall 0.45,
+# fresh-x10 recall 0.924). Sweeping (n_sig, r) against the exact channel:
+# r=2 variants buy recall by exploding CANDIDATE volume 60-380x (2-row
+# band keys collide for mid-Jaccard non-pairs — the shuffle that dies
+# first at 100 TB), while (48, 3) = 16 bands lands the s-curve at 0.40,
+# just under the threshold: fence recall 0.92, fresh recall 0.997, at
+# 3.3x candidate volume and a 4x map-side signature cost that stays
+# embarrassingly parallel.
+N_SIG = 48          # minhash signature length
+BAND_R = 3          # rows per band -> 16 bands
 N_BANDS = N_SIG // BAND_R
 JACCARD_T = 0.5     # verification / output threshold
 DF_CAP = 100        # inverted-index stop-shingle cap (docs per shingle)
@@ -131,11 +143,11 @@ def _verify_pairs(shingled: DataFrame, cand: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH shingled AS ({_SQL_SHINGLES}),
-    sig AS (
+#: band key = md5 of the band's BAND_R concatenated signature rows —
+#: derived from the constants so a re-defaulted operating point rewrites
+#: the SQL in lockstep with the Spark plan. Shared with dedup_report.py.
+_SQL_BAND_KEY = " || ".join(f"sig[{BAND_R}*b+{r + 1}]" for r in range(BAND_R))
+_SQL_MINHASH_BANDS = f"""sig AS (
         SELECT doc_id,
                list_transform(range(0, {N_SIG}),
                    s -> list_min(list_transform(shingles,
@@ -147,10 +159,17 @@ def _verify_pairs(shingled: DataFrame, cand: DataFrame) -> DataFrame:
             SELECT doc_id,
                    UNNEST(list_transform(range(0, {N_BANDS}),
                        b -> struct_pack(bi := b,
-                                        bk := md5(sig[3*b+1] || sig[3*b+2] || sig[3*b+3])))) AS u
+                                        bk := md5({_SQL_BAND_KEY})))) AS u
             FROM sig
         )
-    ), cand AS (
+    )"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH shingled AS ({_SQL_SHINGLES}),
+    {_SQL_MINHASH_BANDS}, cand AS (
         SELECT a.doc_id AS d1, b.doc_id AS d2
         FROM bands a JOIN bands b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
         GROUP BY 1, 2
@@ -164,39 +183,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     of {BAND_R} rows hashed to band keys, candidates = docs colliding in any
     band (equi-join on band key — never all-pairs), then exact-Jaccard
     verification of candidates only."""
+    return minhash_pairs(spark, sf_dir)
+
+
+def minhash_pairs(
+    spark: SparkSession, sf_dir: str, n_sig: int = N_SIG, band_r: int = BAND_R
+) -> DataFrame:
+    """The MinHash-LSH pipeline at an arbitrary (signature length, rows
+    per band) operating point — the registered query is the default
+    point; the banding sweep (tools/banding_sweep.py, VERDICT r7 #6)
+    measures recall/candidate-volume/wall-time across points on the
+    fence + fresh corpora to pick it by data."""
     docs = load(spark, sf_dir, "documents")
-    # Signature path uses the shingle stream WITH repetition — min() is
-    # duplicate-insensitive, so skipping the distinct keeps everything in
-    # codegen with no extra shuffle. The N_SIG salted md5s are plain
-    # projected columns and the per-doc min is a map-side partial aggregate
-    # — the shape that scales (one shuffle keyed by doc_id).
-    sh = _shingles_exploded(docs)
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
-            for s in range(N_SIG)
-        ]
-    )
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(F.concat(F.col(f"h{b * 3}"), F.col(f"h{b * 3 + 1}"), F.col(f"h{b * 3 + 2}")))
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bi", "bk"),
-    ).cache()  # both sides of the candidate self-join read it
-    a = bands.select(F.col("doc_id").alias("d1"), "bi", "bk")
-    b = bands.select(F.col("doc_id").alias("d2"), "bi", "bk")
-    cand = (
-        a.join(b, ["bi", "bk"])
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
-        .cache()  # read twice: doc-id filter + verification join
-    )
+    cand = minhash_candidates(spark, sf_dir, n_sig, band_r)
     # Verification builds shingle ARRAYS only for candidate docs: the HOF
     # cost tracks the candidate count, not the corpus.
     cand_docs = cand.select(F.col("d1").alias("doc_id")).union(
@@ -204,6 +203,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     shingled = _shingled(docs.join(F.broadcast(cand_docs), "doc_id", "left_semi"))
     return _verify_pairs(shingled, cand)
+
+
+def minhash_candidates(
+    spark: SparkSession, sf_dir: str, n_sig: int = N_SIG, band_r: int = BAND_R
+) -> DataFrame:
+    """Band-collision candidate pairs only (pre-verification) — split out
+    so the banding sweep can price candidate volume separately from
+    verified recall."""
+    assert n_sig % band_r == 0, "band width must divide the signature"
+    n_bands = n_sig // band_r
+    docs = load(spark, sf_dir, "documents")
+    # Signature path uses the shingle stream WITH repetition — min() is
+    # duplicate-insensitive, so skipping the distinct keeps everything in
+    # codegen with no extra shuffle. The salted md5s are plain projected
+    # columns and the per-doc min is a map-side partial aggregate — the
+    # shape that scales (one shuffle keyed by doc_id).
+    sh = _shingles_exploded(docs)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+            for s in range(n_sig)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat(
+                            *[
+                                F.col(f"h{b * band_r + r}")
+                                for r in range(band_r)
+                            ]
+                        )
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bi", "bk"),
+    ).cache()  # both sides of the candidate self-join read it
+    a = bands.select(F.col("doc_id").alias("d1"), "bi", "bk")
+    b = bands.select(F.col("doc_id").alias("d2"), "bi", "bk")
+    return (
+        a.join(b, ["bi", "bk"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+        .cache()  # read twice: doc-id filter + verification join
+    )
 
 
 @query(

@@ -33,11 +33,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.operators.dedup import (
+    _SQL_MINHASH_BANDS,
     _SQL_PAIR_VERIFY,
     _SQL_SHINGLES,
     DF_CAP,
-    N_BANDS,
-    N_SIG,
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
 )
@@ -64,22 +63,7 @@ MICRO = 1_000_000
         {_SQL_PAIR_VERIFY}
     ),
     mh AS (
-        WITH sig AS (
-            SELECT doc_id,
-                   list_transform(range(0, {N_SIG}),
-                       s -> list_min(list_transform(shingles,
-                                g -> md5(s::VARCHAR || ':' || g)))) AS sig
-            FROM shingled
-        ), bands AS (
-            SELECT doc_id, u.bi AS bi, u.bk AS bk
-            FROM (
-                SELECT doc_id,
-                       UNNEST(list_transform(range(0, {N_BANDS}),
-                           b -> struct_pack(bi := b,
-                                            bk := md5(sig[3*b+1] || sig[3*b+2] || sig[3*b+3])))) AS u
-                FROM sig
-            )
-        ), cand AS (
+        WITH {_SQL_MINHASH_BANDS}, cand AS (
             SELECT a.doc_id AS d1, b.doc_id AS d2
             FROM bands a JOIN bands b
               ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
