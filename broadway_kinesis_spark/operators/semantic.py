@@ -27,12 +27,15 @@ _SQL_DOT = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]))"
 SEM_K = 8       # semantic-dedup coarse clusters (seed centroids)
 SEM_T = 0.35    # within-cluster near-dup cosine threshold
 
-#: CTE chain ending in ``sm(d1, d2)`` — the verified within-cluster
-#: semantic near-dup pairs (d1 < d2). Names are ``sm``-prefixed so the
-#: chain composes with the document channels' CTEs (clustering.py /
-#: containment.py) inside one WITH without collisions; shared by this
-#: module's oracle and the leakage-safe split's (operators/splits.py).
-SQL_SEM_PAIR_CTES = f"""
+def sql_sem_pair_ctes(threshold: float = SEM_T) -> str:
+    """CTE chain ending in ``sm(d1, d2)`` — the verified within-cluster
+    semantic near-dup pairs (d1 < d2) at the given cosine threshold.
+    Names are ``sm``-prefixed so the chain composes with the document
+    channels' CTEs (clustering.py / containment.py) inside one WITH
+    without collisions; shared by this module's oracle and the
+    leakage-safe split's (operators/splits.py), which passes its own
+    paraphrase-level threshold."""
+    return f"""
     sme AS (
         SELECT vec_id, embedding::DOUBLE[] AS v,
                sqrt({_SQL_DOT.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')}) AS nrm
@@ -53,8 +56,11 @@ SQL_SEM_PAIR_CTES = f"""
         SELECT a.vec_id AS d1, b.vec_id AS d2
         FROM smasg a JOIN smasg b
           ON a.cid = b.cid AND a.vec_id < b.vec_id
-         AND {_SQL_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) >= {SEM_T}
+         AND {_SQL_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) >= {threshold}
     )"""
+
+
+SQL_SEM_PAIR_CTES = sql_sem_pair_ctes()
 
 
 @query(
@@ -153,20 +159,29 @@ def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def semantic_dup_pairs(
-    spark: SparkSession, sf_dir: str, asg: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    asg: DataFrame | None = None,
+    threshold: float = SEM_T,
 ) -> DataFrame:
     """Verified within-cluster semantic near-dup pairs (d1, d2), d1 < d2 —
-    the SQL twin is ``SQL_SEM_PAIR_CTES``'s ``sm``. Two-tier as in the
-    module docstring: per-cluster matmul candidates at a 1e-9 slack, then
-    the exact sequential-fold cosine as the emit filter, so the pair set
-    is defined by the fold (bitwise-equal to DuckDB) in both engines.
-    Shared with the leakage-safe split's evidence union (splits.py)."""
+    the SQL twin is ``sql_sem_pair_ctes(threshold)``'s ``sm``. Two-tier as
+    in the module docstring: per-cluster matmul candidates at a 1e-9
+    slack, then the exact sequential-fold cosine as the emit filter, so
+    the pair set is defined by the fold (bitwise-equal to DuckDB) in both
+    engines. Shared with the leakage-safe split's evidence union
+    (splits.py), which passes a paraphrase-level threshold: the cosine
+    that means "near-duplicate" is a PER-CORPUS property — {SEM_T} is
+    tuned for the near-orthogonal fixture tail and, measured on the
+    label-clustered fresh x10 corpus, emits 14.68 M within-cluster pairs
+    (ball density / topic membership, not dup structure — the round-6
+    fingerprint lesson in embedding space)."""
     import numpy as np
     import pandas as pd
 
     if asg is None:
         asg = _assignments(spark, sf_dir)
-    slack = SEM_T - 1e-9
+    slack = threshold - 1e-9
 
     def block_candidates(pdf: "pd.DataFrame") -> "pd.DataFrame":
         if len(pdf) < 2:
@@ -193,6 +208,6 @@ def semantic_dup_pairs(
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .filter(cos >= SEM_T)
+        .filter(cos >= threshold)
         .select(F.col("id_a").alias("d1"), F.col("id_b").alias("d2"))
     )
