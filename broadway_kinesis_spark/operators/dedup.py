@@ -518,37 +518,64 @@ PREFIX_N = 40    # chars of normalized prefix compared
 # The surviving bound at 100 TB is the blocking key itself: (lang,
 # size-bucket) blocks grow linearly with the corpus, so the per-block
 # quadratic eventually dominates any per-pair constant. The deployment
-# knob is a tighter key (lang, length bucket, first-token hash) trading
-# recall — a policy choice, documented rather than hidden.
+# knob is a TIGHTER key — (lang, size bucket, first prefix token), built
+# below as the `tight=True` tier — trading recall (a ≤ EDIT_T pair whose
+# edit touches the first token lands in different blocks). The trade is
+# MEASURED, not assumed: `composite_fuzzy_blocking_recall` reports the
+# tight tier's recall against the exhaustive channel on the actual
+# corpus, the same discipline as `composite_dedup_recall` for banding.
 
 
 def _fuzzy_prefixes(docs: DataFrame) -> DataFrame:
-    """(doc_id, lang, size_bucket, pfx) — the blocked, normalized prefixes."""
+    """(doc_id, lang, size_bucket, tok0, pfx) — the blocked, normalized
+    prefixes; ``tok0`` is the prefix's first whitespace token (the tight
+    tier's extra blocking key)."""
+    pfx = F.substring(F.lower("text"), 1, PREFIX_N)
     return docs.select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 50).cast("long").alias("size_bucket"),
-        F.substring(F.lower("text"), 1, PREFIX_N).alias("pfx"),
+        F.split(pfx, " ").getItem(0).alias("tok0"),
+        pfx.alias("pfx"),
     )
 
 
-def _fuzzy_candidates(p: DataFrame) -> DataFrame:
-    """Every same-block (d1 < d2) pair with both prefixes attached."""
+def _fuzzy_candidates(p: DataFrame, tight: bool = False) -> DataFrame:
+    """Every same-block (d1 < d2) pair with both prefixes attached; the
+    tight tier also requires the first prefix token to match."""
     a = p.select(
-        F.col("doc_id").alias("d1"), "lang", "size_bucket", F.col("pfx").alias("pfx1")
+        F.col("doc_id").alias("d1"), "lang", "size_bucket", "tok0",
+        F.col("pfx").alias("pfx1"),
     )
     b = p.select(
         F.col("doc_id").alias("d2"),
         F.col("lang").alias("lang2"),
         F.col("size_bucket").alias("sb2"),
+        F.col("tok0").alias("tok0b"),
         F.col("pfx").alias("pfx2"),
     )
-    return a.join(
-        b,
+    cond = (
         (F.col("lang") == F.col("lang2"))
         & (F.col("size_bucket") == F.col("sb2"))
-        & (F.col("d1") < F.col("d2")),
-    ).select("d1", "d2", "pfx1", "pfx2")
+        & (F.col("d1") < F.col("d2"))
+    )
+    if tight:
+        cond = cond & (F.col("tok0") == F.col("tok0b"))
+    return a.join(b, cond).select("d1", "d2", "pfx1", "pfx2")
+
+
+def fuzzy_prefix_pairs(
+    spark: SparkSession, sf_dir: str, tight: bool = False
+) -> DataFrame:
+    """(d1, d2, edit_dist) fuzzy pairs; ``tight=True`` is the deployment
+    blocking tier (module note above)."""
+    d = load(spark, sf_dir, "documents")
+    pairs = _fuzzy_candidates(_fuzzy_prefixes(d), tight=tight)
+    dist = F.levenshtein("pfx1", "pfx2", EDIT_T)
+    return (
+        pairs.select("d1", "d2", dist.alias("edit_dist"))
+        .filter(F.col("edit_dist") >= 0)
+    )
 
 
 @query(
@@ -582,10 +609,59 @@ def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the filter keeps ``0 <= dist`` — within the band the returned value
     IS the exact distance, which is why the plain-DP DuckDB oracle hashes
     identically (the lossless-rewrite proof)."""
-    d = load(spark, sf_dir, "documents")
-    pairs = _fuzzy_candidates(_fuzzy_prefixes(d))
-    dist = F.levenshtein("pfx1", "pfx2", EDIT_T)
-    return (
-        pairs.select("d1", "d2", dist.alias("edit_dist"))
-        .filter(F.col("edit_dist") >= 0)
+    return fuzzy_prefix_pairs(spark, sf_dir)
+
+
+@query(
+    "composite_fuzzy_blocking_recall",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, lang, n_chars // 50 AS size_bucket,
+               string_split(substr(lower(text), 1, {PREFIX_N}), ' ')[1] AS tok0,
+               substr(lower(text), 1, {PREFIX_N}) AS pfx
+        FROM documents
+    ), ex AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               (a.tok0 = b.tok0) AS tok_match
+        FROM p a
+        JOIN p b ON a.lang = b.lang AND a.size_bucket = b.size_bucket
+                AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.pfx, b.pfx) <= {EDIT_T}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exhaustive,
+           CAST(SUM(CASE WHEN tok_match THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tight,
+           CASE WHEN COUNT(*) = 0 THEN NULL
+                ELSE CAST(SUM(CASE WHEN tok_match THEN 1 ELSE 0 END)
+                          * 1000000 // COUNT(*) AS BIGINT) END
+               AS tight_recall_micro
+    FROM ex
+    """,
+)
+def composite_fuzzy_blocking_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-row recall report for the fuzzy channel's TIGHT blocking tier
+    (module note): of the exhaustive (lang, size-bucket) channel's pairs,
+    how many the deployment key (+ first prefix token) retains — the
+    blocking-policy twin of ``composite_dedup_recall``. The tight tier is
+    a strict subset by construction (same verify, stricter blocking), so
+    the report reduces to two exact counts + integer micro-recall; the
+    oracle evaluates the subset membership as a flag on the exhaustive
+    pair set, which is the same set algebra."""
+    ex = dedup_fuzzy_prefix(spark, sf_dir).select("d1", "d2")
+    tg = fuzzy_prefix_pairs(spark, sf_dir, tight=True).select(
+        "d1", "d2", F.lit(True).alias("in_tight")
+    )
+    j = ex.join(tg, ["d1", "d2"], "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_exhaustive"),
+        F.sum(F.when(F.col("in_tight"), 1).otherwise(0)).alias("n_tight"),
+    ).select(
+        "n_exhaustive",
+        "n_tight",
+        F.expr(
+            "CASE WHEN n_exhaustive = 0 THEN NULL"
+            " ELSE (n_tight * 1000000) div n_exhaustive END"
+        ).alias("tight_recall_micro"),
     )

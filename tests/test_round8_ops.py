@@ -141,6 +141,43 @@ def test_split_semantic_threshold_separates_structure_from_membership(spark):
     assert len(member_pairs) > 5 * len(structure)  # membership blowup
 
 
+# ------------------------------------------ fuzzy tight-blocking tier
+def test_fuzzy_tight_tier_subset_and_first_token_loss(spark):
+    """The tight tier must be a strict SUBSET of the exhaustive channel
+    (same verify, stricter blocking), must keep pairs whose edits avoid
+    the first prefix token, and must lose exactly the pairs whose edit
+    touches it — the recall the report exists to price."""
+    from broadway_kinesis_spark.operators.dedup import fuzzy_prefix_pairs
+
+    base = "alpha belt cedar delta echo fox golf hotel india juliet kilo"
+    texts = {
+        0: base,
+        1: "alphq" + base[5:],   # edit INSIDE the first token
+        2: base[:12] + "q" + base[13:],  # edit in a later token
+        3: "completely different words that never match anything here xx",
+    }
+    df = spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in texts.items()],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        ex = {
+            (r.d1, r.d2)
+            for r in fuzzy_prefix_pairs(spark, td).collect()
+        }
+        tight = {
+            (r.d1, r.d2)
+            for r in fuzzy_prefix_pairs(spark, td, tight=True).collect()
+        }
+        rep = QUERIES["composite_fuzzy_blocking_recall"](spark, td).collect()[0]
+    assert tight <= ex
+    assert (0, 2) in tight          # later-token edit survives
+    assert (0, 1) in ex - tight     # first-token edit is the priced loss
+    assert rep.n_exhaustive == len(ex) and rep.n_tight == len(tight)
+    assert rep.tight_recall_micro == len(tight) * 1_000_000 // len(ex)
+
+
 # ------------------------------------------------- banding-sweep invariant
 def test_minhash_scurve_sits_at_or_below_verify_threshold():
     """The sweep's lesson as an invariant: the banded-LSH s-curve
