@@ -144,42 +144,41 @@ def _load_all_modules() -> None:
 # slots fill with the OLDEST-green rows so signal currency improves across
 # the registry. Any overflow must be declared in _DEFERRED explicitly.
 _PRIORITY: tuple[str, ...] = (
-    # (a) round-7 never-green operators
-    "dedup_split_leakage_safe", "dedup_split_leakage_safe_persisted",
-    "dedup_video_temporal", "composite_dedup_recall", "composite_ann_recall",
-    # (b) staled this round: imagehash.py rewritten to the parametric
-    # multi-word fingerprint (stales both modality fingerprints);
-    # clustering.py's oracle CTEs factored for reuse by the split;
-    # dedup.py + the containment pair gained the size_shuffle_partitions
-    # call (stales the whole dedup.py family and its importers);
-    # similarity.py's oracle bodies factored for the ANN recall report
-    # (stales the similarity family); functions/table_build.py's
-    # pid-liveness fix (ADVICE r6 — stales the four layout-backed queries)
+    # (a) round-8 never-green operator
+    "composite_fuzzy_blocking_recall",
+    # (b) staled this round: dedup.py's banded-Levenshtein rewrite +
+    # minhash re-default (stales the whole dedup.py family and its
+    # importers: clustering, containment(+bottomk), splits, dedup_report,
+    # the incremental streaming twin's batch row); semantic.py's
+    # threshold parameterization; bpe_train.py's driver-side merge loop;
+    # imagehash.py's int64 block sums (stales image/audio/video
+    # fingerprints); functions/table_build.py's build lock (stales the
+    # layout-backed queries)
+    "composite_dedup_recall",
     "dedup_audio_fingerprint", "dedup_cluster_cc", "dedup_containment",
     "dedup_containment_bottomk", "dedup_embedding_cosine", "dedup_exact_docs",
     "dedup_fuzzy_prefix", "dedup_image_phash", "dedup_incremental",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_semantic",
+    "dedup_simhash", "dedup_split_leakage_safe",
+    "dedup_split_leakage_safe_persisted", "dedup_video_temporal",
     "graph_pagerank", "graph_pagerank_bucketed", "join_bucketed",
-    "scan_partition_pruned",
-    "similarity_ann_ivf", "similarity_ann_ivf_persisted",
-    "similarity_ann_ivf_probe", "similarity_ann_lsh", "similarity_kmeans",
-    "similarity_normalize", "similarity_topk_cosine",
-    "similarity_topk_cosine_pandas",
-    # (c) filler, oldest green first: the remaining round-3 cohort, then
-    # the round-4 rows alphabetically
-    "agg_string_concat", "text_bpe_tokens", "text_fingerprint",
-    "text_lang_id", "text_quality_score", "text_repetition_score",
-    "text_tfidf_topk", "text_token_stats", "text_vocab_topk",
-    "window_time_range",
-    "agg_sketch_merge", "cdc_merge_upsert", "data_mix_weighted",
-    "dedup_boilerplate", "dedup_exact_rows", "dedup_keep_first",
-    "dedup_semantic", "filter_null_semantics", "funnel_conversion",
-    "join_anti", "join_broadcast",
+    "scan_partition_pruned", "text_bpe_encode", "text_bpe_train",
+    # (c) filler, oldest green first (round-4 cohort alphabetically)
+    "join_left_outer", "join_range_interval", "join_semi",
+    "multimodal_audio_stats", "multimodal_byte_features",
+    "multimodal_frame_sample", "multimodal_image_stats",
+    "multimodal_metadata_stats", "pii_scrub", "pipeline_clean_corpus",
+    "pipeline_epoch_build", "pipeline_quality_funnel",
+    "sample_epoch_shuffle", "scalar_array", "scalar_conditional",
+    "scalar_datetime", "scalar_json", "scalar_math", "scalar_string",
+    "scan_project_filter", "setops_union_all", "setops_union_distinct",
+    "sort_limit_topk", "subquery_correlated_avg", "text_unigram_logprob",
+    "text_vocab_coverage",
     )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot
-# window cannot hold. Round 7: EMPTY — demand is 29 (5 new operators + 24
-# staled by this round's edits), leaving 21 slots of oldest-green filler
+# window cannot hold. Round 8: EMPTY — demand is 24 (1 new operator + 23
+# staled by this round's edits), leaving 26 slots of oldest-green filler
 # (counts per test_registry_window.py, the source of truth).
 # test_registry_window.py keeps enforcing that any future overflow must
 # be declared here explicitly.
