@@ -121,6 +121,14 @@ HEADLINE = [
     # join; the multimodal analogue of the text shingle family and the
     # round's real-compute addition.
     "dedup_video_temporal",
+    # Round 8 addition: the fuzzy blocking-policy recall report — runs the
+    # exhaustive banded-Levenshtein channel AND its tight-blocking
+    # deployment tier and joins their verified pair sets; real block-join
+    # + edit-distance compute on both engines. (The split composites stay
+    # out: their recursive-CTE oracle costs ~235 s in DuckDB at sf0.1,
+    # which would dominate the paired refresh; their scale story lives in
+    # BASELINE.md's measured x10/x100 rows.)
+    "composite_fuzzy_blocking_recall",
 ]
 
 
