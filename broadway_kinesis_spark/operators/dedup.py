@@ -646,17 +646,34 @@ def composite_fuzzy_blocking_recall(
     how many the deployment key (+ first prefix token) retains — the
     blocking-policy twin of ``composite_dedup_recall``. The tight tier is
     a strict subset by construction (same verify, stricter blocking), so
-    the report reduces to two exact counts + integer micro-recall; the
-    oracle evaluates the subset membership as a flag on the exhaustive
-    pair set, which is the same set algebra."""
-    ex = dedup_fuzzy_prefix(spark, sf_dir).select("d1", "d2")
-    tg = fuzzy_prefix_pairs(spark, sf_dir, tight=True).select(
-        "d1", "d2", F.lit(True).alias("in_tight")
+    BOTH engines evaluate the subset membership as a first-token-match
+    FLAG on the exhaustive pair set — one candidate join and one
+    Levenshtein pass instead of running both tiers, the same set
+    algebra."""
+    p = _fuzzy_prefixes(load(spark, sf_dir, "documents"))
+    a = p.select(
+        F.col("doc_id").alias("d1"), "lang", "size_bucket", "tok0",
+        F.col("pfx").alias("pfx1"),
     )
-    j = ex.join(tg, ["d1", "d2"], "left")
-    return j.agg(
+    b = p.select(
+        F.col("doc_id").alias("d2"),
+        F.col("lang").alias("lang2"),
+        F.col("size_bucket").alias("sb2"),
+        F.col("tok0").alias("tok0b"),
+        F.col("pfx").alias("pfx2"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("lang") == F.col("lang2"))
+        & (F.col("size_bucket") == F.col("sb2"))
+        & (F.col("d1") < F.col("d2")),
+    )
+    ex = pairs.filter(F.levenshtein("pfx1", "pfx2", EDIT_T) >= 0).select(
+        (F.col("tok0") == F.col("tok0b")).alias("tok_match")
+    )
+    return ex.agg(
         F.count(F.lit(1)).alias("n_exhaustive"),
-        F.sum(F.when(F.col("in_tight"), 1).otherwise(0)).alias("n_tight"),
+        F.sum(F.when(F.col("tok_match"), 1).otherwise(0)).alias("n_tight"),
     ).select(
         "n_exhaustive",
         "n_tight",
