@@ -45,6 +45,7 @@ from broadway_kinesis_spark.operators.dedup import (
     dedup_fuzzy_prefix,
     dedup_ngram_jaccard,
 )
+from broadway_kinesis_spark.operators.textops import SQL_QUALITY
 from broadway_kinesis_spark.registry import query
 
 # Convergence cap: duplicate clusters are stars/near-cliques (diameter ≤ ~4).
@@ -186,13 +187,65 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     same Hash-Min fixpoint as a recursive CTE (min label reachable over the
     symmetric edge set); all ids/sizes are integers, so the diff is exact.
     """
-    jp = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
-    fz = dedup_fuzzy_prefix(spark, sf_dir).select("d1", "d2")
-    edges = jp.union(fz).distinct()
-    labels = connected_components(edges)
-    comp = labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
-    )
+    comp = _two_channel_components(spark, sf_dir)
     return comp.withColumn(
         "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("component_id"))
+    )
+
+
+def _two_channel_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component_id) over the ngram + fuzzy evidence union —
+    shared by dedup_cluster_cc and dedup_keep_best."""
+    jp = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    fz = dedup_fuzzy_prefix(spark, sf_dir).select("d1", "d2")
+    labels = connected_components(jp.union(fz).distinct())
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {SQL_COMP_CTES},
+    q AS ({SQL_QUALITY}),
+    ranked AS (
+        SELECT c.doc_id, c.component_id, q.quality,
+               ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                  ORDER BY q.quality DESC, c.doc_id) AS rn
+        FROM comp c JOIN q ON q.doc_id = c.doc_id
+    )
+    SELECT doc_id, component_id, quality, rn = 1 AS keep FROM ranked
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection by QUALITY — the curation decision
+    keep-first cannot make: within each duplicate cluster keep the
+    highest-quality member (``text_quality_score``'s proven-bitwise-equal
+    formula; ties break on doc_id), not the lowest id. A scraped page and
+    its boilerplate-laden mirror dedup to the CLEAN copy regardless of
+    crawl order. Output: one row per clustered doc with its component id,
+    quality, and the keep flag.
+
+    Scale posture: the quality projection runs only over CLUSTERED docs
+    (semi-joined by the label table — cluster docs ≪ corpus), and the
+    argmax is a window partitioned by component id (cluster-sized groups,
+    never global). Determinism: quality is float64 but the SAME formula
+    both engines already hash-match on ``text_quality_score``; the window
+    breaks quality ties on doc_id in both plans."""
+    from broadway_kinesis_spark.operators.textops import text_quality_score
+
+    comp = _two_channel_components(spark, sf_dir)
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    rn = F.row_number().over(
+        Window.partitionBy("component_id").orderBy(
+            F.desc("quality"), F.asc("doc_id")
+        )
+    )
+    return (
+        comp.join(q, "doc_id")
+        .withColumn("rn", rn)
+        .select(
+            "doc_id", "component_id", "quality", (F.col("rn") == 1).alias("keep")
+        )
     )

@@ -147,9 +147,11 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_STOP = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
 
-@query(
-    "text_quality_score",
-    oracle=f"""
+#: the full quality-score SELECT — shared verbatim by this operator's
+#: oracle and the keep-best cluster-representative oracle
+#: (operators/clustering.py), so the two engines' float quality values
+#: stay the ONE proven-bitwise-equal formula.
+SQL_QUALITY = f"""
     SELECT doc_id, n_tok, avg_tok_len, stop_ratio,
            0.4 * LEAST(1.0, n_tok / 100) + 0.3 * (1.0 - stop_ratio)
                + 0.3 * LEAST(1.0, avg_tok_len / 8) AS quality
@@ -160,8 +162,10 @@ _SQL_STOP = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
                len(list_filter(toks, w -> list_contains({_SQL_STOP}, w))) / len(toks) AS stop_ratio
         FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents)
     )
-    """,
-)
+    """
+
+
+@query("text_quality_score", oracle=SQL_QUALITY)
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality: token count, mean token length, stopword
     ratio, combined into a [0,1]-ish score. Pure per-row projection — no

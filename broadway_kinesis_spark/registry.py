@@ -144,8 +144,8 @@ def _load_all_modules() -> None:
 # slots fill with the OLDEST-green rows so signal currency improves across
 # the registry. Any overflow must be declared in _DEFERRED explicitly.
 _PRIORITY: tuple[str, ...] = (
-    # (a) round-8 never-green operator
-    "composite_fuzzy_blocking_recall",
+    # (a) round-8 never-green operators
+    "composite_fuzzy_blocking_recall", "dedup_keep_best",
     # (b) staled this round: dedup.py's banded-Levenshtein rewrite +
     # minhash re-default (stales the whole dedup.py family and its
     # importers: clustering, containment(+bottomk), splits, dedup_report,
@@ -153,7 +153,8 @@ _PRIORITY: tuple[str, ...] = (
     # threshold parameterization; bpe_train.py's driver-side merge loop;
     # imagehash.py's int64 block sums (stales image/audio/video
     # fingerprints); functions/table_build.py's build lock (stales the
-    # layout-backed queries)
+    # layout-backed queries); textops.py's SQL_QUALITY factoring for the
+    # keep-best oracle (stales the textops family)
     "composite_dedup_recall",
     "dedup_audio_fingerprint", "dedup_cluster_cc", "dedup_containment",
     "dedup_containment_bottomk", "dedup_embedding_cosine", "dedup_exact_docs",
@@ -162,7 +163,10 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_simhash", "dedup_split_leakage_safe",
     "dedup_split_leakage_safe_persisted", "dedup_video_temporal",
     "graph_pagerank", "graph_pagerank_bucketed", "join_bucketed",
-    "scan_partition_pruned", "text_bpe_encode", "text_bpe_train",
+    "scan_partition_pruned", "text_bpe_encode", "text_bpe_tokens",
+    "text_bpe_train", "text_fingerprint", "text_lang_id",
+    "text_quality_score", "text_tfidf_topk", "text_token_stats",
+    "text_vocab_topk",
     # (c) filler, oldest green first (round-4 cohort alphabetically)
     "join_left_outer", "join_range_interval", "join_semi",
     "multimodal_audio_stats", "multimodal_byte_features",
@@ -170,15 +174,12 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_metadata_stats", "pii_scrub", "pipeline_clean_corpus",
     "pipeline_epoch_build", "pipeline_quality_funnel",
     "sample_epoch_shuffle", "scalar_array", "scalar_conditional",
-    "scalar_datetime", "scalar_json", "scalar_math", "scalar_string",
-    "scan_project_filter", "setops_union_all", "setops_union_distinct",
-    "sort_limit_topk", "subquery_correlated_avg", "text_unigram_logprob",
-    "text_vocab_coverage",
+    "scalar_datetime", "scalar_json", "scalar_math",
     )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot
-# window cannot hold. Round 8: EMPTY — demand is 24 (1 new operator + 23
-# staled by this round's edits), leaving 26 slots of oldest-green filler
+# window cannot hold. Round 8: EMPTY — demand is 32 (2 new operators + 30
+# staled by this round's edits), leaving 18 slots of oldest-green filler
 # (counts per test_registry_window.py, the source of truth).
 # test_registry_window.py keeps enforcing that any future overflow must
 # be declared here explicitly.

@@ -178,6 +178,45 @@ def test_fuzzy_tight_tier_subset_and_first_token_loss(spark):
     assert rep.tight_recall_micro == len(tight) * 1_000_000 // len(ex)
 
 
+# --------------------------------------------- keep-best representatives
+def test_keep_best_picks_quality_not_min_id(spark):
+    """Cluster-representative selection must keep the HIGHEST-QUALITY
+    member, not the lowest id: a planted fuzzy cluster whose low-id
+    member is stopword-stuffed (low quality) and whose high-id member is
+    clean must keep the HIGH id — provably different from keep-first —
+    and singletons must each keep themselves."""
+    import hashlib
+
+    shared = " ".join(
+        hashlib.md5(f"kb-{i}".encode()).hexdigest()[:10] for i in range(4)
+    )  # 43 chars: the identical 40-char prefix that pairs the cluster
+    low_q = shared + " " + " ".join(["the", "a", "of", "to", "in"] * 4)
+    high_q = shared + " " + " ".join(
+        hashlib.md5(f"kbt-{i}".encode()).hexdigest()[:10] for i in range(4)
+    )
+    high_q += " " + "x" * (len(low_q) - len(high_q) - 1)  # equalize lengths
+    # same fuzzy size bucket, or the channel never pairs them
+    assert len(low_q) // 50 == len(high_q) // 50, (len(low_q), len(high_q))
+    texts = {
+        3: low_q,      # LOW id, LOW quality (stopword-stuffed)
+        9: high_q,     # HIGH id, HIGH quality
+        5: " ".join(
+            hashlib.md5(f"solo-{i}".encode()).hexdigest()[:10] for i in range(12)
+        ),
+    }
+    df = spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in texts.items()],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        rows = {r.doc_id: r for r in QUERIES["dedup_keep_best"](spark, td).collect()}
+    assert set(rows) == {3, 9}  # the singleton has no edge: not clustered
+    assert rows[3].component_id == rows[9].component_id == 3
+    assert rows[9].quality > rows[3].quality
+    assert rows[9].keep and not rows[3].keep  # keep-first would keep 3
+
+
 # ------------------------------------------------- banding-sweep invariant
 def test_minhash_scurve_sits_at_or_below_verify_threshold():
     """The sweep's lesson as an invariant: the banded-LSH s-curve
