@@ -160,11 +160,14 @@ def test_video_temporal_plan_one_arrow_stage_no_cartesian(spark, sf_dir):
 
 # --------------------------------------------------- dedup recall report
 def test_dedup_recall_report_matches_python_mirror(spark):
-    """On a corpus of BORDERLINE-Jaccard pairs (j in [0.5, 0.6), where a
-    4-band minhash really does miss ~half the true pairs) the report must
-    equal a pure-Python mirror of both channels — and the corpus must be
-    non-vacuous: at least one pair verified by the index channel but
-    missed by every LSH band."""
+    """On a corpus of BORDERLINE-Jaccard pairs (j in [0.5, 0.6) — the
+    regime where banding misses: ~half the true pairs at the round-7
+    4-band point, a tail of them even at the adopted 16 bands) the report
+    must equal a pure-Python mirror of both channels — and the corpus
+    must be non-vacuous: at least one pair verified by the index channel
+    but missed by every LSH band. The mirror computes from the live
+    N_SIG/BAND_R constants, so a re-defaulted operating point re-derives
+    the expectation instead of staling it."""
     import hashlib
     import itertools
 
