@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import threading
 import time
 from collections.abc import Callable
 
@@ -79,13 +80,33 @@ def _pid_alive(pid: int) -> bool:
 #: marker => orphan", and rmtree's A's in-progress build (observed as a
 #: transient parity failure when pytest and oracle_check shared one
 #: warehouse). The lock is a sibling file ``<loc>.building`` holding the
-#: builder's pid, created atomically (O_CREAT|O_EXCL): stale locks (dead
-#: or recycled-own pid) are broken; a LIVE sibling's lock is waited out
-#: for a bounded window, after which the caller diverts to a pid-scoped
-#: table name — the same divert the marker path already takes.
+#: builder's pid; its content is ATOMIC with its creation (ADVICE r8:
+#: the pid is written to a unique temp sibling which is hard-linked into
+#: place, so no reader can ever observe an empty lock from this
+#: protocol). Stale locks (dead or recycled-own pid) are broken; an
+#: UNREADABLE holder is polled until the deadline and broken only if
+#: still unreadable (it may be an out-of-protocol writer mid-write, not
+#: proof of staleness); a LIVE sibling's lock is waited out for a
+#: bounded window, after which the caller diverts to a pid-scoped table
+#: name — the same divert the marker path already takes. Threads of ONE
+#: process serialize on a per-lock-path ``threading.Lock`` first (ADVICE
+#: r8: without it, a same-pid file holder is indistinguishable from a
+#: live sibling THREAD, and two threads would break each other's lock
+#: and run concurrent saveAsTable on one location); with the thread lock
+#: held, a same-pid file holder is provably a recycled-pid leftover.
 _LOCK_SUFFIX = ".building"
 _LOCK_WAIT_S = 60.0
 _LOCK_POLL_S = 0.5
+
+#: per-lock-path in-process locks; grows with distinct table locations in
+#: one process (bounded by corpora x layout tables — a handful).
+_PROC_LOCKS: dict[str, threading.Lock] = {}
+_PROC_LOCKS_GUARD = threading.Lock()
+
+
+def _proc_lock(lock: str) -> threading.Lock:
+    with _PROC_LOCKS_GUARD:
+        return _PROC_LOCKS.setdefault(lock, threading.Lock())
 
 
 def _lock_holder(lock: str) -> int | None:
@@ -96,32 +117,79 @@ def _lock_holder(lock: str) -> int | None:
         return None
 
 
+def _try_claim(lock: str) -> bool:
+    """Create the lock file WITH its pid content in one atomic step: write
+    a unique temp sibling, hard-link it to the lock path (link fails with
+    FileExistsError when the lock exists — the O_EXCL of link(2))."""
+    tmp = f"{lock}.{os.getpid()}.{threading.get_ident()}.tmp"
+    try:
+        with open(tmp, "w", encoding="ascii") as f:
+            f.write(str(os.getpid()))
+        try:
+            os.link(tmp, lock)
+            return True
+        except FileExistsError:
+            return False
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
 def _acquire_build_lock(loc: str) -> str | None:
     """Atomically claim ``<loc>.building``; returns the lock path, or None
-    when a LIVE sibling kept it through the bounded wait (divert)."""
+    when a live sibling (process OR thread) kept it through the bounded
+    wait (divert). A successful claim holds the per-path thread lock too;
+    release both via :func:`_release_build_lock`."""
     lock = loc + _LOCK_SUFFIX
+    plock = _proc_lock(lock)
+    if not plock.acquire(timeout=_LOCK_WAIT_S):
+        return None  # a live thread of THIS process is building: divert
+    claimed = False
     deadline = time.monotonic() + _LOCK_WAIT_S
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+    try:
+        while True:
+            if _try_claim(lock):
+                claimed = True
+                return lock
             holder = _lock_holder(lock)
-            if holder is None or holder == os.getpid() or not _pid_alive(holder):
-                # corrupt, recycled-own-pid, or dead-builder lock: break it
-                # (this process holds no lock here — ensure_table releases
-                # in a finally, so a same-pid holder is a stale leftover)
-                try:
-                    os.unlink(lock)
-                except OSError:
-                    pass
+            expired = time.monotonic() >= deadline
+            if holder is None:
+                # Unreadable/empty content is NOT proof of staleness (an
+                # out-of-protocol writer may sit between create and
+                # write): poll until the deadline, break only if still
+                # unreadable then (ADVICE r8).
+                if not expired:
+                    time.sleep(_LOCK_POLL_S)
+                    continue
+            elif holder != os.getpid() and _pid_alive(holder):
+                if expired:
+                    return None  # live sibling kept it: divert
+                time.sleep(_LOCK_POLL_S)
                 continue
-            if time.monotonic() >= deadline:
-                return None
-            time.sleep(_LOCK_POLL_S)
-            continue
-        with os.fdopen(fd, "w", encoding="ascii") as f:
-            f.write(str(os.getpid()))
-        return lock
+            # dead pid, recycled-own pid (no live thread here holds it —
+            # we hold the per-path thread lock), or unreadable past the
+            # deadline: break it. The break branch respects the deadline
+            # too (ADVICE r8): a persistently failing unlink (unwritable
+            # warehouse dir) falls back to the divert instead of spinning.
+            try:
+                os.unlink(lock)
+            except OSError:
+                if expired:
+                    return None
+                time.sleep(_LOCK_POLL_S)
+    finally:
+        if not claimed:
+            plock.release()
+
+
+def _release_build_lock(lock: str) -> None:
+    try:
+        os.unlink(lock)
+    except OSError:
+        pass
+    _proc_lock(lock).release()
 
 
 def ensure_table(
@@ -149,7 +217,11 @@ def ensure_table(
     see ``_acquire_build_lock``), closing the window where a sibling saw
     a marker-less in-progress build as an orphan; a caller that cannot
     get the lock within the bounded wait diverts to a pid-scoped name,
-    exactly like the live-owner marker path.
+    exactly like the live-owner marker path. Threads of one process
+    serialize on an in-process lock first (ADVICE r8) and re-check the
+    catalog after acquiring it, so a second thread that waited out a
+    sibling thread's build serves the finished table instead of
+    rebuilding over it.
     """
     if spark.catalog.tableExists(name):
         return name
@@ -167,6 +239,11 @@ def ensure_table(
             partition_by=partition_by,
         )
     try:
+        # Double-checked: a sibling THREAD that held the lock may have
+        # finished this exact build while we waited on it — serve the
+        # catalog entry instead of rebuilding over it.
+        if spark.catalog.tableExists(name):
+            return name
         if os.path.isdir(loc):
             owner = _location_owner(loc)
             if owner is not None and owner != os.getpid() and _pid_alive(owner):
@@ -196,7 +273,4 @@ def ensure_table(
             pass  # marker is best-effort; absence means eager orphan cleanup
         return name
     finally:
-        try:
-            os.unlink(lock)
-        except OSError:
-            pass
+        _release_build_lock(lock)

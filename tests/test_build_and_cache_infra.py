@@ -126,6 +126,98 @@ def test_build_lock_breaks_a_dead_builders_lock_and_releases_its_own(spark):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_lock_claim_is_atomic_with_its_content(spark, tmp_path):
+    """ADVICE r8 (medium): the lock file must never be observable without
+    its pid content — _try_claim writes the pid to a temp sibling and
+    hard-links it into place, so a reader sees either no lock or a full
+    one, and a second claim on an existing lock fails cleanly."""
+    from broadway_kinesis_spark.functions import table_build
+
+    lock = os.path.join(str(tmp_path), "t.building")
+    assert table_build._try_claim(lock)
+    assert table_build._lock_holder(lock) == os.getpid()  # content atomic
+    assert not table_build._try_claim(lock)  # exclusive
+    assert table_build._lock_holder(lock) == os.getpid()  # not clobbered
+    assert not any(f.endswith(".tmp") for f in os.listdir(str(tmp_path)))
+    os.unlink(lock)
+
+
+def test_unreadable_lock_is_polled_not_broken_immediately(spark, monkeypatch):
+    """ADVICE r8 (medium): an EMPTY lock file (an out-of-protocol writer
+    mid-write, or a crashed old-protocol creator) is not proof of
+    staleness — the acquirer must poll until the deadline and break it
+    only if still unreadable then, not unlink a possibly-live builder's
+    claim on first sight."""
+    import time as _time
+
+    from broadway_kinesis_spark.functions import table_build
+
+    name = "_bks_test_lock_empty"
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    loc = os.path.join(wh, name)
+    os.makedirs(loc, exist_ok=True)
+    lock = loc + table_build._LOCK_SUFFIX
+    open(lock, "w").close()  # empty: holder unreadable
+    monkeypatch.setattr(table_build, "_LOCK_WAIT_S", 1.5)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        t0 = _time.monotonic()
+        got = ensure_table(
+            spark,
+            name,
+            lambda: spark.createDataFrame(pd.DataFrame({"k": [1]})),
+        )
+        waited = _time.monotonic() - t0
+        # broken only AT the deadline: build under the original name,
+        # but not before the bounded wait elapsed
+        assert got == name
+        assert waited >= 1.5
+        assert not os.path.exists(lock)  # released after the build
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_same_process_threads_serialize_and_build_once(spark):
+    """ADVICE r8 (low): two threads of ONE process racing ensure_table for
+    the same name must not break each other's lock and run concurrent
+    saveAsTable — the per-path thread lock serializes them, and the
+    double-checked catalog read makes the loser serve the winner's table
+    instead of rebuilding it."""
+    import threading
+
+    name = "_bks_test_lock_threads"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    builds = []
+    build_gate = threading.Event()
+
+    def build():
+        builds.append(threading.get_ident())
+        build_gate.set()
+        return spark.createDataFrame(pd.DataFrame({"k": [1, 2]}))
+
+    results: list[str] = []
+    errors: list[BaseException] = []
+
+    def run():
+        try:
+            results.append(ensure_table(spark, name, build))
+        except BaseException as e:  # surface into the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(2)]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors
+        assert len(builds) == 1  # exactly one thread built
+        assert results == [name, name]  # both serve the ORIGINAL name
+        assert spark.table(name).count() == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_corpus_sig_tracks_file_identity_and_version(tmp_path):
     d = str(tmp_path)
     p = os.path.join(d, "events.parquet")
