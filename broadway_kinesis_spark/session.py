@@ -16,6 +16,7 @@ right-sizes each exchange at runtime.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -32,7 +33,11 @@ TABLES = (
     "embeddings",
 )
 
-_TUNED_SESSIONS: set[int] = set()
+# Weak so a stopped session's entry dies with it — an id()-keyed set let a
+# new session recycling a collected one's id SKIP tuning entirely (the same
+# stale-identity class as _BASE_SHUFFLE, ADVICE r8, but here the wrong
+# outcome is an untuned session: non-UTC timestamps, AQE off).
+_TUNED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def tune(spark: SparkSession) -> SparkSession:
@@ -41,8 +46,7 @@ def tune(spark: SparkSession) -> SparkSession:
     Only confs settable after session start are touched, so this is safe on
     a session the driver owns.
     """
-    key = id(spark)
-    if key in _TUNED_SESSIONS:
+    if spark in _TUNED_SESSIONS:
         return spark
     conf = {
         # Naive-UTC timestamps end-to-end: parquet fixtures are written
@@ -74,7 +78,7 @@ def tune(spark: SparkSession) -> SparkSession:
         except Exception:
             # A conf locked by the driver's session is non-fatal.
             pass
-    _TUNED_SESSIONS.add(key)
+    _TUNED_SESSIONS.add(spark)
     return spark
 
 
@@ -111,7 +115,7 @@ def build_session(
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
-    _TUNED_SESSIONS.add(id(spark))
+    _TUNED_SESSIONS.add(spark)
     return spark
 
 
@@ -192,24 +196,43 @@ def size_shuffle_partitions(
     # a small corpus after a big one sizes back DOWN instead of ratcheting
     # (ADVICE r7); queries that never call this helper are restored by the
     # registry wrapper via reset_shuffle_partitions().
-    key = id(spark)
+    base = None
     try:
-        base = _BASE_SHUFFLE.setdefault(
-            key, spark.conf.get("spark.sql.shuffle.partitions")
-        )
+        if spark not in _BASE_SHUFFLE:
+            _BASE_SHUFFLE[spark] = spark.conf.get("spark.sql.shuffle.partitions")
+        base = _BASE_SHUFFLE[spark]
         floor = int(base)
     except Exception:
         floor = cores
     parts = max(floor, -(-total * expansion // target))
+    # The helpers are the only writers of this conf between the registry
+    # wrapper's per-query resets, so the inflated FLAG (not a conf.get
+    # round-trip) decides whether anything needs restoring — that keeps
+    # reset_shuffle_partitions at zero Py4J traffic for the overwhelming
+    # majority of queries that never size (VERDICT r8 #6, per-query floor).
     try:
-        if int(spark.conf.get("spark.sql.shuffle.partitions")) != parts:
+        if parts != floor:
             spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            _INFLATED[spark] = True
+        elif _INFLATED.get(spark) and base is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", base)
+            _INFLATED[spark] = False
     except Exception:
         pass  # a locked conf falls back to the session's own sizing
     return parts
 
 
-_BASE_SHUFFLE: dict[int, str] = {}
+#: Keyed WEAKLY by the session object (ADVICE r8): an id()-keyed map let a
+#: stopped-and-collected session's recorded base leak into an unrelated new
+#: session that recycled the same id, actively applying a stale partition
+#: count. Weak keys die with the session; SparkSession uses identity
+#: hash/eq, so no JVM traffic is involved in the lookup.
+_BASE_SHUFFLE: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
+_INFLATED: "weakref.WeakKeyDictionary[SparkSession, bool]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def reset_shuffle_partitions(spark: SparkSession) -> None:
@@ -217,14 +240,16 @@ def reset_shuffle_partitions(spark: SparkSession) -> None:
     previous :func:`size_shuffle_partitions` call inflated it — called by
     the registry wrapper before every query plans, so one large-corpus
     dedup query cannot leak its partition count into every subsequent
-    unrelated query in the session (ADVICE r7). No-op until the first
-    sizing call records a base."""
-    base = _BASE_SHUFFLE.get(id(spark))
+    unrelated query in the session (ADVICE r7). No-op (zero Py4J
+    round-trips) until a sizing call actually inflates the conf."""
+    if not _INFLATED.get(spark):
+        return
+    base = _BASE_SHUFFLE.get(spark)
     if base is None:
         return
     try:
-        if spark.conf.get("spark.sql.shuffle.partitions") != base:
-            spark.conf.set("spark.sql.shuffle.partitions", base)
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+        _INFLATED[spark] = False
     except Exception:
         pass
 

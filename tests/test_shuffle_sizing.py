@@ -79,6 +79,44 @@ def test_sizing_does_not_ratchet_and_reset_restores(spark):
         spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
+def test_shuffle_base_dies_with_its_session():
+    """ADVICE r8: the recorded base must be keyed WEAKLY by the session
+    object — an id()-keyed map let a collected session's base leak into a
+    new session recycling the same id, actively applying a stale partition
+    count. A collected key must evict its entry."""
+    import gc
+    import weakref
+
+    from broadway_kinesis_spark import session as s
+
+    class FakeSession:  # stands in for a stopped-and-collected session
+        pass
+
+    fake = FakeSession()
+    s._BASE_SHUFFLE[fake] = "7"
+    s._INFLATED[fake] = True
+    ref = weakref.ref(fake)
+    del fake
+    gc.collect()
+    assert ref() is None
+    assert not any(isinstance(k, FakeSession) for k in s._BASE_SHUFFLE)
+    assert not any(isinstance(k, FakeSession) for k in s._INFLATED)
+
+
+def test_reset_without_inflation_never_touches_the_conf():
+    """VERDICT r8 #6 (per-query floor): the registry wrapper calls reset
+    before EVERY query — when nothing is inflated it must cost zero Py4J
+    round-trips, i.e. never touch the conf at all."""
+    from broadway_kinesis_spark.session import reset_shuffle_partitions
+
+    class Tripwire:
+        @property
+        def conf(self):
+            raise AssertionError("reset touched the conf without inflation")
+
+    reset_shuffle_partitions(Tripwire())  # must not raise
+
+
 def test_mem_bytes_parses_fractional_settings():
     """ADVICE r7: '1.5g' must read as 1.5 GiB (int(float) << shift
     truncated it to 1 GiB, and '0.5g' to zero). Memory confs are static,
