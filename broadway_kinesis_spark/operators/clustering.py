@@ -227,16 +227,29 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl order. Output: one row per clustered doc with its component id,
     quality, and the keep flag.
 
-    Scale posture: the quality projection runs only over CLUSTERED docs
-    (semi-joined by the label table — cluster docs ≪ corpus), and the
-    argmax is a window partitioned by component id (cluster-sized groups,
-    never global). Determinism: quality is float64 but the SAME formula
-    both engines already hash-match on ``text_quality_score``; the window
-    breaks quality ties on doc_id in both plans."""
-    from broadway_kinesis_spark.operators.textops import text_quality_score
+    Scale posture: the quality projection runs only over CLUSTERED docs —
+    an explicit LEFT-SEMI join by the label table sits between the scan
+    and the scoring projection (Catalyst's semi-join pushdown keeps it
+    below the projection; the plan fence in tests/test_round9_ops.py pins
+    that shape), so the per-row quality arithmetic touches cluster docs ≪
+    corpus, not every document. The argmax is a window partitioned by
+    component id (cluster-sized groups, never global). Determinism:
+    quality is float64 but the SAME formula both engines already
+    hash-match on ``text_quality_score``; the window breaks quality ties
+    on doc_id in both plans."""
+    from broadway_kinesis_spark.operators.textops import quality_scored
+    from broadway_kinesis_spark.session import load
 
     comp = _two_channel_components(spark, sf_dir)
-    q = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    # The label table is the candidate-pair graph's node set — broadcast
+    # it and semi-filter the docs BEFORE scoring. The bounding is
+    # structural (filter below the projection by construction): Spark's
+    # semi-join pushdown only crosses trivial alias projections, so
+    # scoring-then-filtering would compute quality corpus-wide.
+    docs = load(spark, sf_dir, "documents").join(
+        F.broadcast(comp.select("doc_id")), "doc_id", "left_semi"
+    )
+    q = quality_scored(docs).select("doc_id", "quality")
     rn = F.row_number().over(
         Window.partitionBy("component_id").orderBy(
             F.desc("quality"), F.asc("doc_id")

@@ -165,14 +165,17 @@ SQL_QUALITY = f"""
     """
 
 
-@query("text_quality_score", oracle=SQL_QUALITY)
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic document quality: token count, mean token length, stopword
-    ratio, combined into a [0,1]-ish score. Pure per-row projection — no
-    shuffle, fully parallel, pushed into one codegen stage."""
-    d = load(spark, sf_dir, "documents")
+def quality_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tok, avg_tok_len, stop_ratio, quality) over ANY documents
+    DataFrame — the one quality formula (SQL twin: ``SQL_QUALITY``), shared
+    by ``text_quality_score`` (full corpus) and the keep-best
+    cluster-representative operators (clustering.py / composite.py), which
+    pass a semi-join-filtered candidate subset so the per-row scoring
+    arithmetic is candidate-bounded instead of corpus-wide (Spark's
+    semi-join pushdown only crosses trivial alias projections, so the
+    bounding must be structural, not left to the optimizer)."""
     stop = F.array(*[F.lit(w) for w in STOPWORDS])
-    base = d.select(
+    base = docs.select(
         "doc_id", "text", F.split(F.lower("text"), " ").alias("toks")
     ).select(
         "doc_id",
@@ -188,6 +191,14 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.3) * F.least(F.lit(1.0), F.col("avg_tok_len") / 8)
     )
     return base.select("doc_id", "n_tok", "avg_tok_len", "stop_ratio", quality.alias("quality"))
+
+
+@query("text_quality_score", oracle=SQL_QUALITY)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: token count, mean token length, stopword
+    ratio, combined into a [0,1]-ish score. Pure per-row projection — no
+    shuffle, fully parallel, pushed into one codegen stage."""
+    return quality_scored(load(spark, sf_dir, "documents"))
 
 
 @query(
