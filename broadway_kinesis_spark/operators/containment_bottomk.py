@@ -44,6 +44,41 @@ from broadway_kinesis_spark.session import load
 
 K_BOTTOM = 16
 
+#: CTE fragment ending in ``ctk(d1, d2)`` — the UNDIRECTED normalization of
+#: the bottom-K tier's directional pairs (either direction clearing {C_T}
+#: emits the (least, greatest) edge). Composes after clustering.py's
+#: ``SQL_CHANNEL_CTES``: it reuses that chain's ``shingled`` arrays and its
+#: DF-capped ``idx`` (identical to this module's ``capped``), so the
+#: constants rewrite both engines in lockstep. Consumed by the leakage-safe
+#: split's TIERED oracle (operators/splits.py).
+SQL_BOTTOMK_EDGE_CTES = f"""
+    bkp AS (
+        SELECT doc_id,
+               list_transform(
+                   list_sort(list_transform(shingles, s -> md5(s) || s))[1:{K_BOTTOM}],
+                   e -> substr(e, 33)
+               ) AS probes
+        FROM shingled
+    ), bkpe AS (
+        SELECT doc_id, UNNEST(probes) AS shingle FROM bkp
+    ), bkcand AS (
+        SELECT DISTINCT p.doc_id AS contained_id, i.doc_id AS container_id
+        FROM bkpe p JOIN idx i
+          ON p.shingle = i.shingle AND p.doc_id <> i.doc_id
+    ), bksc AS (
+        SELECT c.contained_id, c.container_id,
+               CAST(len(list_intersect(x1.shingles, x2.shingles)) AS BIGINT) AS ni,
+               CAST(len(x1.shingles) AS BIGINT) AS n1
+        FROM bkcand c
+        JOIN shingled x1 ON x1.doc_id = c.contained_id
+        JOIN shingled x2 ON x2.doc_id = c.container_id
+    ), ctk AS (
+        SELECT least(contained_id, container_id) AS d1,
+               greatest(contained_id, container_id) AS d2
+        FROM bksc
+        WHERE CAST(ni AS DOUBLE) / n1 >= {C_T}
+    )"""
+
 
 @query(
     "dedup_containment_bottomk",

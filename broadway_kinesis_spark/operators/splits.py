@@ -61,12 +61,17 @@ from broadway_kinesis_spark.operators.containment import (
     SQL_CONTAIN_EDGE_CTES,
     dedup_containment,
 )
+from broadway_kinesis_spark.operators.containment_bottomk import (
+    SQL_BOTTOMK_EDGE_CTES,
+    dedup_containment_bottomk,
+)
 from broadway_kinesis_spark.operators.dedup import (
     DF_CAP,
     EDIT_T,
     JACCARD_T,
-    dedup_fuzzy_prefix,
+    PREFIX_N,
     dedup_ngram_jaccard,
+    fuzzy_prefix_pairs,
 )
 from broadway_kinesis_spark.operators.semantic import (
     SEM_K,
@@ -104,14 +109,31 @@ def _bucket(grp_col):
     )
 
 
-def _evidence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _evidence_edges(
+    spark: SparkSession, sf_dir: str, tiered: bool = False
+) -> DataFrame:
     """The four-channel evidence union (module doc): symmetric channels
     emit (d1 < d2) already; containment's directional rows normalize via
     least/greatest (an undirected edge regardless of which side is the
-    excerpt); semantic pairs arrive (d1 < d2) from semantic_dup_pairs."""
+    excerpt); semantic pairs arrive (d1 < d2) from semantic_dup_pairs.
+
+    ``tiered=True`` swaps the two channels whose exhaustive forms do not
+    close at fresh x100 (VERDICT r8 #1) for their MEASURED deployment
+    tiers: fuzzy -> tight blocking (+first prefix token; recall 0.935
+    priced by ``composite_fuzzy_blocking_recall``) and containment ->
+    the bottom-{K_BOTTOM} probe (per-doc candidate bound K·DF; the probe
+    misses a >= {C_T}-contained doc only when its entire bottom-K misses
+    the container, ~0.2^K). The recall reports are the recorded
+    justification for what each tier can drop; ngram + semantic run
+    unchanged (both already close at x100)."""
     ng = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
-    fz = dedup_fuzzy_prefix(spark, sf_dir).select("d1", "d2")
-    ct = dedup_containment(spark, sf_dir).select(
+    fz = fuzzy_prefix_pairs(spark, sf_dir, tight=tiered).select("d1", "d2")
+    ct_src = (
+        dedup_containment_bottomk(spark, sf_dir)
+        if tiered
+        else dedup_containment(spark, sf_dir)
+    )
+    ct = ct_src.select(
         F.least("contained_id", "container_id").alias("d1"),
         F.greatest("contained_id", "container_id").alias("d2"),
     )
@@ -166,16 +188,41 @@ def leakage_safe_assignment(
 #: chain composes the document channels (clustering.py), the containment
 #: edges (containment.py — joins the chain's cand/shingled), and the
 #: semantic pairs (semantic.py, sm-prefixed names), then runs the CC tail
-#: over the four-way union.
+#: over the four-way union. The tiered oracle swaps in the tight-fuzzy
+#: (pt/fzt below) and bottom-K containment (containment_bottomk.py, ctk)
+#: CTEs; DuckDB prunes the unreferenced exhaustive CTEs.
 _SPLIT_EDGE_SQL = (
     "SELECT d1, d2 FROM jp UNION SELECT d1, d2 FROM fz "
     "UNION SELECT d1, d2 FROM ct UNION SELECT d1, d2 FROM sm"
 )
-_SPLIT_ORACLE = f"""
+_SPLIT_EDGE_SQL_TIERED = (
+    "SELECT d1, d2 FROM jp UNION SELECT d1, d2 FROM fzt "
+    "UNION SELECT d1, d2 FROM ctk UNION SELECT d1, d2 FROM sm"
+)
+
+#: the tight-blocking fuzzy channel (dedup.py's ``tight=True`` tier): the
+#: first prefix token joins the blocking key.
+_SQL_TIGHT_FUZZY_CTES = f"""
+    pt AS (
+        SELECT doc_id, lang, n_chars // 50 AS size_bucket,
+               string_split(substr(lower(text), 1, {PREFIX_N}), ' ')[1] AS tok0,
+               substr(lower(text), 1, {PREFIX_N}) AS pfx
+        FROM documents
+    ), fzt AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM pt a JOIN pt b
+          ON a.lang = b.lang AND a.size_bucket = b.size_bucket
+         AND a.tok0 = b.tok0 AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.pfx, b.pfx) <= {EDIT_T}
+    )"""
+
+
+def _split_oracle(extra_ctes: str, edge_sql: str) -> str:
+    return f"""
     WITH RECURSIVE {SQL_CHANNEL_CTES},
-    {SQL_CONTAIN_EDGE_CTES},
+    {extra_ctes},
     {sql_sem_pair_ctes(SPLIT_SEM_T)},
-    {sql_cc_tail(_SPLIT_EDGE_SQL)},
+    {sql_cc_tail(edge_sql)},
     assigned AS (
         SELECT d.doc_id, d.n_chars,
                COALESCE(c.component_id, d.doc_id) AS grp,
@@ -197,6 +244,13 @@ _SPLIT_ORACLE = f"""
     """
 
 
+_SPLIT_ORACLE = _split_oracle(SQL_CONTAIN_EDGE_CTES, _SPLIT_EDGE_SQL)
+_SPLIT_ORACLE_TIERED = _split_oracle(
+    _SQL_TIGHT_FUZZY_CTES + ",\n" + SQL_BOTTOMK_EDGE_CTES,
+    _SPLIT_EDGE_SQL_TIERED,
+)
+
+
 def _summarize(assigned: DataFrame) -> DataFrame:
     return assigned.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -216,24 +270,59 @@ def dedup_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _summarize(leakage_safe_assignment(spark, sf_dir))
 
 
+@query("dedup_split_leakage_safe_tiered", oracle=_SPLIT_ORACLE_TIERED)
+def dedup_split_leakage_safe_tiered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The x100-runnable form of the four-channel split (VERDICT r8 #1):
+    identical composition, but the two channels whose exhaustive forms do
+    not close at fresh x100 (fuzzy ~3.4 h extrapolated, containment
+    spill-bound) run their MEASURED deployment tiers — tight-blocking
+    fuzzy (recall 0.935, priced by ``composite_fuzzy_blocking_recall``)
+    and bottom-K-probe containment (miss probability ~0.2^{K_BOTTOM} per
+    true pair). The oracle mirrors both tiers exactly, so the driver row
+    checks the tiered SEMANTICS, not a claim that tiers equal exhaustive
+    (they can drop edges — that loss is what the recall reports price;
+    the zero-straddle fence in tests/test_round9_ops.py plants pairs the
+    tiers DO keep and asserts co-assignment)."""
+    return _summarize(
+        leakage_safe_assignment(
+            spark, sf_dir, edges=_evidence_edges(spark, sf_dir, tiered=True)
+        )
+    )
+
+
 #: policy token folded into the persisted table's name (ADVICE r7): a
 #: change to any channel threshold/blocking constant — or to the channel
 #: logic itself, via the leading revision tag — keys a NEW table for an
 #: unchanged corpus, so the persisted tier can never silently serve edges
-#: computed under a superseded policy.
+#: computed under a superseded policy. Blocking-geometry constants are in
+#: too (ADVICE r8): the fuzzy prefix length and its size-bucket divisor
+#: (the literal 50 in dedup._fuzzy_prefixes and every fuzzy oracle) and
+#: the shingle width (the 3-gram construction in dedup._shingled — a
+#: width change would rewrite those modules, but the token should not
+#: rely on the revision tag alone). The tier is part of the policy: a
+#: tiered edge table can never be served where exhaustive edges were
+#: requested, or vice versa.
 _EDGE_POLICY = (
-    f"r8:j{JACCARD_T}:df{DF_CAP}:e{EDIT_T}:c{C_T}:k{SEM_K}:t{SPLIT_SEM_T}"
+    f"r9:j{JACCARD_T}:df{DF_CAP}:e{EDIT_T}:c{C_T}:k{SEM_K}:t{SPLIT_SEM_T}"
+    f":p{PREFIX_N}:sb50:w3"
 )
 
 
-def ensure_split_edges(spark: SparkSession, sf_dir: str) -> str:
-    """Create (once per corpus + policy version) the persisted
-    evidence-pair table — build/idempotence/orphan protocol from
-    functions/table_build.py."""
-    pol = hashlib.md5(_EDGE_POLICY.encode()).hexdigest()[:8]
+def ensure_split_edges(
+    spark: SparkSession, sf_dir: str, tiered: bool = False
+) -> str:
+    """Create (once per corpus + policy version + channel tier) the
+    persisted evidence-pair table — build/idempotence/orphan protocol
+    from functions/table_build.py."""
+    tier = "tiered" if tiered else "full"
+    pol = hashlib.md5(f"{_EDGE_POLICY}:{tier}".encode()).hexdigest()[:8]
     sig = corpus_sig(sf_dir, ("documents", "embeddings"))
     name = f"_bks_split_edges_{pol}_{sig}"
-    return ensure_table(spark, name, lambda: _evidence_edges(spark, sf_dir))
+    return ensure_table(
+        spark, name, lambda: _evidence_edges(spark, sf_dir, tiered=tiered)
+    )
 
 
 @query("dedup_split_leakage_safe_persisted", oracle=_SPLIT_ORACLE)

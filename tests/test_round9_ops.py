@@ -40,3 +40,76 @@ def test_keep_best_scores_only_semi_filtered_candidates(spark):
         "quality projection is computed below the semi-join — corpus-wide "
         f"scoring regression (proj at {qproj[0]}, semi at {semi[0]})"
     )
+
+
+# ----------------------------------------- tiered split evidence (r9 #1)
+def test_tiered_split_zero_straddle_on_tier_kept_pairs(spark):
+    """The tiered evidence union must co-assign every planted pair the
+    tiers KEEP: the exact-copy pairs (identical prefixes share tok0, so
+    tight blocking keeps them), the containment-only pair (every excerpt
+    shingle lives in the container, so any bottom-K probe hits and the
+    verify scores 1.0), and the semantic-only pair (channel unchanged).
+    Globally: zero groups straddle splits — same fence as the exhaustive
+    union, on the deployment tiers."""
+    from broadway_kinesis_spark.operators.splits import (
+        _evidence_edges,
+        leakage_safe_assignment,
+    )
+    from tests.test_round7_ops import _planted_cluster_corpus, _write_docs
+
+    rows, emb, (sa, sb), (ca, cb), (ma, mb) = _planted_cluster_corpus()
+    with tempfile.TemporaryDirectory() as td:
+        _write_docs(td, spark, rows, emb=emb)
+        edges = _evidence_edges(spark, td, tiered=True)
+        assigned = leakage_safe_assignment(spark, td, edges=edges).collect()
+    assert len(assigned) == len(rows)
+    by_doc = {r.doc_id: r for r in assigned}
+    for a, b in ((sa, sb), (ca, cb), (ma, mb)):
+        assert by_doc[a].clustered and by_doc[b].clustered
+        assert by_doc[a].grp == by_doc[b].grp
+        assert by_doc[a].split == by_doc[b].split
+    splits_per_grp: dict[int, set[str]] = {}
+    for r in assigned:
+        splits_per_grp.setdefault(r.grp, set()).add(r.split)
+    assert all(len(s) == 1 for s in splits_per_grp.values())
+
+
+def test_tiered_edges_are_a_subset_built_from_the_tier_operators(spark):
+    """On the planted corpus the tiered union must be a SUBSET of the
+    exhaustive union (tiers only drop candidates, never invent pairs) —
+    and both must contain the planted structure."""
+    from pyspark.sql import functions as F
+
+    from broadway_kinesis_spark.operators.splits import _evidence_edges
+    from tests.test_round7_ops import _planted_cluster_corpus, _write_docs
+
+    rows, emb, s_pair, c_pair, m_pair = _planted_cluster_corpus()
+    with tempfile.TemporaryDirectory() as td:
+        _write_docs(td, spark, rows, emb=emb)
+        full = {
+            (r.d1, r.d2) for r in _evidence_edges(spark, td).collect()
+        }
+        tiered = {
+            (r.d1, r.d2)
+            for r in _evidence_edges(spark, td, tiered=True).collect()
+        }
+    assert tiered <= full
+    planted = {tuple(sorted(s_pair)), tuple(sorted(c_pair)), tuple(sorted(m_pair))}
+    assert planted <= tiered
+
+
+def test_split_edge_policy_keys_tier_and_blocking_geometry():
+    """ADVICE r8: the persisted-edge policy token must cover the blocking
+    GEOMETRY (prefix length, size-bucket divisor, shingle width), not just
+    thresholds — and the tier must key a different table name, so tiered
+    edges can never be served where exhaustive ones were requested."""
+    import hashlib as _hashlib
+
+    from broadway_kinesis_spark.operators import splits
+    from broadway_kinesis_spark.operators.dedup import PREFIX_N
+
+    for frag in (f"p{PREFIX_N}", "sb50", "w3"):
+        assert frag in splits._EDGE_POLICY, frag
+    full = _hashlib.md5(f"{splits._EDGE_POLICY}:full".encode()).hexdigest()[:8]
+    tiered = _hashlib.md5(f"{splits._EDGE_POLICY}:tiered".encode()).hexdigest()[:8]
+    assert full != tiered
