@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.functions.numeric import lsum, sql_lsum
+from broadway_kinesis_spark.operators.clustering import SQL_COMP_CTES
+from broadway_kinesis_spark.operators.textops import SQL_QUALITY
 from broadway_kinesis_spark.registry import query
 from broadway_kinesis_spark.session import load
 
@@ -303,6 +305,107 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     return (
         dedup.select("doc_id", "lang", "n_tokens", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+@query(
+    "pipeline_clean_corpus_best",
+    oracle=f"""
+    WITH RECURSIVE {SQL_COMP_CTES},
+    q AS ({SQL_QUALITY}),
+    scored AS (
+        SELECT doc_id, lang, n_chars,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), gated AS (
+        SELECT * FROM scored WHERE n_tokens >= 20 AND n_chars >= 100
+    ), ranked AS (
+        SELECT g.doc_id, g.lang, g.n_tokens,
+               ROW_NUMBER() OVER (
+                   PARTITION BY COALESCE(c.component_id, g.doc_id)
+                   ORDER BY q.quality DESC, g.doc_id
+               ) AS rn
+        FROM gated g
+        LEFT JOIN comp c ON c.doc_id = g.doc_id
+        LEFT JOIN q ON q.doc_id = g.doc_id
+    ), kept AS (
+        SELECT doc_id, lang, n_tokens FROM ranked WHERE rn = 1
+    ), split AS (
+        SELECT doc_id, lang, n_tokens,
+               CASE
+                   WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                   WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM kept
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(doc_id) AS min_doc_id
+    FROM split
+    GROUP BY split
+    """,
+)
+def pipeline_clean_corpus_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning pipeline with the dedup stage UPGRADED to keep-BEST
+    (VERDICT r8 #2 — composing operators/clustering.py's ``dedup_keep_best``
+    decision into the composed build): quality gate → near-dup cluster
+    dedup keeping the HIGHEST-quality gated member per cluster (ties on
+    doc_id; the two-channel components subsume exact dedup for gated docs —
+    any two identical ≥20-token texts share every shingle, Jaccard 1) →
+    deterministic 80/10/10 hash split → per-split stats. Where
+    ``pipeline_clean_corpus`` keeps the first crawl of a page,
+    this keeps the CLEAN copy regardless of crawl order — the decision a
+    real corpus build ships.
+
+    Scale posture: the gate is a scan-fused filter; cluster labels cover
+    only evidence-edged docs, so the label join BROADCASTS and quality is
+    scored only over clustered docs (the same structural semi-join bound
+    as ``dedup_keep_best``); the argmax window partitions by cluster —
+    unclustered docs are rank-1 singletons by construction, so no global
+    sort exists anywhere in the plan."""
+    from broadway_kinesis_spark.operators.clustering import (
+        _two_channel_components,
+    )
+    from broadway_kinesis_spark.operators.textops import quality_scored
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    gated = scored.filter((F.col("n_tokens") >= 20) & (F.col("n_chars") >= 100))
+    comp = _two_channel_components(spark, sf_dir)
+    q = quality_scored(
+        d.join(F.broadcast(comp.select("doc_id")), "doc_id", "left_semi")
+    ).select("doc_id", "quality")
+    labeled = (
+        gated.join(F.broadcast(comp), "doc_id", "left")
+        .join(F.broadcast(q), "doc_id", "left")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(
+            F.coalesce(F.col("component_id"), F.col("doc_id"))
+        ).orderBy(F.desc("quality"), F.asc("doc_id"))
+    )
+    kept = labeled.withColumn("rn", rn).filter(F.col("rn") == 1)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return (
+        kept.select("doc_id", "lang", "n_tokens", split.alias("split"))
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

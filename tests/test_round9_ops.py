@@ -98,6 +98,74 @@ def test_tiered_edges_are_a_subset_built_from_the_tier_operators(spark):
     assert planted <= tiered
 
 
+# ----------------------------------- keep-best pipeline composition (r9 #2)
+def _expected_pipeline_summary(kept_texts: dict[int, str]):
+    """Pure-python mirror of the pipeline tail: 80/10/10 md5 split of the
+    KEPT docs + per-split (n_docs, total_tokens, n_langs, min_doc_id)."""
+    import hashlib
+
+    out: dict[str, list[int]] = {}
+    for d in kept_texts:
+        b = int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 100
+        out.setdefault(
+            "train" if b < 80 else "val" if b < 90 else "test", []
+        ).append(d)
+    return sorted(
+        (
+            s,
+            len(ds),
+            sum(len(kept_texts[d].split(" ")) for d in ds),
+            1,
+            min(ds),
+        )
+        for s, ds in out.items()
+    )
+
+
+def test_pipeline_keep_best_keeps_quality_where_keep_first_would_not(spark):
+    """VERDICT r8 #2's fence: inside the composed pipeline, a planted
+    near-dup cluster whose LOW-id member is stopword-stuffed must dedup
+    to the HIGH-id clean member — the summary keep-first would produce
+    (keep min doc_id per cluster) provably differs, and the original
+    exact-dedup pipeline keeps BOTH (they are near-dups, not exact)."""
+    import hashlib
+
+    shared = " ".join(
+        hashlib.md5(f"pcb-{i}".encode()).hexdigest()[:10] for i in range(30)
+    )
+    low_q = shared + " " + " ".join(["the", "a", "of", "to", "in"] * 2)
+    high_q = shared + " " + " ".join(
+        hashlib.md5(f"pcbt-{i}".encode()).hexdigest()[:10] for i in range(10)
+    )
+    solo = " ".join(
+        hashlib.md5(f"pcb-solo-{i}".encode()).hexdigest()[:10] for i in range(25)
+    )
+    texts = {3: low_q, 9: high_q, 5: solo}
+    for t in texts.values():  # all three pass the quality gate
+        assert len(t.split(" ")) >= 20 and len(t) >= 100
+    df = spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in texts.items()],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        got = sorted(
+            tuple(r)
+            for r in QUERIES["pipeline_clean_corpus_best"](spark, td).collect()
+        )
+        first_got = sorted(
+            tuple(r)
+            for r in QUERIES["pipeline_clean_corpus"](spark, td).collect()
+        )
+    best = _expected_pipeline_summary({d: texts[d] for d in (9, 5)})
+    keep_first = _expected_pipeline_summary({d: texts[d] for d in (3, 5)})
+    assert got == best          # the CLEAN copy survives
+    assert got != keep_first    # keep-first provably differs here
+    # the exact-dedup pipeline keeps both near-dup members (not exact dups)
+    exact = _expected_pipeline_summary(texts)
+    assert first_got == exact and first_got != got
+
+
 def test_split_edge_policy_keys_tier_and_blocking_geometry():
     """ADVICE r8: the persisted-edge policy token must cover the blocking
     GEOMETRY (prefix length, size-bucket divisor, shingle width), not just
