@@ -144,6 +144,15 @@ def main() -> None:
     oracles = _registry.oracle_sql()
     names = [n for n in HEADLINE if n in queries]
 
+    # Host-condition provenance (VERDICT r8 #4): the round-8 driver bench
+    # drifted ~15% on 32 untouched keys while the same-HEAD paired freeze
+    # improved — recording load at measurement time lets the next such gap
+    # be attributed (or not) to host contention instead of guessed at.
+    try:
+        load_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_start = None
+
     # Small shuffle-partition count at bench scale (sf<=0.1): per-task
     # scheduling overhead dominates tiny shuffles; AQE re-coalesces anyway
     # and a real cluster sets this from cluster config (BASELINE.md §contract).
@@ -168,6 +177,10 @@ def main() -> None:
         cold[name] = runs[0]
         per_query[name] = round(min(runs), 4)
 
+    try:
+        load_end = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_end = None
     out = {
         "metric": "headline_query_wall_clock",
         "value": round(sum(per_query.values()), 4),
@@ -176,6 +189,11 @@ def main() -> None:
         "sf": sf_val,
         "cold_total_sec": round(sum(cold.values()), 4),
         "n": N_RUNS,
+        "host": {
+            "loadavg_start": load_start,
+            "loadavg_end": load_end,
+            "cpus_online": os.cpu_count(),
+        },
     }
 
     if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB"):
@@ -200,6 +218,10 @@ def main() -> None:
             duck[name] = round(min(runs), 4)
         out["duckdb_queries"] = duck
         out["duckdb_total"] = round(sum(duck.values()), 4)
+        try:  # paired runs: re-stamp after the DuckDB half too
+            out["host"]["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            pass
 
     spark.stop()
     print(json.dumps(out))
