@@ -144,42 +144,41 @@ def _load_all_modules() -> None:
 # slots fill with the OLDEST-green rows so signal currency improves across
 # the registry. Any overflow must be declared in _DEFERRED explicitly.
 _PRIORITY: tuple[str, ...] = (
-    # (a) round-8 never-green operators
-    "composite_fuzzy_blocking_recall", "dedup_keep_best",
-    # (b) staled this round: dedup.py's banded-Levenshtein rewrite +
-    # minhash re-default (stales the whole dedup.py family and its
-    # importers: clustering, containment(+bottomk), splits, dedup_report,
-    # the incremental streaming twin's batch row); semantic.py's
-    # threshold parameterization; bpe_train.py's driver-side merge loop;
-    # imagehash.py's int64 block sums (stales image/audio/video
-    # fingerprints); functions/table_build.py's build lock (stales the
-    # layout-backed queries); textops.py's SQL_QUALITY factoring for the
-    # keep-best oracle (stales the textops family)
-    "composite_dedup_recall",
-    "dedup_audio_fingerprint", "dedup_cluster_cc", "dedup_containment",
-    "dedup_containment_bottomk", "dedup_embedding_cosine", "dedup_exact_docs",
-    "dedup_fuzzy_prefix", "dedup_image_phash", "dedup_incremental",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_semantic",
-    "dedup_simhash", "dedup_split_leakage_safe",
-    "dedup_split_leakage_safe_persisted", "dedup_video_temporal",
+    # (a) round-9 never-green operators
+    "dedup_split_leakage_safe_tiered", "pipeline_clean_corpus_best",
+    # (b) staled this round: splits.py's tiered evidence union (stales
+    # both split tiers); containment_bottomk.py's edge-CTE export;
+    # clustering.py's candidate-bounded keep-best scoring (stales the
+    # cluster family); textops.py's quality_scored extraction (stales
+    # the textops family and bpe_train's importers); composite.py's
+    # keep-best pipeline (stales the composite family);
+    # functions/table_build.py's atomic thread-safe lock (stales the
+    # layout-backed queries)
+    "composite_local_supplier_volume", "composite_returned_items",
+    "composite_shipping_priority", "composite_user_retention",
+    "dedup_cluster_cc", "dedup_containment_bottomk", "dedup_keep_best",
+    "dedup_split_leakage_safe", "dedup_split_leakage_safe_persisted",
     "graph_pagerank", "graph_pagerank_bucketed", "join_bucketed",
-    "scan_partition_pruned", "text_bpe_encode", "text_bpe_tokens",
-    "text_bpe_train", "text_fingerprint", "text_lang_id",
-    "text_quality_score", "text_tfidf_topk", "text_token_stats",
-    "text_vocab_topk",
-    # (c) filler, oldest green first (round-4 cohort alphabetically)
-    "join_left_outer", "join_range_interval", "join_semi",
-    "multimodal_audio_stats", "multimodal_byte_features",
-    "multimodal_frame_sample", "multimodal_image_stats",
-    "multimodal_metadata_stats", "pii_scrub", "pipeline_clean_corpus",
-    "pipeline_epoch_build", "pipeline_quality_funnel",
-    "sample_epoch_shuffle", "scalar_array", "scalar_conditional",
-    "scalar_datetime", "scalar_json", "scalar_math",
+    "pipeline_clean_corpus", "scan_partition_pruned", "text_bpe_encode",
+    "text_bpe_tokens", "text_bpe_train", "text_fingerprint",
+    "text_lang_id", "text_quality_score", "text_tfidf_topk",
+    "text_token_stats", "text_vocab_topk",
+    # (c) filler, oldest green first (round-4 cohort alphabetically,
+    # then the round-5 agg cohort)
+    "scalar_string", "scan_project_filter", "setops_union_all",
+    "setops_union_distinct", "sort_limit_topk", "subquery_correlated_avg",
+    "text_unigram_logprob", "text_vocab_coverage", "unpivot_measures",
+    "window_analytic", "window_distribution", "window_forward_fill",
+    "window_interpolate_linear", "window_ranking",
+    "window_rolling_distinct", "window_running", "window_topk_per_group",
+    "agg_approx_distinct", "agg_approx_percentile", "agg_collect",
+    "agg_cube", "agg_distinct_counts", "agg_grouping_sets",
+    "agg_quantile_histogram", "agg_rollup",
     )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot
-# window cannot hold. Round 8: EMPTY — demand is 32 (2 new operators + 30
-# staled by this round's edits), leaving 18 slots of oldest-green filler
+# window cannot hold. Round 9: EMPTY — demand is 25 (2 new operators + 23
+# staled by this round's edits), leaving 25 slots of oldest-green filler
 # (counts per test_registry_window.py, the source of truth).
 # test_registry_window.py keeps enforcing that any future overflow must
 # be declared here explicitly.
