@@ -127,7 +127,10 @@ HEADLINE = [
     # + edit-distance compute on both engines. (The split composites stay
     # out: their recursive-CTE oracle costs ~235 s in DuckDB at sf0.1,
     # which would dominate the paired refresh; their scale story lives in
-    # BASELINE.md's measured x10/x100 rows.)
+    # BASELINE.md's measured x10/x100 rows. The round-9 cluster composites
+    # — dedup_split_leakage_safe_tiered, pipeline_clean_corpus_best — stay
+    # out for the same reason: their oracles carry the same recursive CC
+    # tail; their x10/x100 rows live in BASELINE.md.)
     "composite_fuzzy_blocking_recall",
 ]
 
