@@ -138,16 +138,27 @@ def _evidence_edges(
         F.greatest("contained_id", "container_id").alias("d2"),
     )
     sm = semantic_dup_pairs(spark, sf_dir, threshold=SPLIT_SEM_T)
-    # Materialize the union and TRUNCATE its lineage before the iterative
-    # CC consumes it: four channels make a plan tree big enough that
-    # re-optimizing it inside every Hash-Min round's growing join chain
-    # OOMs a default-size driver (observed at sf0.01 the moment the union
-    # widened past two channels). The pair set is tiny relative to the
-    # corpus — this is the in-session twin of the persisted tier's edge
-    # table, not an extra cost.
-    return (
-        ng.union(fz).union(ct).union(sm).distinct().localCheckpoint(eager=True)
-    )
+    # Materialize each CHANNEL eagerly (sequential jobs), then the tiny
+    # distinct union. Two scale reasons, both observed:
+    # - lineage truncation before the iterative CC: four channels make a
+    #   plan tree big enough that re-optimizing it inside every Hash-Min
+    #   round's growing join chain OOMs a default-size driver (seen at
+    #   sf0.01 the moment the union widened past two channels);
+    # - scratch-disk bounding (round 9, fresh x100): ONE union job runs
+    #   all four channels' shuffle/spill stages CONCURRENTLY — their
+    #   combined spill overflowed a 78 GB scratch volume (ENOSPC) where
+    #   every channel had individually fit in round-8's per-channel
+    #   builds. Sequential materialization bounds peak scratch to the
+    #   LARGEST single channel, the same property a real pipeline gets
+    #   from persisting each dedup family's pair output. Pair sets are
+    #   tiny relative to the corpus, so the checkpoints are cheap.
+    parts = [
+        df.localCheckpoint(eager=True) for df in (ng, fz, ct, sm)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.distinct().localCheckpoint(eager=True)
 
 
 def leakage_safe_assignment(
