@@ -166,6 +166,39 @@ def test_pipeline_keep_best_keeps_quality_where_keep_first_would_not(spark):
     assert first_got == exact and first_got != got
 
 
+def test_tiered_persisted_edges_build_apart_and_serve_inline(spark, sf_dir):
+    """ensure_split_edges(tiered=True) must key a DIFFERENT table than the
+    exhaustive build for the same corpus, be idempotent, and serve a
+    summary identical to the inline tiered composite (the same
+    layout-invariance proof the exhaustive persisted tier carries)."""
+    from broadway_kinesis_spark.operators.splits import (
+        _summarize,
+        ensure_split_edges,
+        leakage_safe_assignment,
+    )
+
+    full_name = ensure_split_edges(spark, sf_dir)
+    tiered_name = ensure_split_edges(spark, sf_dir, tiered=True)
+    assert tiered_name != full_name
+    assert spark.catalog.tableExists(tiered_name)
+    assert ensure_split_edges(spark, sf_dir, tiered=True) == tiered_name
+    inline = {
+        tuple(r)
+        for r in QUERIES["dedup_split_leakage_safe_tiered"](
+            spark, sf_dir
+        ).collect()
+    }
+    served = {
+        tuple(r)
+        for r in _summarize(
+            leakage_safe_assignment(
+                spark, sf_dir, edges=spark.table(tiered_name)
+            )
+        ).collect()
+    }
+    assert served == inline and len(served) == 3
+
+
 def test_split_edge_policy_keys_tier_and_blocking_geometry():
     """ADVICE r8: the persisted-edge policy token must cover the blocking
     GEOMETRY (prefix length, size-bucket divisor, shingle width), not just
