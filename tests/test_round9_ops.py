@@ -166,6 +166,167 @@ def test_pipeline_keep_best_keeps_quality_where_keep_first_would_not(spark):
     assert first_got == exact and first_got != got
 
 
+# --------------------- pipeline keep-best: pure-python randomized mirror
+def _py_pipeline_best(texts: dict[int, tuple[str, str]]):
+    """Pure-python mirror of pipeline_clean_corpus_best over
+    {doc_id: (text, lang)}: two-channel evidence (DF-capped 3-gram
+    Jaccard >= 0.5, (lang, size-bucket)-blocked prefix Levenshtein <= 12),
+    min-label CC, quality gate, cluster keep-best (quality DESC, doc_id),
+    md5 80/10/10 split, per-split summary — operation order copied from
+    the Spark expressions so float comparisons agree bit-for-bit."""
+    import hashlib
+
+    from broadway_kinesis_spark.operators.dedup import (
+        DF_CAP,
+        EDIT_T,
+        JACCARD_T,
+        PREFIX_N,
+    )
+    from broadway_kinesis_spark.operators.textops import STOPWORDS
+    from tests.test_round7_ops import _levenshtein, _md5_bucket, _shingles
+
+    # ngram channel: DF-capped inverted index -> exact Jaccard verify
+    sh = {
+        d: list(dict.fromkeys(_shingles(t)))
+        for d, (t, _) in texts.items()
+        if len(t.split(" ")) >= 3
+    }
+    df_count: dict[str, int] = {}
+    for grams in sh.values():
+        for g in grams:
+            df_count[g] = df_count.get(g, 0) + 1
+    inv: dict[str, list[int]] = {}
+    for d, grams in sorted(sh.items()):
+        for g in grams:
+            if df_count[g] <= DF_CAP:
+                inv.setdefault(g, []).append(d)
+    cand = set()
+    for docs in inv.values():
+        for i, a in enumerate(docs):
+            for b in docs[i + 1 :]:
+                cand.add((min(a, b), max(a, b)))
+    edges = set()
+    for a, b in cand:
+        sa, sb = set(sh[a]), set(sh[b])
+        inter = len(sa & sb)
+        if inter / (len(sa) + len(sb) - inter) >= JACCARD_T:
+            edges.add((a, b))
+    # fuzzy channel: (lang, size-bucket) blocks, prefix Levenshtein
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        ta, la = texts[a]
+        for b in ids[i + 1 :]:
+            tb, lb = texts[b]
+            if la == lb and len(ta) // 50 == len(tb) // 50:
+                if _levenshtein(
+                    ta.lower()[:PREFIX_N], tb.lower()[:PREFIX_N]
+                ) <= EDIT_T:
+                    edges.add((a, b))
+    # min-label connected components
+    label = {d: d for d in {x for e in edges for x in e}}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            m = min(label[a], label[b])
+            if label[a] != m or label[b] != m:
+                label[a] = label[b] = m
+                changed = True
+    # quality (Spark's expression order), gate, cluster keep-best
+    def quality(t: str) -> float:
+        toks = t.lower().split(" ")
+        n_tok = len(toks)
+        avg_tok_len = len(t.replace(" ", "")) / n_tok
+        stop_ratio = sum(1 for w in toks if w in STOPWORDS) / n_tok
+        return (
+            0.4 * min(1.0, n_tok / 100)
+            + 0.3 * (1.0 - stop_ratio)
+            + 0.3 * min(1.0, avg_tok_len / 8)
+        )
+
+    gated = {
+        d
+        for d, (t, _) in texts.items()
+        if len(t.split(" ")) >= 20 and len(t) >= 100
+    }
+    best: dict[int, int] = {}
+    for d in sorted(gated):
+        grp = label.get(d, d)
+        cur = best.get(grp)
+        if cur is None or (-quality(texts[d][0]), d) < (
+            -quality(texts[cur][0]),
+            cur,
+        ):
+            best[grp] = d
+    kept = sorted(best.values())
+    out: dict[str, list[int]] = {}
+    for d in kept:
+        b = _md5_bucket(d)
+        out.setdefault(
+            "train" if b < 80 else "val" if b < 90 else "test", []
+        ).append(d)
+    return sorted(
+        (
+            s,
+            len(ds),
+            sum(len(texts[d][0].split(" ")) for d in ds),
+            len({texts[d][1] for d in ds}),
+            min(ds),
+        )
+        for s, ds in out.items()
+    )
+
+
+def test_pipeline_keep_best_matches_python_mirror_on_random_corpora(spark):
+    """Randomized end-to-end fence (the discipline item): on seeded random
+    corpora with injected near-duplicates — exact copies, small prefix
+    edits, stopword-stuffed variants — the full composed pipeline must
+    equal an independent pure-python mirror of gate -> two-channel CC ->
+    quality keep-best -> split -> summary. The summary is all-integer, so
+    equality is exact."""
+    import random
+
+    rng = random.Random(9)
+    vocab = [f"w{i}" for i in range(30)]
+    for _ in range(5):
+        texts: dict[int, tuple[str, str]] = {}
+        next_id = 0
+
+        def add(t, lang):
+            nonlocal next_id
+            texts[next_id] = (t, lang)
+            next_id += rng.randint(1, 7)
+
+        for _ in range(rng.randint(15, 30)):
+            n = rng.randint(15, 45)
+            t = " ".join(rng.choice(vocab) for _ in range(n))
+            lang = rng.choice(["en", "de"])
+            add(t, lang)
+            roll = rng.random()
+            if roll < 0.3:
+                add(t, lang)  # exact copy
+            elif roll < 0.5:
+                add(t + " extra trailing words here", lang)  # shared prefix
+            elif roll < 0.6:
+                add(
+                    t + " " + " ".join(["the", "of", "a"] * 4), lang
+                )  # stuffed low-quality variant
+        df = spark.createDataFrame(
+            [(d, t, lang, "s", len(t)) for d, (t, lang) in texts.items()],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(os.path.join(td, "documents.parquet"))
+            got = sorted(
+                tuple(r)
+                for r in QUERIES["pipeline_clean_corpus_best"](
+                    spark, td
+                ).collect()
+            )
+        want = _py_pipeline_best(texts)
+        assert got == want, (texts, got, want)
+
+
 def test_tiered_persisted_edges_build_apart_and_serve_inline(spark, sf_dir):
     """ensure_split_edges(tiered=True) must key a DIFFERENT table than the
     exhaustive build for the same corpus, be idempotent, and serve a
