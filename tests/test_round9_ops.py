@@ -167,30 +167,19 @@ def test_pipeline_keep_best_keeps_quality_where_keep_first_would_not(spark):
 
 
 # --------------------- pipeline keep-best: pure-python randomized mirror
-def _py_pipeline_best(texts: dict[int, tuple[str, str]]):
-    """Pure-python mirror of pipeline_clean_corpus_best over
-    {doc_id: (text, lang)}: two-channel evidence (DF-capped 3-gram
-    Jaccard >= 0.5, (lang, size-bucket)-blocked prefix Levenshtein <= 12),
-    min-label CC, quality gate, cluster keep-best (quality DESC, doc_id),
-    md5 80/10/10 split, per-split summary — operation order copied from
-    the Spark expressions so float comparisons agree bit-for-bit."""
-    import hashlib
+def _py_shingle_sets(texts):
+    from tests.test_round7_ops import _shingles
 
-    from broadway_kinesis_spark.operators.dedup import (
-        DF_CAP,
-        EDIT_T,
-        JACCARD_T,
-        PREFIX_N,
-    )
-    from broadway_kinesis_spark.operators.textops import STOPWORDS
-    from tests.test_round7_ops import _levenshtein, _md5_bucket, _shingles
-
-    # ngram channel: DF-capped inverted index -> exact Jaccard verify
-    sh = {
+    return {
         d: list(dict.fromkeys(_shingles(t)))
         for d, (t, _) in texts.items()
         if len(t.split(" ")) >= 3
     }
+
+
+def _py_capped_index(sh):
+    from broadway_kinesis_spark.operators.dedup import DF_CAP
+
     df_count: dict[str, int] = {}
     for grams in sh.values():
         for g in grams:
@@ -200,6 +189,15 @@ def _py_pipeline_best(texts: dict[int, tuple[str, str]]):
         for g in grams:
             if df_count[g] <= DF_CAP:
                 inv.setdefault(g, []).append(d)
+    return inv
+
+
+def _py_ngram_edges(texts):
+    """DF-capped inverted index -> exact-Jaccard (>= JACCARD_T) pairs."""
+    from broadway_kinesis_spark.operators.dedup import JACCARD_T
+
+    sh = _py_shingle_sets(texts)
+    inv = _py_capped_index(sh)
     cand = set()
     for docs in inv.values():
         for i, a in enumerate(docs):
@@ -211,18 +209,66 @@ def _py_pipeline_best(texts: dict[int, tuple[str, str]]):
         inter = len(sa & sb)
         if inter / (len(sa) + len(sb) - inter) >= JACCARD_T:
             edges.add((a, b))
-    # fuzzy channel: (lang, size-bucket) blocks, prefix Levenshtein
+    return edges
+
+
+def _py_fuzzy_edges(texts, tight=False):
+    """(lang, size-bucket)-blocked prefix Levenshtein <= EDIT_T pairs;
+    tight adds the first prefix token to the blocking key."""
+    from broadway_kinesis_spark.operators.dedup import EDIT_T, PREFIX_N
+    from tests.test_round7_ops import _levenshtein
+
+    edges = set()
     ids = sorted(texts)
     for i, a in enumerate(ids):
         ta, la = texts[a]
         for b in ids[i + 1 :]:
             tb, lb = texts[b]
-            if la == lb and len(ta) // 50 == len(tb) // 50:
-                if _levenshtein(
-                    ta.lower()[:PREFIX_N], tb.lower()[:PREFIX_N]
-                ) <= EDIT_T:
-                    edges.add((a, b))
-    # min-label connected components
+            if la != lb or len(ta) // 50 != len(tb) // 50:
+                continue
+            pa, pb = ta.lower()[:PREFIX_N], tb.lower()[:PREFIX_N]
+            if tight and pa.split(" ")[0] != pb.split(" ")[0]:
+                continue
+            if _levenshtein(pa, pb) <= EDIT_T:
+                edges.add((a, b))
+    return edges
+
+
+def _py_bottomk_containment_edges(texts):
+    """Bottom-K md5-probe candidates -> exact directional containment
+    >= C_T, normalized undirected (least, greatest)."""
+    import hashlib
+
+    from broadway_kinesis_spark.operators.containment import C_T
+    from broadway_kinesis_spark.operators.containment_bottomk import K_BOTTOM
+
+    sh = _py_shingle_sets(texts)
+    inv = _py_capped_index(sh)
+    probes = {
+        d: [
+            e[32:]
+            for e in sorted(
+                hashlib.md5(g.encode()).hexdigest() + g for g in grams
+            )[:K_BOTTOM]
+        ]
+        for d, grams in sh.items()
+    }
+    cand = set()
+    for d, ps in probes.items():
+        for g in ps:
+            for other in inv.get(g, []):
+                if other != d:
+                    cand.add((d, other))  # directional: d = contained
+    edges = set()
+    for a, b in cand:
+        sa, sb = set(sh[a]), set(sh[b])
+        if len(sa & sb) / len(sa) >= C_T:
+            edges.add((min(a, b), max(a, b)))
+    return edges
+
+
+def _py_cc(edges):
+    """Min-label fixpoint over an undirected edge set -> {node: label}."""
     label = {d: d for d in {x for e in edges for x in e}}
     changed = True
     while changed:
@@ -232,6 +278,20 @@ def _py_pipeline_best(texts: dict[int, tuple[str, str]]):
             if label[a] != m or label[b] != m:
                 label[a] = label[b] = m
                 changed = True
+    return label
+
+
+def _py_pipeline_best(texts: dict[int, tuple[str, str]]):
+    """Pure-python mirror of pipeline_clean_corpus_best over
+    {doc_id: (text, lang)}: two-channel evidence (DF-capped 3-gram
+    Jaccard >= 0.5, (lang, size-bucket)-blocked prefix Levenshtein <= 12),
+    min-label CC, quality gate, cluster keep-best (quality DESC, doc_id),
+    md5 80/10/10 split, per-split summary — operation order copied from
+    the Spark expressions so float comparisons agree bit-for-bit."""
+    from broadway_kinesis_spark.operators.textops import STOPWORDS
+    from tests.test_round7_ops import _md5_bucket
+
+    label = _py_cc(_py_ngram_edges(texts) | _py_fuzzy_edges(texts))
     # quality (Spark's expression order), gate, cluster keep-best
     def quality(t: str) -> float:
         toks = t.lower().split(" ")
@@ -324,6 +384,119 @@ def test_pipeline_keep_best_matches_python_mirror_on_random_corpora(spark):
                 ).collect()
             )
         want = _py_pipeline_best(texts)
+        assert got == want, (texts, got, want)
+
+
+def _py_split_tiered(texts, embs):
+    """Pure-python mirror of dedup_split_leakage_safe_tiered over a corpus
+    whose embeddings are orthogonal basis vectors plus exact-duplicate
+    pairs: with that construction the semantic channel (cosine >=
+    SPLIT_SEM_T = 0.99 within a seed-centroid cluster) emits exactly the
+    identical-embedding pairs — identical vectors co-assign to one
+    centroid and score cosine ~1, distinct orthogonal vectors score 0 —
+    so the mirror needs no centroid-assignment arithmetic."""
+    from tests.test_round7_ops import _md5_bucket
+
+    sem = set()
+    ids = sorted(embs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if embs[a] == embs[b]:
+                sem.add((a, b))
+    edges = (
+        _py_ngram_edges(texts)
+        | _py_fuzzy_edges(texts, tight=True)
+        | _py_bottomk_containment_edges(texts)
+        | sem
+    )
+    label = _py_cc(edges)
+    out: dict[str, list[int]] = {}
+    grp_of = {}
+    for d in sorted(texts):
+        grp = label.get(d, d)
+        grp_of[d] = grp
+        b = _md5_bucket(grp)
+        out.setdefault(
+            "train" if b < 80 else "val" if b < 90 else "test", []
+        ).append(d)
+    return sorted(
+        (
+            s,
+            len(ds),
+            len({grp_of[d] for d in ds}),
+            sum(1 for d in ds if d in label),
+            sum(len(texts[d][0]) for d in ds),
+        )
+        for s, ds in out.items()
+    )
+
+
+def test_tiered_split_matches_python_mirror_on_random_corpora(spark):
+    """Randomized end-to-end fence for the tiered split: seeded random
+    corpora with injected exact copies, shared-prefix fuzzy variants,
+    excerpt-in-container containment pairs, and identical-embedding
+    semantic pairs — the full tiered composite (four tier channels ->
+    CC -> group split -> summary) must equal the pure-python mirror.
+    All-integer summary, exact equality."""
+    import random
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(40)]
+    for _ in range(3):
+        texts: dict[int, tuple[str, str]] = {}
+        next_id = 0
+
+        def add(t, lang):
+            nonlocal next_id
+            texts[next_id] = (t, lang)
+            next_id += rng.randint(1, 7)
+
+        for _ in range(rng.randint(12, 22)):
+            n = rng.randint(15, 40)
+            t = " ".join(rng.choice(vocab) for _ in range(n))
+            lang = rng.choice(["en", "de"])
+            add(t, lang)
+            roll = rng.random()
+            if roll < 0.25:
+                add(t, lang)  # exact copy (ngram + tight fuzzy)
+            elif roll < 0.45:
+                add(t + " tail words appended now", lang)  # prefix pair
+            elif roll < 0.6:
+                # excerpt-in-container: containment-only evidence
+                add(
+                    " ".join(rng.choice(vocab) for _ in range(3 * n)) + " " + t,
+                    lang,
+                )
+        # embeddings: orthogonal basis + identical pairs for some docs
+        dim = 16
+        ids = sorted(texts)
+        embs: dict[int, list[float]] = {}
+        for i, d in enumerate(ids[: dim - 2]):
+            embs[d] = [1.0 if j == i % (dim - 2) + 2 else 0.0 for j in range(dim)]
+        pair_ids = [d for d in ids if d not in embs][:2]
+        if len(pair_ids) == 2:
+            ones = [0.25] * dim
+            embs[pair_ids[0]] = ones
+            embs[pair_ids[1]] = list(ones)
+        df = spark.createDataFrame(
+            [(d, t, lang, "s", len(t)) for d, (t, lang) in texts.items()],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        edf = spark.createDataFrame(
+            [(d, v, 0) for d, v in sorted(embs.items())],
+            ["vec_id", "embedding", "label"],
+        )
+        edf = edf.withColumn("embedding", edf["embedding"].cast("array<float>"))
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(os.path.join(td, "documents.parquet"))
+            edf.write.parquet(os.path.join(td, "embeddings.parquet"))
+            got = sorted(
+                tuple(r)
+                for r in QUERIES["dedup_split_leakage_safe_tiered"](
+                    spark, td
+                ).collect()
+            )
+        want = _py_split_tiered(texts, embs)
         assert got == want, (texts, got, want)
 
 
