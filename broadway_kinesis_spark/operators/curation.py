@@ -243,3 +243,95 @@ def materialize_mixture(d: DataFrame) -> DataFrame:
         )
         .drop("repeats", "_one")
     )
+
+
+# Temperature exponent for the derived mixture. 0.5 (square-root sampling,
+# the canonical multilingual-corpus smoothing — e.g. the exponent family in
+# multilingual BERT/XLM-style sampling, public literature) is ALSO the one
+# exponent whose oracle is bitwise-safe: both engines compute sqrt with
+# IEEE-754 correct rounding, where a general pow(x, a) may differ in the
+# last ULP between libm implementations. Other exponents slot into the
+# same plan; re-oracle with a rounding guard if you change it.
+MIX_ALPHA_SQRT = 0.5
+
+
+@query(
+    "sample_temperature_mix",
+    oracle="""
+    WITH per_src AS (
+        SELECT source,
+               COUNT(*)::BIGINT AS docs_in,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens_in
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(tokens_in) AS BIGINT) AS total_tokens,
+               list_sum(list_transform(
+                   list_sort(list(struct_pack(s := source, t := tokens_in))),
+                   x -> sqrt(x.t::DOUBLE)
+               )) AS denom
+        FROM per_src
+    )
+    SELECT source, docs_in, tokens_in,
+           tokens_in * 1000000 // total_tokens AS share_raw_ppm,
+           CAST(FLOOR(sqrt(tokens_in::DOUBLE) / denom * 1000000) AS BIGINT)
+               AS share_tgt_ppm,
+           CAST(FLOOR(sqrt(tokens_in::DOUBLE) / denom * total_tokens
+                      / tokens_in * 1000000) AS BIGINT) AS repeat_ppm
+    FROM per_src, tot
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed source mixture DERIVED from the corpus — the
+    companion to ``data_mix_weighted``, which audits GIVEN weights: here
+    the per-source sampling weights come from observed token counts,
+    q_i = c_i^alpha / sum_j c_j^alpha with alpha = {MIX_ALPHA_SQRT}
+    (square-root sampling: big sources are damped, small sources boosted,
+    the standard smoothing for multilingual/multi-domain corpora). Output
+    per source (all integers, ppm-scaled): raw share, smoothed target
+    share, and the repeat factor r_i = q_i * T / c_i that hits a
+    one-epoch token budget T = sum_j c_j under the target shares —
+    feed it to :func:`materialize_mixture` after fixed-point scaling.
+
+    Determinism: token counts are exact integers; sqrt is IEEE
+    correctly-rounded in both engines; the denominator folds the
+    per-source sqrt terms in SORTED-source order (a sort_array +
+    sequential aggregate, the similarity family's fold trick) so
+    double-addition order is identical everywhere — floor(x * 1e6) then
+    hashes exactly.
+
+    Scale posture (100 TB): ONE corpus scan into a map-side-combinable
+    per-source aggregate (sources number in the tens/hundreds — the
+    result is driver-tiny); the denominator and total ride a 1-row
+    broadcast crossJoin back onto the per-source rows (the scalar-attach
+    idiom); per-document repeat application stays the map-side
+    md5-fraction projection of ``weighted_repeats``. No shuffle beyond
+    the one per-source aggregate."""
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens_in"),
+    )
+    # 1-row scalar frame: total tokens + the sorted-fold denominator
+    tot = per_src.agg(
+        F.sum("tokens_in").cast("long").alias("total_tokens"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("source"), F.col("tokens_in")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + F.sqrt(s["tokens_in"].cast("double")),
+        ).alias("denom"),
+    )
+    share_tgt = F.sqrt(F.col("tokens_in").cast("double")) / F.col("denom")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "docs_in",
+        "tokens_in",
+        F.expr("tokens_in * 1000000 div total_tokens").alias("share_raw_ppm"),
+        F.floor(share_tgt * 1000000).cast("long").alias("share_tgt_ppm"),
+        F.floor(
+            share_tgt * F.col("total_tokens") / F.col("tokens_in") * 1000000
+        )
+        .cast("long")
+        .alias("repeat_ppm"),
+    )

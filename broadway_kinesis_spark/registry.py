@@ -146,6 +146,7 @@ def _load_all_modules() -> None:
 _PRIORITY: tuple[str, ...] = (
     # (a) round-9 never-green operators
     "dedup_split_leakage_safe_tiered", "pipeline_clean_corpus_best",
+    "sample_temperature_mix",
     # (b) staled this round: splits.py's tiered evidence union (stales
     # both split tiers); containment_bottomk.py's edge-CTE export;
     # clustering.py's candidate-bounded keep-best scoring (stales the
@@ -153,13 +154,17 @@ _PRIORITY: tuple[str, ...] = (
     # the textops family and bpe_train's importers); composite.py's
     # keep-best pipeline (stales the composite family);
     # functions/table_build.py's atomic thread-safe lock (stales the
-    # layout-backed queries)
+    # layout-backed queries); curation.py's temperature mix (stales the
+    # curation family)
     "composite_local_supplier_volume", "composite_returned_items",
     "composite_shipping_priority", "composite_user_retention",
-    "dedup_cluster_cc", "dedup_containment_bottomk", "dedup_keep_best",
+    "data_mix_weighted", "dedup_cluster_cc", "dedup_containment_bottomk",
+    "dedup_keep_best",
     "dedup_split_leakage_safe", "dedup_split_leakage_safe_persisted",
     "graph_pagerank", "graph_pagerank_bucketed", "join_bucketed",
-    "pipeline_clean_corpus", "scan_partition_pruned", "text_bpe_encode",
+    "pii_scrub", "pipeline_clean_corpus", "pipeline_epoch_build",
+    "sample_epoch_shuffle",
+    "scan_partition_pruned", "text_bpe_encode",
     "text_bpe_tokens", "text_bpe_train", "text_fingerprint",
     "text_lang_id", "text_quality_score", "text_tfidf_topk",
     "text_token_stats", "text_vocab_topk",
@@ -172,16 +177,14 @@ _PRIORITY: tuple[str, ...] = (
     "window_interpolate_linear", "window_ranking",
     "window_rolling_distinct", "window_running", "window_topk_per_group",
     "agg_approx_distinct", "agg_approx_percentile", "agg_collect",
-    "agg_cube", "agg_distinct_counts", "agg_grouping_sets",
-    "agg_quantile_histogram", "agg_rollup",
     )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot
-# window cannot hold. Round 9: EMPTY — demand is 25 (2 new operators + 23
-# staled by this round's edits), leaving 25 slots of oldest-green filler
-# (counts per test_registry_window.py, the source of truth).
-# test_registry_window.py keeps enforcing that any future overflow must
-# be declared here explicitly.
+# window cannot hold. Round 9: EMPTY — demand is 30 (3 new operators + 27
+# staled by this round's edits, the curation family included), leaving 20
+# slots of oldest-green filler (counts per test_registry_window.py, the
+# source of truth). test_registry_window.py keeps enforcing that any
+# future overflow must be declared here explicitly.
 _DEFERRED: tuple[str, ...] = ()
 
 

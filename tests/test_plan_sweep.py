@@ -57,6 +57,10 @@ CARTESIAN_OK = {
     "agg_heavy_hitters": "1-row token-total anchor broadcast onto gate + final filter",
     "graph_triangle_count": "1-row edge/triangle totals broadcast into the report row",
     "text_tfidf_topk": "1-row corpus-size N anchor (broadcast)",
+    "sample_temperature_mix": (
+        "1-row total/denominator scalar attach (broadcast) onto the"
+        " per-source aggregate"
+    ),
 }
 
 #: queries allowed row-at-a-time Python (BatchEvalPython), and why

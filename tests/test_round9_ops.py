@@ -533,6 +533,57 @@ def test_tiered_persisted_edges_build_apart_and_serve_inline(spark, sf_dir):
     assert served == inline and len(served) == 3
 
 
+# ------------------------------------- temperature mixing (round-9 extra)
+def test_temperature_mix_matches_python_mirror_and_flattens(spark):
+    """sample_temperature_mix on a skewed random corpus: (1) equals a
+    pure-python mirror (sqrt + sorted-order fold, same operation order);
+    (2) square-root smoothing FLATTENS the mixture — every small source's
+    target share exceeds its raw share, the big source's shrinks, and the
+    repeat factor upsamples small sources (>1) while downsampling the big
+    one (<1); (3) target shares still sum to ~1 ppm-exactly."""
+    import math
+    import random
+
+    rng = random.Random(23)
+    rows = []
+    did = 0
+    sizes = {"big": 120, "mid": 25, "small": 6}
+    for src, n_docs in sizes.items():
+        for _ in range(n_docs):
+            n = rng.randint(8, 40)
+            t = " ".join(f"w{rng.randint(0, 50)}" for _ in range(n))
+            rows.append((did, t, "en", src, len(t)))
+            did += 1
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            r.source: r
+            for r in QUERIES["sample_temperature_mix"](spark, td).collect()
+        }
+    toks = {}
+    for _, t, _, src, _ in rows:
+        toks[src] = toks.get(src, 0) + len(t.split(" "))
+    total = sum(toks.values())
+    denom = 0.0
+    for src in sorted(toks):  # sorted-source fold, as both engines do
+        denom += math.sqrt(toks[src])
+    for src, c in toks.items():
+        r = got[src]
+        tgt = math.sqrt(c) / denom
+        assert r.docs_in == sizes[src] and r.tokens_in == c
+        assert r.share_raw_ppm == c * 1_000_000 // total
+        assert r.share_tgt_ppm == math.floor(tgt * 1_000_000)
+        assert r.repeat_ppm == math.floor(tgt * total / c * 1_000_000)
+    big, small = got["big"], got["small"]
+    assert big.share_tgt_ppm < big.share_raw_ppm      # damped
+    assert small.share_tgt_ppm > small.share_raw_ppm  # boosted
+    assert big.repeat_ppm < 1_000_000 < small.repeat_ppm
+    assert abs(sum(r.share_tgt_ppm for r in got.values()) - 1_000_000) <= 3
+
+
 def test_split_edge_policy_keys_tier_and_blocking_geometry():
     """ADVICE r8: the persisted-edge policy token must cover the blocking
     GEOMETRY (prefix length, size-bucket divisor, shingle width), not just
