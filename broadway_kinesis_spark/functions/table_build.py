@@ -120,7 +120,15 @@ def _lock_holder(lock: str) -> int | None:
 def _try_claim(lock: str) -> bool:
     """Create the lock file WITH its pid content in one atomic step: write
     a unique temp sibling, hard-link it to the lock path (link fails with
-    FileExistsError when the lock exists — the O_EXCL of link(2))."""
+    FileExistsError when the lock exists — the O_EXCL of link(2)).
+
+    Filesystems without hard-link support (some FUSE/overlay/object-store
+    mounts raise EPERM/ENOTSUP from link(2) — ADVICE r9) fall back to the
+    earlier O_CREAT|O_EXCL create-then-write protocol: the brief
+    empty-lock window it reopens is exactly the state the
+    unreadable-holder polling in :func:`_acquire_build_lock` already
+    tolerates (poll until the deadline, break only if still unreadable).
+    """
     tmp = f"{lock}.{os.getpid()}.{threading.get_ident()}.tmp"
     try:
         with open(tmp, "w", encoding="ascii") as f:
@@ -130,6 +138,16 @@ def _try_claim(lock: str) -> bool:
             return True
         except FileExistsError:
             return False
+        except OSError:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            try:
+                os.write(fd, str(os.getpid()).encode("ascii"))
+            finally:
+                os.close(fd)
+            return True
     finally:
         try:
             os.unlink(tmp)

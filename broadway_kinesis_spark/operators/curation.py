@@ -272,7 +272,8 @@ MIX_ALPHA_SQRT = 0.5
         FROM per_src
     )
     SELECT source, docs_in, tokens_in,
-           tokens_in * 1000000 // total_tokens AS share_raw_ppm,
+           CAST(CAST(tokens_in AS HUGEINT) * 1000000 // total_tokens
+                AS BIGINT) AS share_raw_ppm,
            CAST(FLOOR(sqrt(tokens_in::DOUBLE) / denom * 1000000) AS BIGINT)
                AS share_tgt_ppm,
            CAST(FLOOR(sqrt(tokens_in::DOUBLE) / denom * total_tokens
@@ -327,7 +328,15 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "docs_in",
         "tokens_in",
-        F.expr("tokens_in * 1000000 div total_tokens").alias("share_raw_ppm"),
+        # ppm in WIDE integer math (ADVICE r9): tokens_in * 1e6 in BIGINT
+        # overflows past ~9.2e12 tokens — inside the 100 TB posture
+        # (~2.5e13 tokens). DECIMAL(38,0) here / HUGEINT in the oracle keep
+        # the product exact to 1e38; `div` truncates identically in both
+        # engines and the quotient (<= 1e6) is BIGINT-safe.
+        F.expr(
+            "CAST(CAST(tokens_in AS DECIMAL(38,0)) * 1000000"
+            " div total_tokens AS BIGINT)"
+        ).alias("share_raw_ppm"),
         F.floor(share_tgt * 1000000).cast("long").alias("share_tgt_ppm"),
         F.floor(
             share_tgt * F.col("total_tokens") / F.col("tokens_in") * 1000000

@@ -246,7 +246,12 @@ def reset_shuffle_partitions(spark: SparkSession) -> None:
         return
     base = _BASE_SHUFFLE.get(spark)
     if base is None:
-        return
+        # size_shuffle_partitions inflated the conf but its initial
+        # conf.get of the base threw, so no base was recorded (ADVICE r9):
+        # returning here would leave _INFLATED set with the inflated count
+        # leaking into every subsequent query. Restore the same cores
+        # floor the sizing call fell back to instead.
+        base = str(max(spark.sparkContext.defaultParallelism, 1))
     try:
         spark.conf.set("spark.sql.shuffle.partitions", base)
         _INFLATED[spark] = False

@@ -142,6 +142,28 @@ def test_lock_claim_is_atomic_with_its_content(spark, tmp_path):
     os.unlink(lock)
 
 
+def test_claim_falls_back_when_hard_links_unsupported(tmp_path, monkeypatch):
+    """ADVICE r9 (low): on filesystems without hard-link support (FUSE /
+    overlay / object-store mounts) os.link raises EPERM/ENOTSUP — the
+    claim must fall back to the O_CREAT|O_EXCL protocol instead of
+    crashing ensure_table, and keep exclusivity."""
+    import errno
+
+    from broadway_kinesis_spark.functions import table_build
+
+    def no_links(src, dst, **kw):
+        raise OSError(errno.EPERM, "hard links not supported")
+
+    monkeypatch.setattr(os, "link", no_links)
+    lock = os.path.join(str(tmp_path), "t.building")
+    assert table_build._try_claim(lock)
+    assert table_build._lock_holder(lock) == os.getpid()
+    assert not table_build._try_claim(lock)  # still exclusive
+    assert table_build._lock_holder(lock) == os.getpid()
+    assert not any(f.endswith(".tmp") for f in os.listdir(str(tmp_path)))
+    os.unlink(lock)
+
+
 def test_unreadable_lock_is_polled_not_broken_immediately(spark, monkeypatch):
     """ADVICE r8 (medium): an EMPTY lock file (an out-of-protocol writer
     mid-write, or a crashed old-protocol creator) is not proof of

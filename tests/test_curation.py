@@ -170,3 +170,29 @@ def test_correlated_subquery_matches_manual_decorrelation(spark, sf_dir):
     got = QUERIES["subquery_correlated_avg"](spark, sf_dir)
     key = lambda r: (r.o_orderkey, r.o_custkey, r.price_mu)  # noqa: E731
     assert sorted(map(key, got.collect())) == sorted(map(key, manual.collect()))
+
+
+# ------------------------------------------------- sample_temperature_mix
+def test_share_raw_ppm_is_overflow_safe_at_100tb_token_counts(spark):
+    """ADVICE r9 (low): tokens_in * 1e6 in BIGINT overflows past ~9.2e12
+    tokens — inside the operator's documented 100 TB posture (~2.5e13
+    tokens). The wide-integer projection (DECIMAL(38,0) in Spark, HUGEINT
+    in the oracle) must agree bitwise at post-overflow magnitudes, under
+    ANSI mode where the old form would ERROR rather than wrap."""
+    import duckdb
+
+    tokens_in, total = 9_300_000_000_000_123, 25_000_000_000_000_456
+    ansi = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        got = spark.sql(
+            f"SELECT CAST(CAST({tokens_in} AS DECIMAL(38,0)) * 1000000"
+            f" div {total} AS BIGINT) AS ppm"
+        ).collect()[0].ppm
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+    want = duckdb.sql(
+        f"SELECT CAST(CAST({tokens_in} AS HUGEINT) * 1000000"
+        f" // {total} AS BIGINT) AS ppm"
+    ).fetchone()[0]
+    assert got == want == 371_999

@@ -103,6 +103,30 @@ def test_shuffle_base_dies_with_its_session():
     assert not any(isinstance(k, FakeSession) for k in s._INFLATED)
 
 
+def test_reset_restores_cores_floor_when_base_was_never_recorded(spark):
+    """ADVICE r9 (low): when a sizing call inflated the conf but its
+    initial conf.get of the base threw (no base recorded), reset must
+    restore the cores floor — the same fallback sizing used — and clear
+    the flag, not return early with the inflated count leaking into every
+    subsequent query."""
+    from broadway_kinesis_spark import session as s
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # simulate the failed-base inflation state directly
+        s._BASE_SHUFFLE.pop(spark, None)
+        s._INFLATED[spark] = True
+        spark.conf.set("spark.sql.shuffle.partitions", "4096")
+        s.reset_shuffle_partitions(spark)
+        cores = max(spark.sparkContext.defaultParallelism, 1)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(cores)
+        assert not s._INFLATED.get(spark)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+        s._INFLATED.pop(spark, None)
+        s._BASE_SHUFFLE.pop(spark, None)
+
+
 def test_reset_without_inflation_never_touches_the_conf():
     """VERDICT r8 #6 (per-query floor): the registry wrapper calls reset
     before EVERY query — when nothing is inflated it must cost zero Py4J
