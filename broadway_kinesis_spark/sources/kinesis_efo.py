@@ -55,10 +55,21 @@ bandwidth rides the dedicated per-consumer throughput. End discovery
 itself must fetch records (Kinesis exposes no payload-free tail probe);
 the cache bounds that to once per batch rather than once per trigger.
 
-boto3 is NOT bundled in this environment: the client factory import-gates
-it with a clear error, and both read paths are unit-tested against a fake
-client (tests/test_kinesis_efo.py) — the SDK-free moral equivalent of the
-reference's FakeKinesis server tests.
+SDK testing tiers (boto3 ships in this environment as of round 10 — the
+earlier "boto3 is NOT bundled" note was environment-stale): both read
+paths are unit-tested hermetically against a fake client
+(tests/test_kinesis_efo.py — the SDK-free moral equivalent of the
+reference's FakeKinesis server tests) AND against the REAL SDK
+(tests/test_kinesis_boto3_contract.py): real ``boto3.client("kinesis")``
+construction through :func:`_default_client_factory` plus
+``botocore.stub.Stubber``-backed request/response handling, where every
+stubbed call still runs botocore's real request serialization against
+the Kinesis service model — the engine analogue of the reference
+exercising the real wire protocol via its FakeKinesis HTTP server
+(test/support/fake_kinesis.ex:1-43). The contract file import-pins boto3
+(importorskip) so an SDK-less deployment skips it cleanly, and the
+factory keeps its clear import-gate error pointing at
+``format('kinesis_replay')`` for hermetic runs.
 """
 
 from __future__ import annotations
