@@ -502,14 +502,13 @@ def test_tiered_split_matches_python_mirror_on_random_corpora(spark):
 
 def test_tiered_persisted_edges_build_apart_and_serve_inline(spark, sf_dir):
     """ensure_split_edges(tiered=True) must key a DIFFERENT table than the
-    exhaustive build for the same corpus, be idempotent, and serve a
-    summary identical to the inline tiered composite (the same
-    layout-invariance proof the exhaustive persisted tier carries)."""
-    from broadway_kinesis_spark.operators.splits import (
-        _summarize,
-        ensure_split_edges,
-        leakage_safe_assignment,
-    )
+    exhaustive build for the same corpus, be idempotent, and the
+    REGISTERED serving query (dedup_split_leakage_safe_tiered_persisted,
+    round 10 — the fence now covers the registered path, VERDICT r9 #3)
+    must serve a summary identical to the inline tiered composite (the
+    same layout-invariance proof the exhaustive persisted tier
+    carries)."""
+    from broadway_kinesis_spark.operators.splits import ensure_split_edges
 
     full_name = ensure_split_edges(spark, sf_dir)
     tiered_name = ensure_split_edges(spark, sf_dir, tiered=True)
@@ -524,10 +523,8 @@ def test_tiered_persisted_edges_build_apart_and_serve_inline(spark, sf_dir):
     }
     served = {
         tuple(r)
-        for r in _summarize(
-            leakage_safe_assignment(
-                spark, sf_dir, edges=spark.table(tiered_name)
-            )
+        for r in QUERIES["dedup_split_leakage_safe_tiered_persisted"](
+            spark, sf_dir
         ).collect()
     }
     assert served == inline and len(served) == 3
