@@ -148,9 +148,17 @@ def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     thing scanned fresh; the digest table is 16 bytes per distinct
     historical document and the anti-join is a hash join on the
     digest."""
-    digests = spark.table(ensure_corpus_digests(spark, sf_dir))
+    return incremental_digest_dedup(spark, sf_dir)
+
+
+def incremental_digest_dedup(
+    spark: SparkSession, sf_dir: str, boundary: int = BOUNDARY
+) -> DataFrame:
+    """The parameterized body of ``dedup_incremental_persisted`` — scale
+    runs place ``boundary`` per corpus (e.g. 90% old / 10% delta)."""
+    digests = spark.table(ensure_corpus_digests(spark, sf_dir, boundary))
     d = load(spark, sf_dir, "documents")
-    incoming = d.filter(F.col("doc_id") >= BOUNDARY).select(
+    incoming = d.filter(F.col("doc_id") >= boundary).select(
         "doc_id", F.md5("text").alias("text_md5")
     )
     fresh = incoming.join(digests, "text_md5", "left_anti")
@@ -193,24 +201,51 @@ def dedup_incremental_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing, and (b) per-shingle df adds: combined df = stored df_old +
     delta df, so the {DF_CAP} cap drops exactly the shingles the full
     recompute drops."""
-    idx_tbl, df_tbl = ensure_ngram_index(spark, sf_dir)
+    return incremental_ngram_pairs(spark, sf_dir)
+
+
+def incremental_ngram_pairs(
+    spark: SparkSession, sf_dir: str, boundary: int = BOUNDARY
+) -> DataFrame:
+    """The parameterized body of ``dedup_incremental_ngram`` — scale runs
+    place ``boundary`` per corpus (x10/x100 rows use a 90/10 split)."""
+    idx_tbl, df_tbl = ensure_ngram_index(spark, sf_dir, boundary)
     d = load(spark, sf_dir, "documents")
-    delta_sh = _shingled(d.filter(F.col("doc_id") >= BOUNDARY)).cache()
+    # Materialize the delta's shingle arrays ONCE via localCheckpoint, not
+    # .cache(): the arrays feed three branches of one job (the df
+    # aggregate, the b probe side, and the union's new-new a side), and
+    # an InMemoryRelation replayed under AQE across those branches hits
+    # the cached-plan partitioning zip failure at x10+ sizes ("Can't zip
+    # RDDs with unequal numbers of partitions" — observed, round 10).
+    # The checkpoint is delta-sized by construction, the same bounding
+    # argument as splits._evidence_edges' channel materialization.
+    delta_sh = _shingled(d.filter(F.col("doc_id") >= boundary)).localCheckpoint(
+        eager=True
+    )
     delta_idx = delta_sh.select("doc_id", F.explode("shingles").alias("shingle"))
     # combined-corpus DF on the delta's shingles only (pairs need a shared
     # shingle inside some delta doc, so no other shingle can matter)
     delta_df = delta_idx.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df_new")
     )
+    # ``kept`` and the probe side ``b`` materialize as leaves too: both
+    # are delta-bounded (capped shingles of the delta / the delta's own
+    # capped index rows), both feed two consumers, and leaving them as
+    # live subtrees duplicates the delta aggregate under the union —
+    # the duplicated-subtree shape AQE mis-replans into the same zip
+    # failure as the cached arrays above.
     kept = (
         delta_df.join(spark.table(df_tbl), "shingle", "left")
         .filter(
             F.col("df_new") + F.coalesce(F.col("df_old"), F.lit(0)) <= DF_CAP
         )
         .select("shingle")
+        .localCheckpoint(eager=True)
     )
-    b = delta_idx.join(kept, "shingle").select(
-        F.col("doc_id").alias("d2"), "shingle"
+    b = (
+        delta_idx.join(kept, "shingle")
+        .select(F.col("doc_id").alias("d2"), "shingle")
+        .localCheckpoint(eager=True)
     )
     # a-side: version-N index (bucketed scan, probe-pruned by the join) +
     # the delta's own capped shingles (new-new pairs). Column-explicit
