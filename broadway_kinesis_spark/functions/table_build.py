@@ -24,6 +24,7 @@ correctly stales every layout-backed query's driver row.
 
 from __future__ import annotations
 
+import errno
 import hashlib
 import os
 import threading
@@ -123,11 +124,16 @@ def _try_claim(lock: str) -> bool:
     FileExistsError when the lock exists — the O_EXCL of link(2)).
 
     Filesystems without hard-link support (some FUSE/overlay/object-store
-    mounts raise EPERM/ENOTSUP from link(2) — ADVICE r9) fall back to the
-    earlier O_CREAT|O_EXCL create-then-write protocol: the brief
+    mounts raise EPERM/ENOTSUP/EXDEV from link(2) — ADVICE r9) fall back
+    to the earlier O_CREAT|O_EXCL create-then-write protocol: the brief
     empty-lock window it reopens is exactly the state the
     unreadable-holder polling in :func:`_acquire_build_lock` already
     tolerates (poll until the deadline, break only if still unreadable).
+    The fallback is scoped to exactly those errnos (ADVICE r10): a
+    transient link failure like ENOSPC/EIO re-raises instead of silently
+    demoting to the non-atomic protocol, and a pid write that fails on
+    the fallback path unlinks its empty lock before propagating so it
+    cannot block sibling claimants for the full poll deadline.
     """
     tmp = f"{lock}.{os.getpid()}.{threading.get_ident()}.tmp"
     try:
@@ -138,13 +144,27 @@ def _try_claim(lock: str) -> bool:
             return True
         except FileExistsError:
             return False
-        except OSError:
+        except OSError as e:
+            if e.errno not in (
+                errno.EPERM,
+                errno.ENOTSUP,
+                errno.EOPNOTSUPP,
+                errno.EXDEV,
+            ):
+                raise
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
                 return False
             try:
-                os.write(fd, str(os.getpid()).encode("ascii"))
+                try:
+                    os.write(fd, str(os.getpid()).encode("ascii"))
+                except OSError:
+                    try:
+                        os.unlink(lock)
+                    except OSError:
+                        pass
+                    raise
             finally:
                 os.close(fd)
             return True

@@ -27,7 +27,8 @@ geometry (width-3 word grams, ``dedup._shingled``) rides as ``w3``.
 Scale posture (100 TB): the build cost is the inline channel's cost,
 paid ONCE per corpus version; steady-state serving is a scan of a pair
 table whose size tracks the DUPLICATE population, not the corpus.
-Measured serving numbers land in BASELINE.md's round-10 scale rows.
+Measured serving numbers: BASELINE.md's round-11 "persisted-pair serving"
+rows (fresh x10/x100 build-once cost vs steady-state scan).
 
 Reference parity: [TGT] — engine extension (SURVEY §2.B dedup family).
 """

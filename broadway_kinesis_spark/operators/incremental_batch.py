@@ -37,8 +37,9 @@ O(delta_shingles x DF) rows regardless of corpus size — and the bucketed
 layout means the big side doesn't even shuffle (the delta exchanges into
 the index's bucket layout, SMJ picks the stored sort order). Verification
 joins shingle ARRAYS only for candidate docs (semi-join pruned), the same
-candidate-bounded shape as minhash_pairs. The x10→x100 delta-cost rows in
-BASELINE.md are the measured proof.
+candidate-bounded shape as minhash_pairs. Measured proof: BASELINE.md's
+round-11 "incremental family at a 90/10 boundary" rows compare a 10%
+delta's wall against the full recompute at fresh x10 and x100.
 
 Reference parity: [TGT] — engine extension (SURVEY §2.B dedup family).
 """
@@ -219,6 +220,15 @@ def incremental_ngram_pairs(
     # RDDs with unequal numbers of partitions" — observed, round 10).
     # The checkpoint is delta-sized by construction, the same bounding
     # argument as splits._evidence_edges' channel materialization.
+    # Retention (ADVICE r10): the three eager checkpoints below back the
+    # RETURNED DataFrame's lineage, so they cannot be unpersisted here —
+    # their executor blocks are reclaimed by the ContextCleaner when the
+    # result's RDDs are GC'd. In a long-lived session that re-invokes
+    # this, transient storage is bounded at ~3 delta-sized block sets per
+    # un-GC'd invocation (delta-bounded, never corpus-bounded); and as
+    # with any localCheckpoint, the blocks are lost on executor failure
+    # mid-job — acceptable for a recomputable batch query, which simply
+    # re-runs.
     delta_sh = _shingled(d.filter(F.col("doc_id") >= boundary)).localCheckpoint(
         eager=True
     )

@@ -245,14 +245,18 @@ def reset_shuffle_partitions(spark: SparkSession) -> None:
     if not _INFLATED.get(spark):
         return
     base = _BASE_SHUFFLE.get(spark)
-    if base is None:
-        # size_shuffle_partitions inflated the conf but its initial
-        # conf.get of the base threw, so no base was recorded (ADVICE r9):
-        # returning here would leave _INFLATED set with the inflated count
-        # leaking into every subsequent query. Restore the same cores
-        # floor the sizing call fell back to instead.
-        base = str(max(spark.sparkContext.defaultParallelism, 1))
     try:
+        if base is None:
+            # size_shuffle_partitions inflated the conf but its initial
+            # conf.get of the base threw, so no base was recorded (ADVICE
+            # r9): returning here would leave _INFLATED set with the
+            # inflated count leaking into every subsequent query. Restore
+            # the same cores floor the sizing call fell back to instead.
+            # The defaultParallelism lookup sits INSIDE the try (ADVICE
+            # r10): on a stopped/broken session this rare path degrades to
+            # a no-op like every other path in the sizing helpers instead
+            # of raising out of the registry wrapper.
+            base = str(max(spark.sparkContext.defaultParallelism, 1))
         spark.conf.set("spark.sql.shuffle.partitions", base)
         _INFLATED[spark] = False
     except Exception:
