@@ -132,6 +132,20 @@ HEADLINE = [
     # out for the same reason: their oracles carry the same recursive CC
     # tail; their x10/x100 rows live in BASELINE.md.)
     "composite_fuzzy_blocking_recall",
+    # Round 11 additions (VERDICT r10 #1c/#8): the round-10 persisted
+    # serving tiers and the batch incremental dedup pair join the paired
+    # headline. Run 1 of the min-of-5 pays the one-time pair-table /
+    # index build (the inline channel's cost), later runs serve from
+    # storage — the min is the steady-state serving number, the
+    # ann_persisted / pagerank_bucketed protocol. Their DuckDB twins
+    # recompute from scratch every run (that IS the comparison: serve vs
+    # recompute). The tiered-persisted split stays out with the other
+    # split composites: its oracle carries the ~235 s recursive-CC tail
+    # (see the round-8 note above); its scale rows live in BASELINE.md.
+    "dedup_ngram_jaccard_persisted",
+    "dedup_containment_bottomk_persisted",
+    "dedup_incremental_persisted",
+    "dedup_incremental_ngram",
 ]
 
 

@@ -135,6 +135,115 @@ def ensure_ngram_index(
     return idx_tbl, df_tbl
 
 
+def roll_forward_digests(
+    spark: SparkSession, sf_dir: str, boundary_n: int, boundary_n1: int
+) -> str:
+    """Fold the ACCEPTED delta ``[boundary_n, boundary_n1)`` into version
+    N's persisted digest table to produce version N+1's (VERDICT r10 #3)
+    — the step a daily production loop runs after serving the delta:
+    version N+1's artifacts come from version N's artifacts plus the
+    delta, never from a fresh boundary scan of the whole corpus.
+
+    Compute is delta-bounded: the delta's distinct digests anti-join the
+    stored table (hash join against 16-byte keys) and only the genuinely
+    NEW digests union in — version N's rows pass through as a scan. The
+    materialized N+1 table is written in full here because ``ensure_table``
+    builds immutable managed tables; a lakehouse deployment appends just
+    the ``fresh`` segment to the versioned table (the scan side never
+    recomputes either way). Equality with the from-scratch
+    ``ensure_corpus_digests(boundary_n1)`` build is pinned by
+    tests/test_round11_ops.py (the fold(N, delta) == build(N+1) fence).
+    """
+    old_tbl = ensure_corpus_digests(spark, sf_dir, boundary_n)
+    pol = hashlib.md5(
+        f"{_DIGEST_POLICY}:rf:v{boundary_n}-v{boundary_n1}".encode()
+    ).hexdigest()[:8]
+    sig = corpus_sig(sf_dir, ("documents",))
+    name = f"_bks_digests_{pol}_{sig}"
+
+    def build() -> DataFrame:
+        d = load(spark, sf_dir, "documents")
+        delta = (
+            d.filter(
+                (F.col("doc_id") >= boundary_n)
+                & (F.col("doc_id") < boundary_n1)
+            )
+            .select(F.md5("text").alias("text_md5"))
+            .distinct()
+        )
+        old = spark.table(old_tbl)
+        fresh = delta.join(old, "text_md5", "left_anti")
+        return old.union(fresh)
+
+    return ensure_table(spark, name, build)
+
+
+def roll_forward_ngram_index(
+    spark: SparkSession, sf_dir: str, boundary_n: int, boundary_n1: int
+) -> tuple[str, str]:
+    """Fold the accepted delta into version N's persisted inverted index
+    + DF statistic to produce version N+1's (VERDICT r10 #3):
+
+    - ``idx``: version N's (shingle, doc_id) rows pass through unchanged
+      and the delta's shingle rows union in — only the delta is shingled;
+      the result re-writes in the same bucketed-by-shingle layout (a
+      lakehouse deployment appends the delta's rows as new bucket files
+      instead of copying — Spark bucketed tables append per-bucket);
+    - ``df``: the delta's per-shingle counts FULL-outer-join version N's
+      stored ``df_old`` and add — the aggregate touches delta shingles
+      plus one scan of the stored statistic, never the index itself.
+
+    Both carry the roll-forward policy + both boundaries in the table
+    name, so a fold can never shadow (or be shadowed by) a from-scratch
+    build. Output schemas match ``ensure_ngram_index`` exactly, so
+    :func:`incremental_ngram_pairs` probes a rolled index via its
+    ``idx_tbl``/``df_tbl`` overrides — the next day's delta runs on
+    today's fold. fold(N, delta) == build(N+1) is pinned by
+    tests/test_round11_ops.py.
+    """
+    idx_n, df_n = ensure_ngram_index(spark, sf_dir, boundary_n)
+    pol = hashlib.md5(
+        f"{_IDX_POLICY}:rf:v{boundary_n}-v{boundary_n1}".encode()
+    ).hexdigest()[:8]
+    sig = corpus_sig(sf_dir, ("documents",))
+    idx_name = f"_bks_ngidx_{pol}_{sig}"
+    df_name = f"_bks_ngdf_{pol}_{sig}"
+
+    def delta_rows() -> DataFrame:
+        d = load(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") >= boundary_n) & (F.col("doc_id") < boundary_n1)
+        )
+        return _shingled(d).select(
+            "doc_id", F.explode("shingles").alias("shingle")
+        )
+
+    def build_idx() -> DataFrame:
+        return spark.table(idx_n).union(delta_rows())
+
+    idx_tbl = ensure_table(
+        spark, idx_name, build_idx, bucket_by=(IDX_BUCKETS, "shingle")
+    )
+
+    def build_df() -> DataFrame:
+        delta_df = delta_rows().groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("df_delta")
+        )
+        return (
+            spark.table(df_n)
+            .join(delta_df, "shingle", "full")
+            .select(
+                "shingle",
+                (
+                    F.coalesce(F.col("df_old"), F.lit(0))
+                    + F.coalesce(F.col("df_delta"), F.lit(0))
+                ).alias("df_old"),
+            )
+        )
+
+    df_tbl = ensure_table(spark, df_name, build_df)
+    return idx_tbl, df_tbl
+
+
 @query(
     "dedup_incremental_persisted",
     oracle=REGISTRY["dedup_incremental"].oracle,
@@ -153,11 +262,21 @@ def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def incremental_digest_dedup(
-    spark: SparkSession, sf_dir: str, boundary: int = BOUNDARY
+    spark: SparkSession,
+    sf_dir: str,
+    boundary: int = BOUNDARY,
+    digests_tbl: str | None = None,
 ) -> DataFrame:
     """The parameterized body of ``dedup_incremental_persisted`` — scale
-    runs place ``boundary`` per corpus (e.g. 90% old / 10% delta)."""
-    digests = spark.table(ensure_corpus_digests(spark, sf_dir, boundary))
+    runs place ``boundary`` per corpus (e.g. 90% old / 10% delta).
+    ``digests_tbl`` overrides the version-N artifact with a table produced
+    by :func:`roll_forward_digests`, so day D+1's delta probes day D's
+    fold instead of a fresh boundary build."""
+    digests = spark.table(
+        digests_tbl
+        if digests_tbl is not None
+        else ensure_corpus_digests(spark, sf_dir, boundary)
+    )
     d = load(spark, sf_dir, "documents")
     incoming = d.filter(F.col("doc_id") >= boundary).select(
         "doc_id", F.md5("text").alias("text_md5")
@@ -206,11 +325,19 @@ def dedup_incremental_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def incremental_ngram_pairs(
-    spark: SparkSession, sf_dir: str, boundary: int = BOUNDARY
+    spark: SparkSession,
+    sf_dir: str,
+    boundary: int = BOUNDARY,
+    idx_tbl: str | None = None,
+    df_tbl: str | None = None,
 ) -> DataFrame:
     """The parameterized body of ``dedup_incremental_ngram`` — scale runs
-    place ``boundary`` per corpus (x10/x100 rows use a 90/10 split)."""
-    idx_tbl, df_tbl = ensure_ngram_index(spark, sf_dir, boundary)
+    place ``boundary`` per corpus (x10/x100 rows use a 90/10 split).
+    ``idx_tbl``/``df_tbl`` override the version-N artifacts with tables
+    produced by :func:`roll_forward_ngram_index` (same schemas), so the
+    next delta probes the rolled fold instead of a fresh boundary build."""
+    if idx_tbl is None or df_tbl is None:
+        idx_tbl, df_tbl = ensure_ngram_index(spark, sf_dir, boundary)
     d = load(spark, sf_dir, "documents")
     # Materialize the delta's shingle arrays ONCE via localCheckpoint, not
     # .cache(): the arrays feed three branches of one job (the df

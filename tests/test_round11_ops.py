@@ -1,0 +1,224 @@
+"""Round-11 operators: index roll-forward (fold version N's persisted
+dedup artifacts + the accepted delta into version N+1's — VERDICT r10 #3)
+and incremental leakage-safe split assignment (a delta probes the
+persisted evidence edges and inherits existing clusters' split sides —
+VERDICT r10 #4).
+
+The fences here are the ones the oracle harness can't state directly:
+fold(N, delta) == build(N+1) as TABLE equality (the roll-forward proof),
+probe-on-rolled == probe-on-scratch for the NEXT delta (the artifacts are
+actually consumable), per-doc equality of the incremental assignment with
+the full recompute, and the planted zero-straddle fence (a delta doc
+near-dup to a train-side version-N cluster must land in train, where the
+per-doc hash split would have straddled it).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+
+def _tbl_rows(spark, name):
+    return {tuple(r) for r in spark.table(name).collect()}
+
+
+# ------------------------------------------------------ index roll-forward
+def test_roll_forward_digests_equals_scratch(spark, sf_dir):
+    """fold(v400, delta [400,450)) must equal build(v450) from scratch —
+    set equality of the digest tables — key a DIFFERENT table name than
+    the from-scratch build (a fold can never shadow it), and be
+    idempotent."""
+    from broadway_kinesis_spark.operators.incremental_batch import (
+        ensure_corpus_digests,
+        roll_forward_digests,
+    )
+
+    rolled = roll_forward_digests(spark, sf_dir, 400, 450)
+    scratch = ensure_corpus_digests(spark, sf_dir, 450)
+    assert rolled != scratch
+    assert roll_forward_digests(spark, sf_dir, 400, 450) == rolled
+    assert _tbl_rows(spark, rolled) == _tbl_rows(spark, scratch)
+    # distinctness survived the fold (the append side anti-joined)
+    n = spark.table(rolled).count()
+    assert n == spark.table(rolled).distinct().count()
+
+
+def test_roll_forward_ngram_index_equals_scratch(spark, sf_dir):
+    """fold(v400, delta [400,450)) of the inverted index + DF statistic
+    must equal the from-scratch v450 build: (doc_id, shingle) rows are
+    unique per construction (_shingled is array_distinct), so set
+    equality pins the idx; the df table must agree per shingle."""
+    from broadway_kinesis_spark.operators.incremental_batch import (
+        ensure_ngram_index,
+        roll_forward_ngram_index,
+    )
+
+    r_idx, r_df = roll_forward_ngram_index(spark, sf_dir, 400, 450)
+    s_idx, s_df = ensure_ngram_index(spark, sf_dir, 450)
+    assert (r_idx, r_df) != (s_idx, s_df)
+    assert _tbl_rows(spark, r_idx) == _tbl_rows(spark, s_idx)
+    assert _tbl_rows(spark, r_df) == _tbl_rows(spark, s_df)
+
+
+def test_probe_on_rolled_artifacts_matches_scratch(spark, sf_dir):
+    """Day D+1's delta (docs >= 450) probed against the ROLLED v450
+    artifacts must produce exactly the pairs/survivors the from-scratch
+    v450 artifacts produce — the roll-forward output is consumable by the
+    probe bodies, not just equal as tables."""
+    from broadway_kinesis_spark.operators.incremental_batch import (
+        incremental_digest_dedup,
+        incremental_ngram_pairs,
+        roll_forward_digests,
+        roll_forward_ngram_index,
+    )
+
+    rolled_digests = roll_forward_digests(spark, sf_dir, 400, 450)
+    r_idx, r_df = roll_forward_ngram_index(spark, sf_dir, 400, 450)
+    exact_rolled = {
+        tuple(r)
+        for r in incremental_digest_dedup(
+            spark, sf_dir, 450, digests_tbl=rolled_digests
+        ).collect()
+    }
+    exact_scratch = {
+        tuple(r) for r in incremental_digest_dedup(spark, sf_dir, 450).collect()
+    }
+    assert exact_rolled == exact_scratch
+    ng_rolled = {
+        tuple(r)
+        for r in incremental_ngram_pairs(
+            spark, sf_dir, 450, idx_tbl=r_idx, df_tbl=r_df
+        ).collect()
+    }
+    ng_scratch = {
+        tuple(r) for r in incremental_ngram_pairs(spark, sf_dir, 450).collect()
+    }
+    assert ng_rolled == ng_scratch
+
+
+# ------------------------------------- incremental split assignment (#4)
+def test_incremental_split_assignment_matches_full_recompute(spark, sf_dir):
+    """Per-document equality with the from-scratch tiered split restricted
+    to the delta — the same statement the registered oracle makes, pinned
+    here against the package's own full recompute (leakage_safe_assignment
+    over the tiered evidence union) instead of DuckDB."""
+    from broadway_kinesis_spark.operators.split_incremental import (
+        incremental_split_assignment,
+    )
+    from broadway_kinesis_spark.operators.splits import (
+        _evidence_edges,
+        leakage_safe_assignment,
+    )
+
+    incr = {
+        tuple(r) for r in incremental_split_assignment(spark, sf_dir).collect()
+    }
+    full = {
+        tuple(r)
+        for r in leakage_safe_assignment(
+            spark, sf_dir, edges=_evidence_edges(spark, sf_dir, tiered=True)
+        )
+        .filter(F.col("doc_id") >= 400)
+        .select("doc_id", "grp", "clustered", "split")
+        .collect()
+    }
+    assert incr == full and len(incr) == 100
+
+
+def test_incremental_split_zero_straddle_planted(spark):
+    """The fence VERDICT r10 #4 asks for: plant a delta doc that is a
+    near-dup of a TRAIN-side version-N cluster and assert it is assigned
+    train (inherits the cluster's side) even though its OWN md5 bucket
+    says test (the per-doc hash split would have straddled it). Also: a
+    fresh delta-only pair co-assigns on a fresh hash, and a singleton
+    delta doc hashes fresh as unclustered."""
+    from tests.test_round7_ops import _cluster_text, _md5_bucket, _write_docs
+
+    from broadway_kinesis_spark.operators.split_incremental import (
+        incremental_split_assignment,
+    )
+
+    boundary = 1000
+    # version-N cluster: two exact copies, group key = min id, train side
+    old_pair = [i for i in range(boundary) if _md5_bucket(i) < 80][:2]
+    assert _md5_bucket(min(old_pair)) < 80
+    # delta doc: own bucket lands in TEST — the straddle the per-doc
+    # split would produce
+    joiner = next(
+        i for i in range(boundary, boundary + 200) if _md5_bucket(i) >= 90
+    )
+    fresh_pair = [
+        i
+        for i in range(boundary, boundary + 400)
+        if i != joiner and _md5_bucket(i) < 80
+    ][:2]
+    singleton = next(
+        i
+        for i in range(boundary, boundary + 400)
+        if i != joiner and i not in fresh_pair
+    )
+    cluster_text = _cluster_text("r11-train-cluster")
+    rows = [
+        (old_pair[0], cluster_text),
+        (old_pair[1], cluster_text),
+        (joiner, cluster_text),  # near-dup of the old cluster
+        (fresh_pair[0], _cluster_text("r11-fresh")),
+        (fresh_pair[1], _cluster_text("r11-fresh")),
+        (singleton, _cluster_text("r11-singleton")),
+    ]
+    # filler old singletons so version N is non-trivial
+    rows += [
+        (i, _cluster_text(f"r11-old-filler{i}"))
+        for i in range(10, 30)
+        if i not in old_pair
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        _write_docs(td, spark, rows)
+        got = {
+            r["doc_id"]: (r["grp"], r["clustered"], r["split"])
+            for r in incremental_split_assignment(
+                spark, td, boundary=boundary
+            ).collect()
+        }
+    # the joiner inherits the old cluster: group = old min id, train side
+    assert got[joiner] == (min(old_pair), True, "train")
+    # non-vacuous: its own per-doc bucket would have put it in test
+    assert _md5_bucket(joiner) >= 90
+    # the fresh delta pair co-assigns under min(fresh_pair)'s hash
+    fa, fb = sorted(fresh_pair)
+    side = "train" if _md5_bucket(fa) < 80 else (
+        "val" if _md5_bucket(fa) < 90 else "test"
+    )
+    assert got[fa] == (fa, True, side)
+    assert got[fb] == (fa, True, side)
+    # the singleton hashes fresh, unclustered
+    sb = _md5_bucket(singleton)
+    sside = "train" if sb < 80 else ("val" if sb < 90 else "test")
+    assert got[singleton] == (singleton, False, sside)
+    # every delta doc is assigned exactly once
+    assert set(got) == {joiner, fa, fb, singleton}
+
+
+def test_split_labels_and_rollforward_policy_tokens():
+    """Roll-forward and label table names must key on both boundaries /
+    the boundary, so a fold or a version-N label set can never shadow a
+    different version's artifact (the table_build policy-token
+    discipline)."""
+    import inspect
+
+    from broadway_kinesis_spark.operators import incremental_batch as ib
+    from broadway_kinesis_spark.operators import split_incremental as si
+
+    src = inspect.getsource(ib.roll_forward_digests)
+    assert "boundary_n" in src and "boundary_n1" in src and "rf:" in src
+    src = inspect.getsource(ib.roll_forward_ngram_index)
+    assert "boundary_n" in src and "boundary_n1" in src and "rf:" in src
+    src = inspect.getsource(si.ensure_split_labels)
+    assert "labels:v{boundary}" in src
