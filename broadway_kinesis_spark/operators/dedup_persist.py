@@ -99,13 +99,14 @@ def ensure_bottomk_pairs(spark: SparkSession, sf_dir: str) -> str:
 def dedup_ngram_jaccard_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deployment form of ``dedup_ngram_jaccard``: identical
     semantics, identical oracle OBJECT — but the (d1, d2, jaccard) pairs
-    live in a table built once per corpus + policy version. At fresh x100
-    this converts the 581–1000 s index/candidate recompute (the channel
-    whose shuffle spill is the package's one memory-knob wall,
-    BASELINE.md) into a pair-table scan; in a real pipeline the dedup
-    family's pair outputs are persisted anyway — this IS the steady-state
-    cost every downstream consumer (clustering, splits, keep-best) pays.
-    The shared oracle is the layout-invariance proof."""
+    live in a table built once per corpus + policy version. Measured
+    round 11 (BASELINE.md §round-11): at fresh x100 the build pays the
+    inline recompute once (1,398.5 s on a post-x10-batch host; the
+    channel whose shuffle spill is the package's one memory-knob wall)
+    and steady-state serving is a 0.2 s pair-table scan — in a real
+    pipeline the dedup family's pair outputs are persisted anyway, so
+    that IS the cost every downstream consumer (clustering, splits,
+    keep-best) pays. The shared oracle is the layout-invariance proof."""
     return spark.table(ensure_ngram_pairs(spark, sf_dir))
 
 
@@ -116,6 +117,8 @@ def dedup_containment_bottomk_persisted(
     """The deployment form of ``dedup_containment_bottomk`` (which is
     itself the scale tier of the exhaustive containment channel): the
     directional (contained_id, container_id, containment) pairs persist
-    once per corpus + policy version; serving is a scan. Same oracle
+    once per corpus + policy version; serving is a scan. Measured round
+    11 (BASELINE.md §round-11): fresh x100 build 154.5 s, serving 0.1 s
+    over the same 25,528 pairs round 6's inline run found. Same oracle
     object as the inline tier — layout invariance by construction."""
     return spark.table(ensure_bottomk_pairs(spark, sf_dir))

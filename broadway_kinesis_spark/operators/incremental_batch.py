@@ -37,9 +37,12 @@ O(delta_shingles x DF) rows regardless of corpus size — and the bucketed
 layout means the big side doesn't even shuffle (the delta exchanges into
 the index's bucket layout, SMJ picks the stored sort order). Verification
 joins shingle ARRAYS only for candidate docs (semi-join pruned), the same
-candidate-bounded shape as minhash_pairs. Measured proof: BASELINE.md's
-round-11 "incremental family at a 90/10 boundary" rows compare a 10%
-delta's wall against the full recompute at fresh x10 and x100.
+candidate-bounded shape as minhash_pairs. Measured proof (BASELINE.md
+§round-11, 90/10 boundary): the 10% delta's near-dup probe costs 18.1 s
+at fresh x10 vs the 31.8 s full recompute (fixed overhead dominates at
+50 k docs) and 246.9 s at fresh x100 vs 1,398.5 s — the probe/full ratio
+FALLS across the decade (0.57 → 0.18) toward the delta-proportional
+limit, exactly the convergence "cost tracks the delta" predicts.
 
 Reference parity: [TGT] — engine extension (SURVEY §2.B dedup family).
 """

@@ -27,7 +27,18 @@ import sys
 
 _REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-SLOW_DUCK_KEYS = ("dedup_minhash_lsh", "dedup_ngram_jaccard")
+#: keys excluded from the strict `comparable_ratio_ex_minhash` statistic:
+#: everywhere DuckDB collapses on the shared SQL (the honest-posture rule —
+#: the aggregate must never be carried by slow-DuckDB keys). Round 11 adds
+#: the two new headline keys whose oracles re-run the full inverted-index
+#: SQL (~70 s in DuckDB at sf0.1) against sub-second Spark serving/probe
+#: plans — precisely the keys that would flatter the ratio most.
+SLOW_DUCK_KEYS = (
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_persisted",
+    "dedup_incremental_ngram",
+)
 
 
 def main() -> None:
