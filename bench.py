@@ -133,7 +133,7 @@ HEADLINE = [
     # tail; their x10/x100 rows live in BASELINE.md.)
     "composite_fuzzy_blocking_recall",
     # Round 11 additions (VERDICT r10 #1c/#8): the round-10 persisted
-    # serving tiers and the batch incremental dedup pair join the paired
+    # serving tiers and the incremental exact tier join the paired
     # headline. Run 1 of the min-of-5 pays the one-time pair-table /
     # index build (the inline channel's cost), later runs serve from
     # storage — the min is the steady-state serving number, the
@@ -141,11 +141,15 @@ HEADLINE = [
     # recompute from scratch every run (that IS the comparison: serve vs
     # recompute). The tiered-persisted split stays out with the other
     # split composites: its oracle carries the ~235 s recursive-CC tail
-    # (see the round-8 note above); its scale rows live in BASELINE.md.
+    # (see the round-8 note above). dedup_incremental_ngram also stays
+    # out: the registered form pins the fixture boundary 400, which at
+    # sf0.1 makes the "delta" 4,600 of 5,000 docs — a 92%-delta geometry
+    # that measures an adversarial near-full recompute (7.6 s, vs the
+    # inline channel's own 4.1 s), not the deployment shape; its measured
+    # story is BASELINE.md's 90/10 x10/x100 rows.
     "dedup_ngram_jaccard_persisted",
     "dedup_containment_bottomk_persisted",
     "dedup_incremental_persisted",
-    "dedup_incremental_ngram",
 ]
 
 

@@ -30,9 +30,12 @@ _REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: keys excluded from the strict `comparable_ratio_ex_minhash` statistic:
 #: everywhere DuckDB collapses on the shared SQL (the honest-posture rule —
 #: the aggregate must never be carried by slow-DuckDB keys). Round 11 adds
-#: the two new headline keys whose oracles re-run the full inverted-index
-#: SQL (~70 s in DuckDB at sf0.1) against sub-second Spark serving/probe
-#: plans — precisely the keys that would flatter the ratio most.
+#: `dedup_ngram_jaccard_persisted`, whose oracle re-runs the full
+#: inverted-index SQL (~70 s in DuckDB at sf0.1) against a sub-second
+#: Spark pair-table scan — precisely the key that would flatter the ratio
+#: most. `dedup_incremental_ngram` rides along in case it ever joins the
+#: headline (same slow-DuckDB oracle body); it is currently not benched
+#: (see bench.py's round-11 note).
 SLOW_DUCK_KEYS = (
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
