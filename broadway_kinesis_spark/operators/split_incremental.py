@@ -34,12 +34,16 @@ version N is version N+1's full build, not the delta assignment's job.
 The oracle therefore restricts the from-scratch tiered split to the
 delta's rows, and the driver checks per-document equality.
 
-Scale posture (100 TB): every input is delta-bounded — the edge probe is
-a filter on the persisted pair table (pair tables track the duplicate
-population, not the corpus), the label join touches only labels adjacent
-to the delta, and CC runs on the quotient graph (delta near-dup pairs +
-touched labels). The broadcast label join + md5-bucket projection is the
-same map-side shape as the full split's assignment.
+Scale posture (100 TB): the edge probe is a filter on the persisted pair
+table (pair tables track the duplicate population, not the corpus), the
+version-N label table broadcasts whole but is bounded by the CLUSTERED
+population (the same broadcast argument the full split's assignment
+makes), and CC runs on the quotient graph only (delta near-dup pairs +
+the labels they touch). Measured (BASELINE.md §round-11): parity with
+the full-graph serving path at fresh x10 (~1.4 k edges — full CC is
+already trivial), 2.7× at fresh x100, and the separation is structural
+(quotient size tracks the delta's near-dup population, full-graph size
+the corpus's).
 
 Reference parity: [TGT] — engine extension (SURVEY §2.B sampling/dedup
 family).
