@@ -41,6 +41,11 @@ SLOW_DUCK_KEYS = (
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_persisted",
     "dedup_incremental_ngram",
+    # measured in the first round-11 freeze: 20.3 s DuckDB vs 0.04 s Spark
+    # serving — a 480x collapse that dragged the strict ratio to 0.65 and
+    # would have flattered every future round; excluded for the same
+    # reason as the ngram keys.
+    "dedup_containment_bottomk_persisted",
 )
 
 
