@@ -106,15 +106,88 @@ def ensure_split_labels(
     return ensure_table(spark, name, build)
 
 
+def roll_forward_split_labels(
+    spark: SparkSession, sf_dir: str, boundary_n: int, boundary_n1: int
+) -> str:
+    """fold(N, delta) == build(N+1) for the split's LABEL artifact — the
+    companion of incremental_batch's index roll-forward, completing the
+    incremental split's production loop: after the delta
+    ``[boundary_n, boundary_n1)`` is accepted, version N+1's label table
+    comes from version N's labels plus the delta's quotient CC, never
+    from re-clustering version N's graph.
+
+    Construction (the quotient-min proof in the module doc): CC runs over
+    the delta slice's collapsed quotient graph; old components TOUCHED by
+    the delta remap their label to the quotient minimum (which may merge
+    two old clusters — the one case where old docs' labels change, and
+    the fold handles it exactly); untouched old components pass through;
+    quotient nodes that are real doc ids (old singletons the delta
+    clustered, and delta docs) append. Table-equality with the
+    from-scratch ``ensure_split_labels(boundary_n1)`` build is pinned by
+    tests/test_round11_ops.py."""
+    labels_n = spark.table(ensure_split_labels(spark, sf_dir, boundary_n))
+    edges = spark.table(ensure_split_edges(spark, sf_dir, tiered=True))
+    pol = hashlib.md5(
+        f"{_EDGE_POLICY}:tiered:labels:rf:v{boundary_n}-v{boundary_n1}".encode()
+    ).hexdigest()[:8]
+    sig = corpus_sig(sf_dir, ("documents", "embeddings"))
+    name = f"_bks_split_labels_{pol}_{sig}"
+
+    def build() -> DataFrame:
+        delta_edges = edges.filter(
+            (F.col("d2") >= boundary_n) & (F.col("d2") < boundary_n1)
+        )
+        l1 = labels_n.select(
+            F.col("doc_id").alias("d1"), F.col("component_id").alias("lab1")
+        )
+        quotient = delta_edges.join(F.broadcast(l1), "d1", "left").select(
+            F.when(
+                F.col("d1") < boundary_n, F.coalesce("lab1", "d1")
+            ).otherwise(F.col("d1")).alias("d1"),
+            "d2",
+        )
+        q = connected_components(quotient)
+        # old docs: remap any component whose LABEL node the quotient
+        # touched to the quotient minimum; untouched pass through
+        remap = q.select(
+            F.col("node").alias("component_id"), F.col("label").alias("qlab")
+        )
+        remapped = labels_n.join(F.broadcast(remap), "component_id", "left").select(
+            "doc_id", F.coalesce("qlab", "component_id").alias("component_id")
+        )
+        # quotient nodes that are REAL doc ids, not collapsed labels:
+        # delta docs and old singletons the delta clustered (collapsed
+        # label nodes are exactly the quotient nodes present in
+        # labels_n.doc_id — a label is its own component's member)
+        fresh = q.join(
+            labels_n.select(F.col("doc_id").alias("node")), "node", "left_anti"
+        ).select(
+            F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+        )
+        return remapped.union(fresh)
+
+    return ensure_table(spark, name, build)
+
+
 def incremental_split_assignment(
-    spark: SparkSession, sf_dir: str, boundary: int = BOUNDARY
+    spark: SparkSession,
+    sf_dir: str,
+    boundary: int = BOUNDARY,
+    labels_tbl: str | None = None,
 ) -> DataFrame:
     """Per-delta-document assignment (doc_id, grp, clustered, split) —
     the parameterized body of ``dedup_split_incremental_assign``; scale
-    runs place ``boundary`` per corpus (the x10/x100 rows use 90/10)."""
+    runs place ``boundary`` per corpus (the x10/x100 rows use 90/10).
+    ``labels_tbl`` overrides the version-N label artifact with a table
+    produced by :func:`roll_forward_split_labels`, so day D+1's delta
+    assigns against day D's fold instead of a fresh boundary build."""
     docs = load(spark, sf_dir, "documents")
     edges = spark.table(ensure_split_edges(spark, sf_dir, tiered=True))
-    labels_n = spark.table(ensure_split_labels(spark, sf_dir, boundary))
+    labels_n = spark.table(
+        labels_tbl
+        if labels_tbl is not None
+        else ensure_split_labels(spark, sf_dir, boundary)
+    )
     delta_edges = edges.filter(F.col("d2") >= boundary)
     # collapse OLD endpoints (only d1 can be old under d1 < d2) to their
     # version-N label; unclustered old docs stand as themselves

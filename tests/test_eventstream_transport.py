@@ -264,6 +264,54 @@ def test_consume_loop_resubscribes_from_continuation_across_streams():
     }
 
 
+def exception_frame(exception_type: str, message: str) -> bytes:
+    return encode_frame(
+        {
+            ":message-type": "exception",
+            ":exception-type": exception_type,
+            ":content-type": "application/x-amz-json-1.1",
+        },
+        json.dumps({"message": message}).encode(),
+    )
+
+
+def test_consume_loop_retries_transient_exception_event_off_real_wire():
+    """A10 over real frames: a mid-stream exception EVENT (a genuine
+    eventstream exception frame, which botocore's real decoder raises as
+    ``EventStreamError`` with the parsed ``Error.Code``) classifies
+    through the transient taxonomy and the loop re-subscribes AFTER the
+    last continuation — completing the range from the second stream."""
+    first = _frames(([("1", b"x", "p")], "1")) + exception_frame(
+        "InternalFailureException", "internal failure, retry"
+    )
+    second = _frames(([("2", b"y", "p")], "2"))
+    reader, part = _reader_and_partition(end_seq="2")
+    cli = _TransportFakeClient([(first, 9), (second, None)])
+    reader._client = cli
+    recs = reader._subscribe_range(part)
+    assert [r["SequenceNumber"] for r in recs] == ["1", "2"]
+    assert len(cli.calls) == 2
+    assert cli.calls[1]["StartingPosition"] == {
+        "Type": "AFTER_SEQUENCE_NUMBER",
+        "SequenceNumber": "1",
+    }
+
+
+def test_consume_loop_raises_fatal_exception_event_off_real_wire():
+    """A10's fatal side over real frames: ResourceNotFoundException mid-
+    stream surfaces (no silent retry), carrying the parsed AWS code."""
+    from botocore.eventstream import EventStreamError
+
+    raw = _frames(([("1", b"x", "p")], "1")) + exception_frame(
+        "ResourceNotFoundException", "stream deleted"
+    )
+    reader, part = _reader_and_partition(end_seq="9")
+    reader._client = _TransportFakeClient([(raw, None)])
+    with pytest.raises(EventStreamError) as ei:
+        reader._subscribe_range(part)
+    assert ei.value.response["Error"]["Code"] == "ResourceNotFoundException"
+
+
 def test_consume_loop_stops_at_null_continuation_shard_close():
     """A7 over real frames: a null ContinuationSequenceNumber closes the
     shard — the loop returns what it has without re-subscribing."""

@@ -206,6 +206,75 @@ def test_incremental_split_zero_straddle_planted(spark):
     assert set(got) == {joiner, fa, fb, singleton}
 
 
+def test_roll_forward_split_labels_equals_scratch(spark, sf_dir):
+    """fold(v400, delta [400,450)) and fold(v400, [400,500)) of the split
+    LABEL table must equal the from-scratch builds — and the rolled
+    labels must be consumable: the NEXT delta's assignment on the rolled
+    table equals the assignment on the scratch table."""
+    from broadway_kinesis_spark.operators.split_incremental import (
+        ensure_split_labels,
+        incremental_split_assignment,
+        roll_forward_split_labels,
+    )
+
+    for bn1 in (450, 500):
+        rolled = roll_forward_split_labels(spark, sf_dir, 400, bn1)
+        scratch = ensure_split_labels(spark, sf_dir, bn1)
+        assert rolled != scratch
+        assert _tbl_rows(spark, rolled) == _tbl_rows(spark, scratch)
+    rolled_450 = roll_forward_split_labels(spark, sf_dir, 400, 450)
+    on_rolled = {
+        tuple(r)
+        for r in incremental_split_assignment(
+            spark, sf_dir, boundary=450, labels_tbl=rolled_450
+        ).collect()
+    }
+    on_scratch = {
+        tuple(r)
+        for r in incremental_split_assignment(spark, sf_dir, boundary=450).collect()
+    }
+    assert on_rolled == on_scratch and len(on_rolled) == 50
+
+
+def test_roll_forward_split_labels_handles_cluster_merge(spark):
+    """The one tricky fold path: a delta doc that is containment-evidence
+    near-dup of TWO distinct version-N clusters MERGES them — the fold
+    must remap BOTH old clusters' docs (and the delta doc) to the merged
+    minimum, exactly matching the from-scratch build."""
+    from tests.test_round7_ops import _cluster_text, _write_docs
+
+    from broadway_kinesis_spark.operators.split_incremental import (
+        ensure_split_labels,
+        roll_forward_split_labels,
+    )
+
+    boundary = 1000
+    xa, xb, ya, yb = 3, 7, 11, 19  # two old exact-dup clusters
+    joiner = 1005  # delta doc containing BOTH texts (containment edges)
+    x_text = _cluster_text("r11-merge-x")
+    y_text = _cluster_text("r11-merge-y")
+    rows = [
+        (xa, x_text),
+        (xb, x_text),
+        (ya, y_text),
+        (yb, y_text),
+        (joiner, x_text + " " + y_text),
+    ]
+    rows += [
+        (i, _cluster_text(f"r11-merge-filler{i}")) for i in range(30, 45)
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        _write_docs(td, spark, rows)
+        rolled = roll_forward_split_labels(spark, td, boundary, 2000)
+        scratch = ensure_split_labels(spark, td, 2000)
+        got = _tbl_rows(spark, rolled)
+        assert got == _tbl_rows(spark, scratch)
+        labels = dict(got)
+        merged = min(xa, xb, ya, yb)
+        assert labels[xa] == labels[xb] == labels[ya] == labels[yb] == merged
+        assert labels[joiner] == merged
+
+
 def test_split_labels_and_rollforward_policy_tokens():
     """Roll-forward and label table names must key on both boundaries /
     the boundary, so a fold or a version-N label set can never shadow a
