@@ -275,6 +275,65 @@ def test_roll_forward_split_labels_handles_cluster_merge(spark):
         assert labels[joiner] == merged
 
 
+def test_incremental_split_matches_full_on_random_corpora(spark):
+    """Randomized fence for the quotient-min proof: on corpora with RANDOM
+    duplicate structure (fresh texts, exact copies, and 1-token near-dups,
+    each drawn across or within a random boundary), the incremental
+    assignment must equal the full tiered recompute restricted to the
+    delta, per document — the same random-mirror discipline the round-9
+    composites carry, here with the package's own full path as the
+    mirror (an independent code path: full-graph CC vs quotient CC)."""
+    import random
+
+    from tests.test_round7_ops import _cluster_text, _write_docs
+
+    from broadway_kinesis_spark.operators.split_incremental import (
+        incremental_split_assignment,
+    )
+    from broadway_kinesis_spark.operators.splits import (
+        _evidence_edges,
+        leakage_safe_assignment,
+    )
+
+    for seed in (11, 23):
+        rng = random.Random(seed)
+        boundary = 500
+        n_old, n_delta = 40, 14
+        old_ids = rng.sample(range(boundary), n_old)
+        delta_ids = rng.sample(range(boundary, 2 * boundary), n_delta)
+        rows, texts = [], []
+        for i, d in enumerate(old_ids + delta_ids):
+            roll = rng.random()
+            if texts and roll < 0.35:
+                t = rng.choice(texts)  # exact copy (maybe cross-boundary)
+            elif texts and roll < 0.55:
+                toks = rng.choice(texts).split(" ")
+                toks[rng.randrange(len(toks))] = f"edit{i}"
+                t = " ".join(toks)  # near-dup: 1-token edit, Jaccard high
+            else:
+                t = _cluster_text(f"rnd{seed}-{i}")
+            texts.append(t)
+            rows.append((d, t))
+        with tempfile.TemporaryDirectory() as td:
+            _write_docs(td, spark, rows)
+            incr = {
+                tuple(r)
+                for r in incremental_split_assignment(
+                    spark, td, boundary=boundary
+                ).collect()
+            }
+            full = {
+                tuple(r)
+                for r in leakage_safe_assignment(
+                    spark, td, edges=_evidence_edges(spark, td, tiered=True)
+                )
+                .filter(F.col("doc_id") >= boundary)
+                .select("doc_id", "grp", "clustered", "split")
+                .collect()
+            }
+            assert incr == full and len(incr) == n_delta, f"seed {seed}"
+
+
 def test_split_labels_and_rollforward_policy_tokens():
     """Roll-forward and label table names must key on both boundaries /
     the boundary, so a fold or a version-N label set can never shadow a
