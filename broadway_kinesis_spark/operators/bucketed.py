@@ -46,18 +46,22 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     sort-merge join. Build/idempotence/orphan protocol:
     functions/table_build.py."""
     sig = corpus_sig(sf_dir, ("orders", "lineitem"))
-    name_o, name_l = f"_bks_bkt_orders_{sig}", f"_bks_bkt_lineitem_{sig}"
-    for name, table, key in (
-        (name_o, "orders", "o_orderkey"),
-        (name_l, "lineitem", "l_orderkey"),
-    ):
+    # Use the names ensure_table RETURNS, not the requested ones: when a
+    # LIVE sibling session owns the shared warehouse location, the build
+    # diverts to a pid-scoped table that only exists in THIS process's
+    # catalog — reading the requested name there raises
+    # TABLE_OR_VIEW_NOT_FOUND (observed live in round 11: parallel pytest
+    # + plan sweep on one warehouse).
+    names = [
         ensure_table(
             spark,
-            name,
+            f"_bks_bkt_{table}_{sig}",
             lambda table=table: load(spark, sf_dir, table),
             bucket_by=(N_BUCKETS, key),
         )
-    return name_o, name_l
+        for table, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey"))
+    ]
+    return names[0], names[1]
 
 
 @query(

@@ -1,0 +1,244 @@
+"""Batch incremental corpus-version dedup — MULTIMODAL FINGERPRINT channel
+(round 11).
+
+Completes the daily-production incremental loop across the near-dup
+channel families: text exact/ngram (``incremental_batch``), embeddings
+(``embedding_incremental``), and here the perceptual-fingerprint channel
+(``imagehash`` — the decoded-pixel dHash the image/audio/video operators
+share). A delta of media arrives; it is near-dup-checked against version
+N's PERSISTED band index — version N's media are never re-DECODED, which
+at 100 TB is the dominant cost of this channel (the fingerprint is 4
+words = 32 bytes per media; the decode reads the payload).
+
+Persisted artifact (:func:`ensure_phash_bands`): the BAND table
+``(media_id, bkeyc, w0..w3)`` — one row per (media, band) with the band
+id and band value packed into one join key ``bkeyc = bid * 2^16 + bkey``
+(band widths are <= 16 bits, so the packing is injective and a single
+equi-key replaces the (bid, bkey) composite), bucketed+sorted by
+``bkeyc`` so delta probes sort-merge against the stored side without
+shuffling it — the ngram-index layout story
+(incremental_batch.ensure_ngram_index) applied to the banded-Hamming
+family. The fingerprint words ride in the band rows, so verification
+(summed ``bit_count(xor)`` <= {HAM_T}) runs off the join output without
+ever touching version-N payloads.
+
+Pairs the delta introduces are exactly ``m2 >= boundary`` (version-N ids
+all sit below every delta id and pairs are (m1 < m2)), so the registered
+oracle is the INLINE channel's oracle (read from the registry at module
+load — the dedup_persist pattern) wrapped in that one restriction.
+Pigeonhole recall is inherited unchanged: the probe join sees every band
+of every delta fingerprint against every band of version N + the delta
+itself, the same candidate space the inline self-join scans restricted
+to delta-touching pairs.
+
+Roll-forward (VERDICT r10 #3 applied to this channel):
+:func:`roll_forward_phash_bands` folds the accepted delta's band rows
+into version N's table to produce version N+1's — only the delta is
+decoded; fold(N, delta) == build(N+1) and probe-on-rolled ==
+probe-on-scratch are pinned by tests/test_incremental_channels.py.
+
+Measured delta-cost rows: BASELINE.md §round-11 "embedding/fingerprint
+incremental" (fresh x10/x100, 90/10 boundary).
+
+Reference parity: [TGT] — engine extension (SURVEY §2.B multimodal
+family; the reference has no media surface).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
+from broadway_kinesis_spark.operators import imagehash as _imagehash  # noqa: F401 (registers the inline twin)
+from broadway_kinesis_spark.operators.imagehash import (
+    BANDS,
+    HAM_T,
+    _hamming_expr,
+    phash_words,
+    w_cols,
+    words_schema,
+)
+from broadway_kinesis_spark.operators.multimodal import as_ppm_media, decode_image
+from broadway_kinesis_spark.registry import REGISTRY, query
+from broadway_kinesis_spark.session import load
+
+#: version-N / delta boundary for the registered fixture query (the
+#: dedup_incremental convention).
+BOUNDARY = 400
+
+#: bucket count for the persisted band table — the protocol knob, sized
+#: like any bucketed table at deployment scale (incremental_batch.IDX_BUCKETS).
+BAND_BUCKETS = 8
+
+_BANDS_POLICY = f"r11:phash185:h{HAM_T}:b{BAND_BUCKETS}"
+
+_W = w_cols()
+_N_WORDS = len(_W)
+
+#: the inline channel's oracle OBJECT — importing operators.imagehash above
+#: ran its @query decorator, so this lookup can never miss nor drift.
+_INLINE_ORACLE = REGISTRY["dedup_image_phash"].oracle
+
+
+def _fingerprints(docs: DataFrame) -> DataFrame:
+    """(media_id, w0..w3) via the REAL decode path — the same
+    header-tokenizing decode_image + multi-stride phash_words the inline
+    channel runs, Arrow-batched."""
+    import pandas as pd
+
+    media = as_ppm_media(docs)
+
+    def hash_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                rows.append((int(mid), *phash_words(img.reshape(-1))))
+            yield pd.DataFrame(rows, columns=["media_id", *_W])
+
+    return media.select("media_id", "payload").mapInPandas(
+        hash_batch, words_schema()
+    )
+
+
+def _band_rows(fps: DataFrame) -> DataFrame:
+    """(media_id, bkeyc, w0..w3): one row per band, with (bid, bkey)
+    packed into the single injective key ``bid * 2^16 + bkey``."""
+    keys = [
+        F.lit(bid * (1 << 16))
+        + (
+            F.expr(f"shiftright(w{w}, {shift})").bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+        )
+        for bid, (w, shift, width) in enumerate(BANDS)
+    ]
+    return fps.select(
+        "media_id", *_W, F.explode(F.array(*keys)).alias("bkeyc")
+    )
+
+
+def ensure_phash_bands(
+    spark: SparkSession, sf_dir: str, boundary: int = BOUNDARY
+) -> str:
+    """Persist version N's band index — decode + fingerprint + band
+    explosion for ``media_id < boundary``, bucketed by the packed band
+    key so delta probes never shuffle the stored side."""
+    pol = hashlib.md5(f"{_BANDS_POLICY}:v{boundary}".encode()).hexdigest()[:8]
+    sig = corpus_sig(sf_dir, ("documents",))
+    name = f"_bks_phbands_{pol}_{sig}"
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < boundary
+        )
+        return _band_rows(_fingerprints(docs))
+
+    return ensure_table(spark, name, build, bucket_by=(BAND_BUCKETS, "bkeyc"))
+
+
+def roll_forward_phash_bands(
+    spark: SparkSession, sf_dir: str, boundary_n: int, boundary_n1: int
+) -> str:
+    """Fold the accepted delta ``[boundary_n, boundary_n1)`` into version
+    N's persisted band index to produce version N+1's — only the delta is
+    decoded; the stored rows pass through as a scan and the result
+    re-writes in the same bucketed layout (a lakehouse deployment appends
+    the delta's rows per-bucket instead of copying). Name keys the
+    roll-forward policy + BOTH boundaries; fold(N, delta) == build(N+1)
+    is pinned by tests/test_incremental_channels.py."""
+    old_tbl = ensure_phash_bands(spark, sf_dir, boundary_n)
+    pol = hashlib.md5(
+        f"{_BANDS_POLICY}:rf:v{boundary_n}-v{boundary_n1}".encode()
+    ).hexdigest()[:8]
+    sig = corpus_sig(sf_dir, ("documents",))
+    name = f"_bks_phbands_{pol}_{sig}"
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") >= boundary_n) & (F.col("doc_id") < boundary_n1)
+        )
+        return spark.table(old_tbl).unionByName(
+            _band_rows(_fingerprints(docs))
+        )
+
+    return ensure_table(spark, name, build, bucket_by=(BAND_BUCKETS, "bkeyc"))
+
+
+@query(
+    "dedup_incremental_imagehash",
+    oracle=f"""
+    SELECT m1, m2, hamming FROM ({_INLINE_ORACLE}) WHERE m2 >= {BOUNDARY}
+    """,
+)
+def dedup_incremental_imagehash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs the DELTA introduces — banded-Hamming
+    pairs with total distance <= {HAM_T} and at least one delta side —
+    computed by probing version N's persisted band index with the delta's
+    fingerprints instead of re-decoding the corpus. The oracle is the
+    inline channel's oracle restricted to ``m2 >= {BOUNDARY}``, so the
+    driver row proves the persisted index + probe serve exactly the
+    from-scratch answer."""
+    return incremental_phash_pairs(spark, sf_dir)
+
+
+def incremental_phash_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    boundary: int = BOUNDARY,
+    bands_tbl: str | None = None,
+) -> DataFrame:
+    """Parameterized body of ``dedup_incremental_imagehash`` — scale runs
+    place ``boundary`` per corpus; ``bands_tbl`` overrides the version-N
+    artifact with a :func:`roll_forward_phash_bands` fold so day D+1's
+    delta probes day D's fold.
+
+    Shape: only the delta decodes (Arrow-batched); its band rows are the
+    probe side ``b`` and ALSO union into the stored side ``a`` so
+    delta-delta (new-new) pairs surface, exactly the ngram probe's union
+    (incremental_batch.incremental_ngram_pairs). The stored side is
+    bucketed on the packed band key, so the equi-join sort-merges without
+    shuffling it; candidates carry both fingerprints, so the exact
+    Hamming verify never touches payloads."""
+    stored = spark.table(
+        bands_tbl
+        if bands_tbl is not None
+        else ensure_phash_bands(spark, sf_dir, boundary)
+    )
+    d = load(spark, sf_dir, "documents")
+    # One decode pass for the delta, shared by the probe side and the
+    # a-side union (two consumers — the inline twin's cache pattern; the
+    # cached set is delta-bounded by construction).
+    delta_bands = _band_rows(
+        _fingerprints(d.filter(F.col("doc_id") >= boundary))
+    ).cache()
+    a = stored.unionByName(delta_bands).select(
+        F.col("media_id").alias("m1"),
+        *[F.col(f"w{i}").alias(f"a{i}") for i in range(_N_WORDS)],
+        "bkeyc",
+    )
+    b = delta_bands.select(
+        F.col("media_id").alias("m2"),
+        *[F.col(f"w{i}").alias(f"b{i}") for i in range(_N_WORDS)],
+        "bkeyc",
+    )
+    cand = (
+        a.join(b, "bkeyc")
+        .filter(F.col("m1") < F.col("m2"))
+        .select(
+            "m1",
+            "m2",
+            *[f"a{i}" for i in range(_N_WORDS)],
+            *[f"b{i}" for i in range(_N_WORDS)],
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", _hamming_expr(_N_WORDS))
+        .filter(F.col("hamming") <= HAM_T)
+        .select("m1", "m2", "hamming")
+    )

@@ -164,12 +164,17 @@ def ensure_pagerank_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    for name, df, key in (
-        (name_e, edges.join(deg, "src"), "src"),
-        (name_n, deg.select(F.col("src").alias("node")), "node"),
-    ):
+    # Use the names ensure_table RETURNS: a live-sibling divert builds a
+    # pid-scoped table, and the requested name would not resolve in this
+    # process's catalog (bucketed.py has the full rationale).
+    names = [
         ensure_table(spark, name, lambda df=df: df, bucket_by=(N_BUCKETS, key))
-    return name_e, name_n
+        for name, df, key in (
+            (name_e, edges.join(deg, "src"), "src"),
+            (name_n, deg.select(F.col("src").alias("node")), "node"),
+        )
+    ]
+    return names[0], names[1]
 
 
 @query("graph_pagerank_bucketed", oracle=_oracle())

@@ -96,6 +96,8 @@ def _load_all_modules() -> None:
         dedup,
         dedup_persist,
         dedup_report,
+        embedding_incremental,
+        fingerprint_incremental,
         epoch_build,
         funnel,
         graph,
@@ -147,9 +149,11 @@ def _load_all_modules() -> None:
 # slots fill with the OLDEST-green rows so signal currency improves across
 # the registry. Any overflow must be declared in _DEFERRED explicitly.
 _PRIORITY: tuple[str, ...] = (
-    # (a) round-11 never-green operator: the incremental leakage-safe
-    # split assignment (VERDICT r10 #4)
+    # (a) round-11 never-green operators: the incremental leakage-safe
+    # split assignment (VERDICT r10 #4) and the session-2 extension of
+    # the incremental loop to the embedding + fingerprint channels
     "dedup_split_incremental_assign",
+    "dedup_incremental_embedding", "dedup_incremental_imagehash",
     # (b) staled this round: functions/table_build.py's errno-scoped
     # lock fallback (ADVICE r10 — stales every layout-backed query: the
     # split family, the bucketed join/pagerank twins, the
@@ -180,13 +184,13 @@ _PRIORITY: tuple[str, ...] = (
     "agg_sketch_merge", "agg_string_concat", "cdc_merge_upsert",
     "composite_ann_recall", "dedup_boilerplate", "dedup_exact_rows",
     "dedup_keep_first", "filter_null_semantics", "funnel_conversion",
-    "join_anti", "join_broadcast",
     )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot
-# window cannot hold. Round 11: EMPTY — demand is 13 (1 new operator + 12
-# staled by this round's table_build/incremental_batch/dedup_persist
-# edits), leaving 37 slots of oldest-green filler (counts per
+# window cannot hold. Round 11: EMPTY — demand is 15 (3 new operators: the
+# incremental split assignment plus the embedding/fingerprint incremental
+# channels, + 12 staled by this round's table_build/incremental_batch/
+# dedup_persist edits), leaving 35 slots of oldest-green filler (counts per
 # test_registry_window.py, the source of truth). test_registry_window.py
 # keeps enforcing that any future overflow must be declared here
 # explicitly.

@@ -1,0 +1,338 @@
+"""Round-11 (cont.): incremental EMBEDDING + FINGERPRINT dedup channels.
+
+Completes the daily-production incremental loop across the near-dup
+families (text exact/ngram landed first — test_round11_ops.py). The
+fences mirror that file's protocol per channel:
+
+- fold(N, delta) == build(N+1) as TABLE equality (roll-forward proof);
+- probe-on-rolled == probe-on-scratch for the NEXT delta (the fold is
+  consumable, not just equal);
+- incremental probe == the INLINE channel restricted to delta-touching
+  pairs (the statement the registered oracle makes, pinned here against
+  the package's own from-scratch plan instead of DuckDB);
+- planted semantics: old-old pairs are EXCLUDED (version N was already
+  deduplicated against itself), old-delta pairs inherit, delta-delta
+  (new-new) pairs surface;
+- a randomized-corpus fence against a pure-python brute-force mirror
+  (the round-9/11 randomized-fence discipline).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+import tempfile
+
+import numpy as np
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+
+def _rows(df) -> set:
+    out = set()
+    for r in df.collect():
+        out.add(
+            tuple(tuple(x) if isinstance(x, list) else x for x in r)
+        )
+    return out
+
+
+def _write_embeddings(td: str, spark, rows) -> None:
+    """rows: (vec_id, label, vector). Only the embeddings table — the
+    embedding channel reads nothing else."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    spark.createDataFrame(
+        [(int(v), [float(x) for x in vec], int(lb)) for v, lb, vec in rows],
+        schema,
+    ).write.parquet(os.path.join(td, "embeddings.parquet"))
+
+
+# ------------------------------------------------- embedding roll-forward
+def test_roll_forward_embedding_norms_equals_scratch(spark, sf_dir):
+    from broadway_kinesis_spark.operators.embedding_incremental import (
+        ensure_embedding_norms,
+        roll_forward_embedding_norms,
+    )
+
+    rolled = roll_forward_embedding_norms(spark, sf_dir, 400, 450)
+    scratch = ensure_embedding_norms(spark, sf_dir, 450)
+    assert rolled != scratch  # a fold can never shadow a from-scratch build
+    assert roll_forward_embedding_norms(spark, sf_dir, 400, 450) == rolled
+    assert _rows(spark.table(rolled)) == _rows(spark.table(scratch))
+
+
+def test_probe_on_rolled_embedding_norms_matches_scratch(spark, sf_dir):
+    from broadway_kinesis_spark.operators.embedding_incremental import (
+        incremental_embedding_pairs,
+        roll_forward_embedding_norms,
+    )
+
+    rolled = roll_forward_embedding_norms(spark, sf_dir, 400, 450)
+    got = _rows(incremental_embedding_pairs(spark, sf_dir, 450, norms_tbl=rolled))
+    want = _rows(incremental_embedding_pairs(spark, sf_dir, 450))
+    assert got == want
+
+
+def test_incremental_embedding_matches_inline_restricted(spark, sf_dir):
+    """The registered oracle's statement, package-internal: the probe ==
+    the inline channel's output restricted to vec2 >= boundary, bitwise
+    (same exact-fold verify on identical inputs)."""
+    from broadway_kinesis_spark.operators.embedding_incremental import (
+        BOUNDARY,
+        incremental_embedding_pairs,
+    )
+
+    got = _rows(incremental_embedding_pairs(spark, sf_dir))
+    want = _rows(
+        QUERIES["dedup_embedding_cosine"](spark, sf_dir).filter(
+            F.col("vec2") >= BOUNDARY
+        )
+    )
+    assert got == want
+
+
+def test_incremental_embedding_planted_semantics(spark):
+    """Old-old near-dups are EXCLUDED, old-delta and delta-delta pairs
+    surface, and blocking by label still gates candidates."""
+    from broadway_kinesis_spark.operators.embedding_incremental import (
+        incremental_embedding_pairs,
+    )
+
+    dim, b = 8, 1000
+    e = np.eye(dim)
+    rows = [
+        # label 0: two identical OLD vectors (their pair must not appear)
+        (0, 0, e[0]),
+        (1, 0, e[0]),
+        # label 0: delta copy of the old direction -> (0,1000), (1,1000)
+        (1000, 0, e[0]),
+        # label 0: delta-delta near-identical pair, orthogonal to e0
+        (1001, 0, e[1]),
+        (1002, 0, 0.9 * e[1] + 0.1 * e[2]),
+        # label 1: old + delta same direction -> (2, 1003); e0-direction
+        # vectors in label 0 never pair with it (blocking)
+        (2, 1, e[3]),
+        (1003, 1, e[3]),
+        # label 1: orthogonal delta singleton -> no pairs
+        (1004, 1, e[4]),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        _write_embeddings(td, spark, rows)
+        got = {
+            (r.vec1, r.vec2)
+            for r in incremental_embedding_pairs(spark, td, boundary=b).collect()
+        }
+    assert got == {(0, 1000), (1, 1000), (1001, 1002), (2, 1003)}
+
+
+def test_incremental_embedding_randomized_mirror(spark):
+    """Randomized corpus vs a pure-python brute-force mirror (same
+    sequential-fold arithmetic): pair sets equal, cosines agree."""
+    from broadway_kinesis_spark.operators.dedup import COS_T
+    from broadway_kinesis_spark.operators.embedding_incremental import (
+        incremental_embedding_pairs,
+    )
+
+    rng = random.Random(1106)
+    dim, n, b = 6, 120, 60
+    rows = []
+    for i in range(n):
+        vec = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, rng.randrange(3), vec))
+    # float32 round-trip first: the parquet column is FLOAT[], so the
+    # mirror must fold the same float32-quantized values the plan reads.
+    vecs = {i: [float(np.float32(x)) for x in vec] for i, _, vec in rows}
+    labels = {i: lb for i, lb, _ in rows}
+
+    def fold_dot(a, bv):
+        acc = 0.0
+        for x, y in zip(a, bv):
+            acc += x * y
+        return acc
+
+    expected = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if j < b or labels[i] != labels[j]:
+                continue
+            c = fold_dot(vecs[i], vecs[j]) / (
+                math.sqrt(fold_dot(vecs[i], vecs[i]))
+                * math.sqrt(fold_dot(vecs[j], vecs[j]))
+            )
+            if c >= COS_T:
+                expected[(i, j)] = c
+    with tempfile.TemporaryDirectory() as td:
+        _write_embeddings(td, spark, rows)
+        got = {
+            (r.vec1, r.vec2): r.cos_sim
+            for r in incremental_embedding_pairs(spark, td, boundary=b).collect()
+        }
+    assert set(got) == set(expected)
+    assert len(expected) >= 3  # non-vacuous at this seed
+    for k, v in expected.items():
+        assert got[k] == v  # bitwise: same fold order on both sides
+
+
+# ----------------------------------------------- fingerprint roll-forward
+def test_roll_forward_phash_bands_equals_scratch(spark, sf_dir):
+    from broadway_kinesis_spark.operators.fingerprint_incremental import (
+        ensure_phash_bands,
+        roll_forward_phash_bands,
+    )
+
+    rolled = roll_forward_phash_bands(spark, sf_dir, 400, 450)
+    scratch = ensure_phash_bands(spark, sf_dir, 450)
+    assert rolled != scratch
+    assert roll_forward_phash_bands(spark, sf_dir, 400, 450) == rolled
+    assert _rows(spark.table(rolled)) == _rows(spark.table(scratch))
+
+
+def test_probe_on_rolled_phash_bands_matches_scratch(spark, sf_dir):
+    from broadway_kinesis_spark.operators.fingerprint_incremental import (
+        incremental_phash_pairs,
+        roll_forward_phash_bands,
+    )
+
+    rolled = roll_forward_phash_bands(spark, sf_dir, 400, 450)
+    got = _rows(incremental_phash_pairs(spark, sf_dir, 450, bands_tbl=rolled))
+    want = _rows(incremental_phash_pairs(spark, sf_dir, 450))
+    assert got == want
+
+
+def test_incremental_phash_matches_inline_restricted(spark, sf_dir):
+    from broadway_kinesis_spark.operators.fingerprint_incremental import (
+        BOUNDARY,
+        incremental_phash_pairs,
+    )
+
+    got = _rows(incremental_phash_pairs(spark, sf_dir))
+    want = _rows(
+        QUERIES["dedup_image_phash"](spark, sf_dir).filter(
+            F.col("m2") >= BOUNDARY
+        )
+    )
+    assert got == want
+
+
+def _phash_mirror(text: str) -> list[int]:
+    """Pure-python mirror of the pixel-plane fingerprint: utf-8 bytes
+    zero-padded to a whole IMG_W-wide RGB pixel grid (as_ppm_media's
+    construction), then the package's own phash_words over the plane."""
+    from broadway_kinesis_spark.operators.imagehash import phash_words
+    from broadway_kinesis_spark.operators.multimodal import IMG_W
+
+    body = text.encode("utf-8")
+    row = IMG_W * 3
+    h = max(-(-len(body) // row), 1)
+    plane = np.frombuffer(body.ljust(h * row, b"\x00"), dtype=np.uint8)
+    return phash_words(plane.astype(np.int64))
+
+
+def _expected_phash_pairs(texts: dict[int, str], boundary: int) -> set:
+    """Brute-force delta-touching pairs: total Hamming <= HAM_T, m2 in
+    the delta — the pigeonhole recall guarantee makes banding exhaustive,
+    so the banded probe must equal this exactly."""
+    from broadway_kinesis_spark.operators.imagehash import HAM_T
+
+    fps = {d: _phash_mirror(t) for d, t in texts.items()}
+    out = set()
+    ids = sorted(texts)
+    for i, m1 in enumerate(ids):
+        for m2 in ids[i + 1 :]:
+            if m2 < boundary:
+                continue
+            ham = sum(
+                bin(a ^ b).count("1") for a, b in zip(fps[m1], fps[m2])
+            )
+            if ham <= HAM_T:
+                out.add((m1, m2, ham))
+    return out
+
+
+def test_incremental_phash_planted_semantics(spark):
+    """Old-old exact dups are EXCLUDED; a delta re-encode of an old image
+    pairs with BOTH old copies (hamming 0); a block-local perturbation
+    still pairs (hamming <= HAM_T); an unrelated delta doc does not."""
+    from tests.test_round7_ops import _write_docs
+
+    from broadway_kinesis_spark.operators.fingerprint_incremental import (
+        incremental_phash_pairs,
+    )
+
+    b = 1000
+    base = "the fast key order sort table scan merge part window " * 8
+    perturbed = "THE" + base[3:]  # one-block byte change
+    unrelated = "".join(chr(33 + (i * 7) % 90) for i in range(400))
+    texts = {
+        0: base,
+        1: base,  # old exact dup of 0 — pair (0,1) must NOT appear
+        1000: base,  # delta re-encode -> (0,1000,0), (1,1000,0)
+        1001: perturbed,
+        1002: unrelated,
+    }
+    expected = _expected_phash_pairs(texts, b)
+    assert (0, 1000, 0) in expected and (1, 1000, 0) in expected
+    assert not any(p[:2] == (0, 1) for p in expected)
+    with tempfile.TemporaryDirectory() as td:
+        _write_docs(td, spark, list(texts.items()))
+        got = _rows(incremental_phash_pairs(spark, td, boundary=b))
+    assert got == expected
+    # the perturbed delta doc found its old original within the budget
+    assert any(p[0] == 0 and p[1] == 1001 for p in got)
+    # the unrelated doc paired with nothing
+    assert not any(1002 in p[:2] for p in got)
+
+
+def test_incremental_phash_randomized_mirror(spark):
+    """Randomized corpus (Zipf-ish vocab draws + planted near-dups) vs the
+    brute-force mirror — the banded probe's recall/precision is exact."""
+    from tests.test_round7_ops import _write_docs
+
+    from broadway_kinesis_spark.operators.fingerprint_incremental import (
+        incremental_phash_pairs,
+    )
+
+    rng = random.Random(1107)
+    vocab = [f"tok{i}" for i in range(40)]
+    b = 1000
+
+    def doc() -> str:
+        return " ".join(
+            vocab[min(rng.randrange(1, 41), rng.randrange(1, 41)) - 1]
+            for _ in range(rng.randrange(30, 90))
+        )
+
+    texts: dict[int, str] = {}
+    for i in range(30):
+        texts[i] = doc()
+    for i in range(1000, 1025):
+        texts[i] = doc()
+    # planted cross-boundary + within-delta near-dups
+    texts[1025] = texts[3]
+    texts[1026] = "XX" + texts[7][2:]
+    texts[1027] = texts[1001]
+    expected = _expected_phash_pairs(texts, b)
+    assert len(expected) >= 3  # the plants are in
+    with tempfile.TemporaryDirectory() as td:
+        _write_docs(td, spark, list(texts.items()))
+        got = _rows(incremental_phash_pairs(spark, td, boundary=b))
+    assert got == expected

@@ -81,6 +81,10 @@ ARROW_PYTHON_OK = {
     "multimodal_metadata_stats": "metadata decode (mapInPandas)",
     "similarity_quantize_int8": "vectorized quantization path",
     "dedup_image_phash": "pure-Python PPM decode + dHash (mapInPandas)",
+    "dedup_incremental_imagehash": (
+        "pure-Python PPM decode + dHash over the DELTA only; version N"
+        " serves from the persisted band index (fingerprint_incremental.py)"
+    ),
     "dedup_audio_fingerprint": "pure-Python WAV decode + envelope hash (mapInPandas)",
     "multimodal_scene_cut": "frame-delta walk over binary payloads (mapInPandas)",
     "dedup_video_temporal": (
@@ -98,6 +102,10 @@ GROUPED_PYTHON_OK = {
     "dedup_embedding_cosine": (
         "applyInPandas per CENTROID BLOCK: group count = K centroids, each"
         " group a blocked candidate set, not the corpus (dedup.py)"
+    ),
+    "dedup_incremental_embedding": (
+        "applyInPandas per delta-touched label block; kernel is delta_rows"
+        " x block_rows, never block² (embedding_incremental.py)"
     ),
     "dedup_semantic": (
         "applyInPandas per SemDedup cluster: K-seed blocking bounds each"
