@@ -20,6 +20,18 @@ of declared near-copy the bigger risk, so the protocol lives here once:
 
 The registry staleness scanner follows this import, so an edit here
 correctly stales every layout-backed query's driver row.
+
+:func:`vacuum_warehouse` is the protocol's RETENTION step (round 11): the
+daily roll-forward loop (operators/incremental_batch.py,
+embedding_incremental.py, fingerprint_incremental.py) keys version N+1's
+artifacts to new names, so superseded versions, superseded policies, and
+dead sessions' pid-diverted copies accumulate until something drops them.
+Vacuum drops exactly the provably-unservable: tables whose embedded
+corpus signature is outside the caller's retained set, and pid-diverted
+copies whose owning process is dead — never an in-progress build (live
+lock), never a live sibling's table (owner marker), and always under the
+same build lock a builder would take, so a drop can never race a
+concurrent rebuild of the same name.
 """
 
 from __future__ import annotations
@@ -27,6 +39,7 @@ from __future__ import annotations
 import errno
 import hashlib
 import os
+import re
 import threading
 import time
 from collections.abc import Callable
@@ -312,3 +325,100 @@ def ensure_table(
         return name
     finally:
         _release_build_lock(lock)
+
+
+_DIVERT_RE = re.compile(r"^(?P<base>_bks_.+?)(?:_p(?P<pid>\d+))?$")
+
+
+def vacuum_warehouse(
+    spark: SparkSession,
+    *,
+    retain_tokens: set[str] | None = None,
+    retain_names: tuple[str, ...] = (),
+    prefix: str = "_bks_",
+    dry_run: bool = False,
+) -> list[str]:
+    """Drop superseded build-once artifacts from the warehouse; returns the
+    dropped (or, with ``dry_run``, droppable) table names.
+
+    Candidates are warehouse entries starting with ``prefix``. An entry is
+    dropped iff it is PROVABLY unservable by the retention policy:
+
+    - its pid-divert suffix (``_p<pid>``, the live-sibling divert of
+      :func:`ensure_table`) names a DEAD process — a diverted copy only
+      ever existed in that process's in-memory catalog; or
+    - ``retain_tokens`` is given and NONE of the name's ``_``-separated
+      components (divert suffix stripped) is in it. Every artifact name
+      in the package is ``_bks_<family>_<policy-token>_<corpus-sig>`` (or
+      ``_bks_<family>_<corpus-sig>``), so ``retain_tokens={corpus_sig(d,
+      ...) for live fixture dirs}`` keeps every artifact of the corpora
+      still served and drops those of regenerated/retired fixtures. The
+      daily roll-forward loop instead scopes by family and pins exact
+      names: ``vacuum_warehouse(spark, prefix="_bks_digests_",
+      retain_tokens=set(), retain_names=(v_n, v_n1))`` drops every digest
+      artifact except version N and the freshly rolled N+1 (an empty
+      token set retains nothing by token, so only the pins survive).
+
+    Never dropped, in precedence order: entries named in ``retain_names``
+    (exact pins, e.g. the names the loop's ensure_*/roll_forward_* calls
+    just returned); locations whose build lock has a LIVE holder
+    (in-progress build — including this process's own threads); locations
+    whose owner marker names a LIVE sibling process (its catalog still
+    serves them). The drop itself runs under the location's build lock,
+    so it cannot race a builder that decides to (re)create the same name
+    mid-vacuum; the catalog entry (if this process has one) goes first,
+    then the directory.
+
+    Deployment note: on a lakehouse catalog this maps to ``DROP TABLE`` +
+    object-store lifecycle rules; the protocol invariant carried over is
+    that retention keys on the NAME's tokens — vacuum never inspects
+    table contents, so it can never confuse two versions that differ only
+    in bytes.
+    """
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    dropped: list[str] = []
+    for entry in sorted(os.listdir(wh)):
+        if not entry.startswith(prefix) or entry.endswith(_LOCK_SUFFIX):
+            continue
+        loc = os.path.join(wh, entry)
+        if not os.path.isdir(loc) or entry in retain_names:
+            continue
+        holder = _lock_holder(loc + _LOCK_SUFFIX)
+        if holder is not None and _pid_alive(holder):
+            continue  # in-progress build
+        owner = _location_owner(loc)
+        if owner is not None and owner != os.getpid() and _pid_alive(owner):
+            continue  # a live sibling session serves this
+        m = _DIVERT_RE.match(entry)
+        if m is None:
+            continue
+        divert_pid = m.group("pid")
+        dead_divert = divert_pid is not None and not _pid_alive(int(divert_pid))
+        unretained = retain_tokens is not None and not (
+            set(m.group("base").split("_")) & retain_tokens
+        )
+        if not (dead_divert or unretained):
+            continue
+        if dry_run:
+            dropped.append(entry)
+            continue
+        lock = _acquire_build_lock(loc)
+        if lock is None:
+            continue  # a live builder claimed it while we decided: keep
+        try:
+            # re-check under the lock: a build that finished while we
+            # waited re-stamps the owner marker
+            owner = _location_owner(loc)
+            if owner is not None and owner != os.getpid() and _pid_alive(owner):
+                continue
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS `{entry}`")
+            except Exception:
+                pass  # no catalog entry in this process — directory-only
+            shutil.rmtree(loc, ignore_errors=True)
+            dropped.append(entry)
+        finally:
+            _release_build_lock(lock)
+    return dropped

@@ -289,3 +289,115 @@ def test_fake_client_cache_invalidates_on_rewrite(tmp_path):
     with open(os.path.join(d, "shard-0002.json"), "w", encoding="utf-8") as f:
         json.dump([], f)
     assert "shard-0002" in list(c3.shards)
+
+
+# --------------------------------------------------- warehouse retention
+def _mk_table(spark, name):
+    return ensure_table(
+        spark, name, lambda: spark.createDataFrame(pd.DataFrame({"k": [1]}))
+    )
+
+
+def test_vacuum_drops_unretained_and_dead_diverts_only(spark):
+    """Retention semantics of vacuum_warehouse (round 11): stale-token
+    tables and dead-pid diverted copies drop; pinned names, live-lock
+    builds, and live-sibling-owned locations survive; dry_run previews
+    without dropping."""
+    import shutil
+
+    from broadway_kinesis_spark.functions.table_build import (
+        _OWNER_MARKER,
+        vacuum_warehouse,
+    )
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    keep_sig, old_sig = "a" * 10, "b" * 10
+    kept = _mk_table(spark, f"_bks_vact_keep_{keep_sig}")
+    stale = _mk_table(spark, f"_bks_vact_old_{old_sig}")
+    pinned = _mk_table(spark, f"_bks_vact_pin_{old_sig}")
+    # dead-pid diverted copy: directory only (its catalog died with it)
+    divert = f"_bks_vact_div_{keep_sig}_p{_dead_pid()}"
+    os.makedirs(os.path.join(wh, divert), exist_ok=True)
+    # live sibling's finished table, stale token: must survive
+    live = _spawn_live_pid()
+    sib = f"_bks_vact_sib_{old_sig}"
+    os.makedirs(os.path.join(wh, sib), exist_ok=True)
+    with open(os.path.join(wh, sib, _OWNER_MARKER), "w") as f:
+        f.write(str(live.pid))
+    # in-progress build (live lock), stale token: must survive
+    building = f"_bks_vact_bld_{old_sig}"
+    os.makedirs(os.path.join(wh, building), exist_ok=True)
+    with open(os.path.join(wh, building) + ".building", "w") as f:
+        f.write(str(os.getpid()))
+    try:
+        expected = {stale, divert}
+        dry = vacuum_warehouse(
+            spark,
+            retain_tokens={keep_sig},
+            retain_names=(pinned,),
+            prefix="_bks_vact",
+            dry_run=True,
+        )
+        assert set(dry) == expected
+        assert spark.catalog.tableExists(stale)  # dry_run dropped nothing
+        dropped = vacuum_warehouse(
+            spark,
+            retain_tokens={keep_sig},
+            retain_names=(pinned,),
+            prefix="_bks_vact",
+        )
+        assert set(dropped) == expected
+        assert not spark.catalog.tableExists(stale)
+        assert not os.path.isdir(os.path.join(wh, stale))
+        assert not os.path.isdir(os.path.join(wh, divert))
+        for surviving in (kept, pinned, sib, building):
+            assert os.path.isdir(os.path.join(wh, surviving)), surviving
+        assert spark.table(kept).count() == 1  # still servable
+        # without retain_tokens only dead diverts are candidates -> none left
+        assert vacuum_warehouse(spark, prefix="_bks_vact") == []
+    finally:
+        live.kill()
+        live.wait()
+        for n in (kept, stale, pinned):
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+        for d in (kept, pinned, sib, building, divert):
+            shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+        try:
+            os.unlink(os.path.join(wh, building) + ".building")
+        except OSError:
+            pass
+
+
+def test_vacuum_is_the_roll_forward_retention_step(spark, sf_dir):
+    """The daily-loop idiom: after rolling version N's digest artifact to
+    N+1, a family-scoped vacuum with exact-name pins drops version N-1
+    and keeps exactly {N, N+1}; the survivors still serve."""
+    from broadway_kinesis_spark.functions.table_build import vacuum_warehouse
+    from broadway_kinesis_spark.operators.incremental_batch import (
+        ensure_corpus_digests,
+        incremental_digest_dedup,
+        roll_forward_digests,
+    )
+
+    v_prev = ensure_corpus_digests(spark, sf_dir, 350)  # version N-1
+    v_n = ensure_corpus_digests(spark, sf_dir, 400)
+    v_n1 = roll_forward_digests(spark, sf_dir, 400, 450)
+    dropped = vacuum_warehouse(
+        spark,
+        prefix="_bks_digests_",
+        retain_tokens=set(),
+        retain_names=(v_n, v_n1),
+    )
+    assert v_prev in dropped and v_n not in dropped and v_n1 not in dropped
+    assert not spark.catalog.tableExists(v_prev)
+    # the retained artifacts still serve the probe
+    got = {
+        tuple(r)
+        for r in incremental_digest_dedup(
+            spark, sf_dir, 450, digests_tbl=v_n1
+        ).collect()
+    }
+    assert got == {
+        tuple(r)
+        for r in incremental_digest_dedup(spark, sf_dir, 450).collect()
+    }
