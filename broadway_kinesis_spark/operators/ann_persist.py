@@ -67,18 +67,27 @@ def _index_dir(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"bks_ivf_index_{digest}")
 
 
-def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+def build_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    boundary: int | None = None,
+) -> None:
     """Train + persist the IVF index (idempotent, atomic).
 
     Centroids: per-`label` means, each component quantized to 2^-40 units,
     summed as primitive longs, divided by an exact power of two — the same
     math as the in-plan operator, so the stored index is bit-reproducible.
     Postings: the vectors plus their precomputed norms, hash-partitioned on
-    disk by cluster id.
+    disk by cluster id. With ``boundary``, both train and populate on
+    ``vec_id < boundary`` only — the version-N index of the incremental
+    family (operators/ann_incremental.py).
     """
     if os.path.isdir(os.path.join(index_dir, "centroids.parquet")):
         return
     e = load(spark, sf_dir, "embeddings")
+    if boundary is not None:
+        e = e.filter(F.col("vec_id") < boundary)
     v = F.col("embedding").cast("array<double>")
     e = e.select("vec_id", "label", v.alias("v"), F.sqrt(_dot(v, v)).alias("nrm"))
 
@@ -116,15 +125,20 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
         raise
 
 
-@query(
-    "similarity_ann_ivf_persisted",
-    oracle=f"""
+def ivf_oracle_sql(centroid_pred: str = "TRUE") -> str:
+    """The from-scratch DuckDB mirror of an IVF probe. ``centroid_pred``
+    bounds the TRAINING population (the incremental family trains on
+    version N only — frozen coarse quantizer — while candidates span the
+    whole corpus); the default trains on everything, the persisted
+    query's semantics."""
+    return f"""
     WITH e AS (
         SELECT vec_id, label, embedding::DOUBLE[] AS v,
                sqrt(list_sum(list_transform(list_zip(embedding::DOUBLE[], embedding::DOUBLE[]), x -> x[1]*x[2]))) AS nrm
         FROM embeddings
     ), expl AS (
-        SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e
+        SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+        FROM e WHERE {centroid_pred}
     ), cdim AS (
         SELECT label, pos,
                CAST(SUM(CAST(FLOOR(x * 1099511627776.0 + 0.5) AS BIGINT)) AS DOUBLE)
@@ -156,8 +170,10 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
             JOIN e c ON c.label = p.label AND c.vec_id <> p.query_id
         )
     ) WHERE rn <= {K}
-    """,
-)
+    """
+
+
+@query("similarity_ann_ivf_persisted", oracle=ivf_oracle_sql())
 def similarity_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN against the PERSISTED index: ensure the index exists (first
     call trains it; later calls — and later processes — reuse it), then
@@ -168,7 +184,14 @@ def similarity_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     query stream."""
     index_dir = _index_dir(sf_dir)
     build_ivf_index(spark, sf_dir, index_dir)
+    return probe_ivf_index(spark, sf_dir, index_dir)
 
+
+def probe_ivf_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> DataFrame:
+    """Serve the probe from a stored index directory (any builder:
+    :func:`build_ivf_index` or the incremental family's roll-forward)."""
     cent = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
     e = load(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")

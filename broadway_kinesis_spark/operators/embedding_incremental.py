@@ -145,16 +145,28 @@ def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_embedding_pairs(spark, sf_dir)
 
 
+#: delta rows scored per kernel step: bounds the transient similarity
+#: matrix at chunk x block_rows x 8 bytes regardless of block size (at a
+#: 20 k-row block: ~650 MB), the "a block must fit one task" posture made
+#: chunk-exact.
+_KERNEL_CHUNK = 4096
+
+
 def incremental_embedding_pairs(
     spark: SparkSession,
     sf_dir: str,
     boundary: int = BOUNDARY,
     norms_tbl: str | None = None,
+    threshold: float = COS_T,
 ) -> DataFrame:
     """Parameterized body of ``dedup_incremental_embedding`` — scale runs
     place ``boundary`` per corpus; ``norms_tbl`` overrides the version-N
     artifact with a :func:`roll_forward_embedding_norms` fold so day
-    D+1's delta runs on day D's fold.
+    D+1's delta runs on day D's fold. ``threshold`` is a PER-CORPUS
+    property (the round-7 split lesson, BASELINE.md: on clustered
+    embeddings a fixture-tuned 0.35 reports topic membership, not
+    duplication — scale corpora measure at their own near-identical
+    ridge, e.g. 0.99).
 
     Shape: delta normalizes fresh; stored side semi-join-prunes to the
     delta's labels (broadcast — a delta's distinct label set is small);
@@ -177,7 +189,7 @@ def incremental_embedding_pairs(
     blocks = old.withColumn("is_delta", F.lit(False)).unionByName(
         delta.withColumn("is_delta", F.lit(True))
     )
-    slack = COS_T - 1e-9
+    slack = threshold - 1e-9
 
     def probe_block(pdf: "pd.DataFrame") -> "pd.DataFrame":
         d_mask = pdf["is_delta"].to_numpy()
@@ -190,11 +202,20 @@ def incremental_embedding_pairs(
         # delta rows x ALL rows — O(|delta_block| * |block| * dim), never
         # the inline twin's block². Keep (other < delta): old-delta pairs
         # (old ids all < boundary <= delta ids) and each delta-delta pair
-        # exactly once (at i = its larger side).
-        sim = ud @ u.T
-        keep = (sim >= slack) & (ids[None, :] < idd[:, None])
-        i, j = np.nonzero(keep)
-        return pd.DataFrame({"vec1": ids[j], "vec2": idd[i]})
+        # exactly once (at i = its larger side). Chunked over the delta
+        # rows so the transient sim matrix is bounded by _KERNEL_CHUNK x
+        # block_rows whatever the block size.
+        outs = []
+        for c in range(0, len(idd), _KERNEL_CHUNK):
+            sim = ud[c : c + _KERNEL_CHUNK] @ u.T
+            keep = (sim >= slack) & (
+                ids[None, :] < idd[c : c + _KERNEL_CHUNK, None]
+            )
+            i, j = np.nonzero(keep)
+            outs.append(
+                pd.DataFrame({"vec1": ids[j], "vec2": idd[c + i]})
+            )
+        return pd.concat(outs, ignore_index=True)
 
     cand = blocks.groupBy("label").applyInPandas(
         probe_block, "vec1 long, vec2 long"
@@ -216,5 +237,5 @@ def incremental_embedding_pairs(
     pairs = cand.join(a, "vec1").join(b, "vec2")
     cos = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
     return pairs.select("vec1", "vec2", cos.alias("cos_sim")).filter(
-        F.col("cos_sim") >= COS_T
+        F.col("cos_sim") >= threshold
     )

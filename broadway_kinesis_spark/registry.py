@@ -73,6 +73,7 @@ def _load_all_modules() -> None:
     # tests catch it.
     from broadway_kinesis_spark.operators import (  # noqa: F401
         aggregates,
+        ann_incremental,
         ann_persist,
         ann_report,
         asof,
@@ -154,20 +155,23 @@ _PRIORITY: tuple[str, ...] = (
     # the incremental loop to the embedding + fingerprint channels
     "dedup_split_incremental_assign",
     "dedup_incremental_embedding", "dedup_incremental_imagehash",
+    "similarity_ann_ivf_incremental",
     # (b) staled this round: functions/table_build.py's errno-scoped
     # lock fallback (ADVICE r10 — stales every layout-backed query: the
     # split family, the bucketed join/pagerank twins, the
     # partition-pruned scan); operators/incremental_batch.py's
     # roll-forward additions + probe-table overrides (stales the
     # incremental pair); operators/dedup_persist.py's docstring
-    # measurement citation (stales the persisted pair tiers)
+    # measurement citation (stales the persisted pair tiers);
+    # operators/ann_persist.py's bounded-training + extracted-probe
+    # refactor (stales the persisted IVF probe)
     "dedup_containment_bottomk_persisted", "dedup_incremental_ngram",
     "dedup_incremental_persisted", "dedup_ngram_jaccard_persisted",
     "dedup_split_leakage_safe", "dedup_split_leakage_safe_persisted",
     "dedup_split_leakage_safe_tiered",
     "dedup_split_leakage_safe_tiered_persisted",
     "graph_pagerank", "graph_pagerank_bucketed", "join_bucketed",
-    "scan_partition_pruned",
+    "scan_partition_pruned", "similarity_ann_ivf_persisted",
     # (c) filler, oldest green first: the FULL round-6 cohort (26 — the
     # stalest greens, all independently HEAD-re-verified by the round-10
     # judge), then the round-7 cohort alphabetically (first 11 of 21)
@@ -183,17 +187,17 @@ _PRIORITY: tuple[str, ...] = (
     "udf_table_function", "window_cumulative_distinct",
     "agg_sketch_merge", "agg_string_concat", "cdc_merge_upsert",
     "composite_ann_recall", "dedup_boilerplate", "dedup_exact_rows",
-    "dedup_keep_first", "filter_null_semantics", "funnel_conversion",
+    "dedup_keep_first",
     )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot
-# window cannot hold. Round 11: EMPTY — demand is 15 (3 new operators: the
-# incremental split assignment plus the embedding/fingerprint incremental
-# channels, + 12 staled by this round's table_build/incremental_batch/
-# dedup_persist edits), leaving 35 slots of oldest-green filler (counts per
-# test_registry_window.py, the source of truth). test_registry_window.py
-# keeps enforcing that any future overflow must be declared here
-# explicitly.
+# window cannot hold. Round 11: EMPTY — demand is 17 (4 new operators: the
+# incremental split assignment plus the embedding/fingerprint/IVF
+# incremental channels, + 13 staled by this round's table_build/
+# incremental_batch/dedup_persist/ann_persist edits), leaving 33 slots of
+# oldest-green filler (counts per test_registry_window.py, the source of
+# truth). test_registry_window.py keeps enforcing that any future overflow
+# must be declared here explicitly.
 _DEFERRED: tuple[str, ...] = ()
 
 

@@ -336,3 +336,69 @@ def test_incremental_phash_randomized_mirror(spark):
         _write_docs(td, spark, list(texts.items()))
         got = _rows(incremental_phash_pairs(spark, td, boundary=b))
     assert got == expected
+
+
+# ------------------------------------------------------ IVF roll-forward
+def test_roll_forward_ivf_frozen_centroids_full_postings(spark, sf_dir):
+    """The FAISS-add contract as a fence: the rolled index's centroids are
+    BITWISE version N's (frozen quantizer), its postings are exactly
+    version N ∪ delta, and the fold is idempotent per (corpus,
+    boundaries)."""
+    import os
+
+    from broadway_kinesis_spark.operators.ann_incremental import (
+        ensure_version_index,
+        roll_forward_ivf_index,
+    )
+
+    rolled = roll_forward_ivf_index(spark, sf_dir, 400, 450)
+    v_n = ensure_version_index(spark, sf_dir, 400)
+    assert rolled != v_n
+    assert roll_forward_ivf_index(spark, sf_dir, 400, 450) == rolled
+    cent = lambda d: {  # noqa: E731
+        (r.label, tuple(r.cv))
+        for r in spark.read.parquet(os.path.join(d, "centroids.parquet")).collect()
+    }
+    assert cent(rolled) == cent(v_n)
+    post_ids = {
+        r.vec_id
+        for r in spark.read.parquet(
+            os.path.join(rolled, "postings.parquet")
+        ).collect()
+    }
+    from broadway_kinesis_spark.session import load
+
+    want = {
+        r.vec_id
+        for r in load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 450)
+        .collect()
+    }
+    assert post_ids == want
+
+
+def test_ivf_rolled_index_serves_planted_delta_neighbor(spark):
+    """A delta vector identical to a query's direction must be served
+    from the rolled index through version-N geometry — the 'new vectors
+    findable without retrain' claim, planted."""
+    from broadway_kinesis_spark.operators.ann_incremental import (
+        roll_forward_ivf_index,
+    )
+    from broadway_kinesis_spark.operators.ann_persist import probe_ivf_index
+    from broadway_kinesis_spark.operators.similarity import N_QUERIES
+
+    dim = 16
+    e = np.eye(dim)
+    # 5 tight label clusters (all members = the label's basis vector), 25
+    # old vectors covering the N_QUERIES query ids
+    rows = [(i, i % 5, e[i % 5]) for i in range(25)]
+    assert len([r for r in rows if r[0] < N_QUERIES]) == N_QUERIES
+    rows.append((1000, 0, e[0]))  # the delta: exactly query 0's direction
+    with tempfile.TemporaryDirectory() as td:
+        _write_embeddings(td, spark, rows)
+        rolled = roll_forward_ivf_index(spark, td, 1000, None)
+        got = {
+            (r.query_id, r.cand_id)
+            for r in probe_ivf_index(spark, td, rolled).collect()
+        }
+    assert (0, 1000) in got  # the delta vector is served for query 0

@@ -41,6 +41,9 @@ CARTESIAN_OK = {
     "agg_quantile_histogram": "3-row quantile-literal join vs cum>=thresh",
     "window_rolling_distinct": "day-sketch range self-join (tiny summary)",
     "similarity_ann_ivf_persisted": "stored K-row centroid broadcast",
+    "similarity_ann_ivf_incremental": (
+        "same stored K-row centroid broadcast, served from the rolled index"
+    ),
     "dedup_boilerplate": "boiler-segment array as a 1-row broadcast",
     "pipeline_clean_corpus": "composes the 1-row quality-profile anchor",
     "mine_hard_negatives": "anchor-matrix scalar anchors (N_ANCHORS rows)",

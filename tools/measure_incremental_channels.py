@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Scale rows for the round-11 embedding/fingerprint incremental channels.
+
+Usage: python tools/measure_incremental_channels.py <corpus_dir> <label> [sections]
+       (e.g. /tmp/sf_fresh_x10 x10 emb,ph,ivf — default all)
+
+Per channel, at a 90/10 old/delta boundary on the fresh corpus
+(tools/make_fresh_corpus.py — replication-free, sparse planted dups):
+
+- one-time version-N artifact build (the cost a daily loop pays once);
+- the delta probe (the steady-state serving cost);
+- the full from-scratch comparator: the same kernel at boundary=0
+  (everything is delta, stored side empty — exactly the inline channel's
+  work: block² for embeddings, full decode + banded self-join for
+  fingerprints);
+- the roll-forward fold (N-1 -> N, delta-bounded) vs the from-scratch
+  version-N build already timed.
+
+The embedding channel measures at threshold 0.99 — the per-corpus ridge
+discipline (BASELINE.md round-7 split lesson: on clustered embeddings the
+fixture's 0.35 reports topic MEMBERSHIP; the fresh corpus plants ~0.5%
+near-identical pairs that sit above 0.99 while the topic background sits
+far below it). The fingerprint channel keeps HAM_T (Hamming budgets are
+structural, not density-tuned).
+
+Prints one JSON line; rows land in BASELINE.md §round-11.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from broadway_kinesis_spark.operators.embedding_incremental import (  # noqa: E402
+    ensure_embedding_norms,
+    incremental_embedding_pairs,
+    roll_forward_embedding_norms,
+)
+from broadway_kinesis_spark.operators.fingerprint_incremental import (  # noqa: E402
+    ensure_phash_bands,
+    incremental_phash_pairs,
+    roll_forward_phash_bands,
+)
+from broadway_kinesis_spark.session import build_session  # noqa: E402
+
+EMB_T = 0.99  # per-corpus near-identical ridge for the fresh corpus
+
+
+def timed(fn):
+    t0 = time.monotonic()
+    out = fn()
+    return round(time.monotonic() - t0, 1), out
+
+
+def main() -> None:
+    corpus = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf_fresh_x10"
+    label = sys.argv[2] if len(sys.argv) > 2 else "x?"
+    sections = (sys.argv[3] if len(sys.argv) > 3 else "emb,ph,ivf").split(",")
+    spark = build_session(app_name="incr-channels-measure")
+    out: dict = {"corpus": corpus, "label": label, "loadavg1": os.getloadavg()[0]}
+
+    n_vecs = spark.read.parquet(os.path.join(corpus, "embeddings.parquet")).count()
+    b90, b80 = int(n_vecs * 0.9), int(n_vecs * 0.8)
+
+    if "ivf" in sections:
+        # frozen-quantizer fold vs FULL retrain (build_ivf_index over the
+        # whole corpus into a fresh dir)
+        import shutil
+        import tempfile
+
+        from broadway_kinesis_spark.operators.ann_incremental import (
+            _dir,
+            ensure_version_index,
+            roll_forward_ivf_index,
+        )
+        from broadway_kinesis_spark.operators.ann_persist import (
+            build_ivf_index,
+            probe_ivf_index,
+        )
+
+        # fresh timings: the index dirs are deterministic and idempotent,
+        # so a prior run's artifacts would zero the build/fold numbers
+        shutil.rmtree(_dir(corpus, f"v{b90}"), ignore_errors=True)
+        shutil.rmtree(_dir(corpus, f"rf-v{b90}-vNone"), ignore_errors=True)
+        out["ivf_n"] = n_vecs
+        out["ivf_vn_build_s"], _ = timed(
+            lambda: ensure_version_index(spark, corpus, b90)
+        )
+        out["ivf_fold_s"], rolled = timed(
+            lambda: roll_forward_ivf_index(spark, corpus, b90, None)
+        )
+        retrain_dir = os.path.join(tempfile.gettempdir(), f"bks_ivf_retrain_{label}")
+        shutil.rmtree(retrain_dir, ignore_errors=True)
+        out["ivf_retrain_s"], _ = timed(
+            lambda: build_ivf_index(spark, corpus, retrain_dir)
+        )
+        out["ivf_probe_rolled_s"], out["ivf_probe_rows"] = timed(
+            lambda: probe_ivf_index(spark, corpus, rolled).count()
+        )
+
+    if "emb" in sections:
+        out["emb_n"] = n_vecs
+        out["emb_build_s"], _ = timed(
+            lambda: ensure_embedding_norms(spark, corpus, b90)
+        )
+        out["emb_probe_s"], out["emb_probe_pairs"] = timed(
+            lambda: incremental_embedding_pairs(
+                spark, corpus, b90, threshold=EMB_T
+            ).count()
+        )
+        out["emb_full_s"], out["emb_full_pairs"] = timed(
+            lambda: incremental_embedding_pairs(
+                spark, corpus, 0, threshold=EMB_T
+            ).count()
+        )
+        ensure_embedding_norms(spark, corpus, b80)  # version N-1, untimed
+        out["emb_fold_s"], _ = timed(
+            lambda: roll_forward_embedding_norms(spark, corpus, b80, b90)
+        )
+
+    if "ph" in sections:
+        n_docs = spark.read.parquet(
+            os.path.join(corpus, "documents.parquet")
+        ).count()
+        d90, d80 = int(n_docs * 0.9), int(n_docs * 0.8)
+        out["ph_n"] = n_docs
+        out["ph_build_s"], _ = timed(lambda: ensure_phash_bands(spark, corpus, d90))
+        out["ph_probe_s"], out["ph_probe_pairs"] = timed(
+            lambda: incremental_phash_pairs(spark, corpus, d90).count()
+        )
+        out["ph_full_s"], out["ph_full_pairs"] = timed(
+            lambda: incremental_phash_pairs(spark, corpus, 0).count()
+        )
+        ensure_phash_bands(spark, corpus, d80)  # version N-1, untimed
+        out["ph_fold_s"], _ = timed(
+            lambda: roll_forward_phash_bands(spark, corpus, d80, d90)
+        )
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
