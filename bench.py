@@ -150,6 +150,16 @@ HEADLINE = [
     "dedup_ngram_jaccard_persisted",
     "dedup_containment_bottomk_persisted",
     "dedup_incremental_persisted",
+    # Round-11 session-2 addition: the rolled-IVF serving path (run 1 pays
+    # the version-N build + fold, the min is steady-state serving; DuckDB
+    # recomputes the bounded-training contract from scratch every run —
+    # serve vs recompute, the ann_persisted protocol). The embedding /
+    # fingerprint incremental probes stay OUT for dedup_incremental_ngram's
+    # reason verbatim: the registered fixture boundary 400 makes sf0.1 an
+    # 80% / 92%-delta geometry that measures a near-full recompute, not
+    # the deployment shape; their measured story is BASELINE.md's 90/10
+    # x10/x100 rows (round-11 session-2 table).
+    "similarity_ann_ivf_incremental",
 ]
 
 

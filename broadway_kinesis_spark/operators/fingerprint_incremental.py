@@ -211,23 +211,29 @@ def incremental_phash_pairs(
     )
     d = load(spark, sf_dir, "documents")
     # One decode pass for the delta, shared by the probe side and the
-    # a-side union (two consumers — the inline twin's cache pattern; the
-    # cached set is delta-bounded by construction).
+    # new-new self-join (two consumers — the inline twin's cache pattern;
+    # the cached set is delta-bounded by construction).
     delta_bands = _band_rows(
         _fingerprints(d.filter(F.col("doc_id") >= boundary))
     ).cache()
-    a = stored.unionByName(delta_bands).select(
-        F.col("media_id").alias("m1"),
-        *[F.col(f"w{i}").alias(f"a{i}") for i in range(_N_WORDS)],
-        "bkeyc",
-    )
-    b = delta_bands.select(
-        F.col("media_id").alias("m2"),
-        *[F.col(f"w{i}").alias(f"b{i}") for i in range(_N_WORDS)],
-        "bkeyc",
-    )
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col("media_id").alias(f"m{tag}"),
+            *[F.col(f"w{i}").alias(f"{'a' if tag == '1' else 'b'}{i}") for i in range(_N_WORDS)],
+            "bkeyc",
+        )
+
+    b = side(delta_bands, "2")
+    # Stored side joins FIRST, before any union: the bucketed layout's
+    # HashPartitioning(bkeyc) satisfies the join distribution, so only
+    # the delta side exchanges — the stored scan never shuffles (the
+    # ngram probe's plan order, incremental_batch.py). New-new pairs come
+    # from the delta's own self-join, union'd AFTER.
+    old_cand = side(stored, "1").join(b, "bkeyc")
+    new_cand = side(delta_bands, "1").join(b, "bkeyc")
     cand = (
-        a.join(b, "bkeyc")
+        old_cand.unionByName(new_cand)
         .filter(F.col("m1") < F.col("m2"))
         .select(
             "m1",

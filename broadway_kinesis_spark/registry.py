@@ -107,6 +107,7 @@ def _load_all_modules() -> None:
         incremental_batch,
         interpolate,
         joins,
+        minhash_incremental,
         multimodal,
         paragraphs,
         partitioned,
@@ -155,7 +156,7 @@ _PRIORITY: tuple[str, ...] = (
     # the incremental loop to the embedding + fingerprint channels
     "dedup_split_incremental_assign",
     "dedup_incremental_embedding", "dedup_incremental_imagehash",
-    "similarity_ann_ivf_incremental",
+    "dedup_incremental_minhash", "similarity_ann_ivf_incremental",
     # (b) staled this round: functions/table_build.py's errno-scoped
     # lock fallback (ADVICE r10 — stales every layout-backed query: the
     # split family, the bucketed join/pagerank twins, the
@@ -187,14 +188,13 @@ _PRIORITY: tuple[str, ...] = (
     "udf_table_function", "window_cumulative_distinct",
     "agg_sketch_merge", "agg_string_concat", "cdc_merge_upsert",
     "composite_ann_recall", "dedup_boilerplate", "dedup_exact_rows",
-    "dedup_keep_first",
     )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot
-# window cannot hold. Round 11: EMPTY — demand is 17 (4 new operators: the
-# incremental split assignment plus the embedding/fingerprint/IVF
+# window cannot hold. Round 11: EMPTY — demand is 18 (5 new operators: the
+# incremental split assignment plus the embedding/fingerprint/minhash/IVF
 # incremental channels, + 13 staled by this round's table_build/
-# incremental_batch/dedup_persist/ann_persist edits), leaving 33 slots of
+# incremental_batch/dedup_persist/ann_persist edits), leaving 32 slots of
 # oldest-green filler (counts per test_registry_window.py, the source of
 # truth). test_registry_window.py keeps enforcing that any future overflow
 # must be declared here explicitly.

@@ -402,3 +402,129 @@ def test_ivf_rolled_index_serves_planted_delta_neighbor(spark):
             for r in probe_ivf_index(spark, td, rolled).collect()
         }
     assert (0, 1000) in got  # the delta vector is served for query 0
+
+
+# -------------------------------------------------- minhash roll-forward
+def test_roll_forward_minhash_bands_equals_scratch(spark, sf_dir):
+    from broadway_kinesis_spark.operators.minhash_incremental import (
+        ensure_minhash_bands,
+        roll_forward_minhash_bands,
+    )
+
+    rolled = roll_forward_minhash_bands(spark, sf_dir, 400, 450)
+    scratch = ensure_minhash_bands(spark, sf_dir, 450)
+    assert rolled != scratch
+    assert roll_forward_minhash_bands(spark, sf_dir, 400, 450) == rolled
+    assert _rows(spark.table(rolled)) == _rows(spark.table(scratch))
+
+
+def test_probe_on_rolled_minhash_bands_matches_scratch(spark, sf_dir):
+    from broadway_kinesis_spark.operators.minhash_incremental import (
+        incremental_minhash_pairs,
+        roll_forward_minhash_bands,
+    )
+
+    rolled = roll_forward_minhash_bands(spark, sf_dir, 400, 450)
+    got = _rows(incremental_minhash_pairs(spark, sf_dir, 450, bands_tbl=rolled))
+    want = _rows(incremental_minhash_pairs(spark, sf_dir, 450))
+    assert got == want
+
+
+def test_incremental_minhash_matches_inline_restricted(spark, sf_dir):
+    from broadway_kinesis_spark.operators.minhash_incremental import (
+        BOUNDARY,
+        incremental_minhash_pairs,
+    )
+
+    got = _rows(incremental_minhash_pairs(spark, sf_dir))
+    want = _rows(
+        QUERIES["dedup_minhash_lsh"](spark, sf_dir).filter(
+            F.col("d2") >= BOUNDARY
+        )
+    )
+    assert got == want
+
+
+def _minhash_mirror_pairs(texts: dict[int, str], boundary: int) -> set:
+    """Pure-python mirror of the banded-MinHash channel restricted to
+    delta-touching pairs: salted-md5 signatures over 3-gram shingles
+    (with repetition — min is duplicate-insensitive), md5 band keys,
+    band-collision candidates, exact-Jaccard verify. Deterministic, so
+    the Spark probe must equal it exactly (including LSH misses: a true
+    pair that collides in no band is absent from BOTH)."""
+    import hashlib as _h
+
+    from broadway_kinesis_spark.operators.dedup import BAND_R, JACCARD_T, N_SIG
+
+    def shingles(t: str) -> list[str]:
+        toks = t.lower().split(" ")
+        return [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+
+    def bands(t: str) -> set:
+        sh = shingles(t)
+        if not sh:
+            return set()
+        sig = [
+            min(_h.md5(f"{s}:{g}".encode()).hexdigest() for g in sh)
+            for s in range(N_SIG)
+        ]
+        return {
+            (b, _h.md5("".join(sig[b * BAND_R : (b + 1) * BAND_R]).encode()).hexdigest())
+            for b in range(N_SIG // BAND_R)
+        }
+
+    bnd = {d: bands(t) for d, t in texts.items()}
+    sets = {d: set(shingles(t)) for d, t in texts.items()}
+    out = set()
+    ids = sorted(texts)
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            if d2 < boundary or not (bnd[d1] & bnd[d2]):
+                continue
+            inter = len(sets[d1] & sets[d2])
+            union = len(sets[d1]) + len(sets[d2]) - inter
+            if union and inter / union >= JACCARD_T:
+                out.add((d1, d2, inter / union))
+    return out
+
+
+def test_incremental_minhash_randomized_mirror(spark):
+    """Randomized corpus with planted cross-boundary and within-delta
+    near-dups vs the pure-python mirror; also pins the old-old exclusion
+    (the planted old-old exact pair is absent)."""
+    from tests.test_round7_ops import _write_docs
+
+    from broadway_kinesis_spark.operators.minhash_incremental import (
+        incremental_minhash_pairs,
+    )
+
+    rng = random.Random(1108)
+    vocab = [f"w{i}" for i in range(60)]
+    b = 1000
+
+    def doc(n_lo=20, n_hi=60) -> str:
+        return " ".join(
+            vocab[rng.randrange(60)] for _ in range(rng.randrange(n_lo, n_hi))
+        )
+
+    texts: dict[int, str] = {i: doc() for i in range(30)}
+    texts.update({i: doc() for i in range(1000, 1020)})
+    texts[5] = texts[4]  # old-old exact pair: must NOT appear
+    texts[1020] = texts[7]  # delta copy of an old doc
+    toks = texts[9].split(" ")
+    toks[3] = "zzz"
+    texts[1021] = " ".join(toks)  # delta near-dup of an old doc
+    texts[1022] = texts[1001]  # delta-delta exact pair
+    expected = _minhash_mirror_pairs(texts, b)
+    assert {(7, 1020), (1001, 1022)} <= {p[:2] for p in expected}
+    assert not any(p[:2] == (4, 5) for p in expected)
+    with tempfile.TemporaryDirectory() as td:
+        _write_docs(td, spark, list(texts.items()))
+        got = {
+            (r.d1, r.d2, r.jaccard)
+            for r in incremental_minhash_pairs(spark, td, boundary=b).collect()
+        }
+    assert {p[:2] for p in got} == {p[:2] for p in expected}
+    for d1, d2, j in expected:
+        matching = [g for g in got if g[:2] == (d1, d2)]
+        assert abs(matching[0][2] - j) < 1e-12

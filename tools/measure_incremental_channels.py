@@ -123,6 +123,32 @@ def main() -> None:
             lambda: roll_forward_embedding_norms(spark, corpus, b80, b90)
         )
 
+    if "mh" in sections:
+        from broadway_kinesis_spark.operators.minhash_incremental import (
+            ensure_minhash_bands,
+            incremental_minhash_pairs,
+            roll_forward_minhash_bands,
+        )
+
+        n_docs = spark.read.parquet(
+            os.path.join(corpus, "documents.parquet")
+        ).count()
+        d90, d80 = int(n_docs * 0.9), int(n_docs * 0.8)
+        out["mh_n"] = n_docs
+        out["mh_build_s"], _ = timed(
+            lambda: ensure_minhash_bands(spark, corpus, d90)
+        )
+        out["mh_probe_s"], out["mh_probe_pairs"] = timed(
+            lambda: incremental_minhash_pairs(spark, corpus, d90).count()
+        )
+        out["mh_full_s"], out["mh_full_pairs"] = timed(
+            lambda: incremental_minhash_pairs(spark, corpus, 0).count()
+        )
+        ensure_minhash_bands(spark, corpus, d80)  # version N-1, untimed
+        out["mh_fold_s"], _ = timed(
+            lambda: roll_forward_minhash_bands(spark, corpus, d80, d90)
+        )
+
     if "ph" in sections:
         n_docs = spark.read.parquet(
             os.path.join(corpus, "documents.parquet")
