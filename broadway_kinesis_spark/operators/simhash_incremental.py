@@ -1,0 +1,195 @@
+"""Batch incremental corpus-version dedup — SIMHASH channel (round 11).
+
+The last near-dup channel to get the daily incremental form; with it the
+matrix is complete — exact digests + ngram (incremental_batch), MinHash
+(minhash_incremental), SimHash (here), embeddings
+(embedding_incremental), perceptual fingerprints
+(fingerprint_incremental), containment (containment_incremental), the
+leakage-safe split (split_incremental), and the IVF serving index
+(ann_incremental) all absorb a delta from version N's persisted
+artifacts.
+
+The inline channel (``dedup_simhash``) emits per-doc (fingerprint,
+n_sharing) — n_sharing counts docs with the IDENTICAL fingerprint across
+the corpus. Incremental form: only the delta tokenizes and hashes (the
+channel's whole cost — one explode + one hash-agg per doc); version N
+persists its per-FINGERPRINT count table
+(:func:`ensure_simhash_counts` — one row per distinct fingerprint, far
+smaller than a per-doc table), and a delta doc's n_sharing = its
+fingerprint's delta count + the stored version-N count. Output = the
+inline channel's rows restricted to the delta (``doc_id >= boundary``),
+which is exactly what the wrapped oracle states.
+
+Roll-forward: :func:`roll_forward_simhash_counts` full-outer-joins the
+delta's per-fingerprint counts with version N's and adds — the DF-table
+fold of the ngram channel applied to fingerprint space; fold(N, delta)
+== build(N+1) fenced.
+
+Reference parity: [TGT] — engine extension (SURVEY §2.B dedup family).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
+from broadway_kinesis_spark.operators.dedup import SIM_BITS
+from broadway_kinesis_spark.operators import dedup as _dedup  # noqa: F401 (registers the inline twin)
+from broadway_kinesis_spark.registry import REGISTRY, query
+from broadway_kinesis_spark.session import load
+
+#: version-N / delta boundary for the registered fixture query (the
+#: dedup_incremental convention).
+BOUNDARY = 400
+
+_COUNTS_POLICY = f"r11:sh{SIM_BITS}"
+
+#: the inline channel's oracle OBJECT — importing operators.dedup above ran
+#: its @query decorator, so this lookup can never miss nor drift.
+_INLINE_ORACLE = REGISTRY["dedup_simhash"].oracle
+
+
+def _fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): the exact construction of ``dedup_simhash`` —
+    token hash = first 8 md5 hex digits, ±1 votes per bit weighted by
+    term frequency, fingerprint = sign vector."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+    hashed = tok.select("doc_id", h.alias("h"))
+    bitsums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIM_BITS)
+        ]
+    )
+    fp_terms = [
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for b in range(SIM_BITS)
+    ]
+    fp_col = fp_terms[0]
+    for t in fp_terms[1:]:
+        fp_col = fp_col + t
+    return bitsums.select("doc_id", fp_col.alias("simhash"))
+
+
+def ensure_simhash_counts(
+    spark: SparkSession, sf_dir: str, boundary: int = BOUNDARY
+) -> str:
+    """Persist version N's per-fingerprint count table (simhash, n_old) —
+    one row per distinct fingerprint, the running statistic a delta
+    needs; version-N documents are never re-tokenized."""
+    pol = hashlib.md5(f"{_COUNTS_POLICY}:v{boundary}".encode()).hexdigest()[:8]
+    sig = corpus_sig(sf_dir, ("documents",))
+    name = f"_bks_shcounts_{pol}_{sig}"
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < boundary
+        )
+        return (
+            _fingerprints(docs)
+            .groupBy("simhash")
+            .agg(F.count(F.lit(1)).alias("n_old"))
+        )
+
+    return ensure_table(spark, name, build)
+
+
+def roll_forward_simhash_counts(
+    spark: SparkSession, sf_dir: str, boundary_n: int, boundary_n1: int
+) -> str:
+    """Fold the accepted delta's per-fingerprint counts into version N's
+    table → N+1 (full-outer join + add, the ngram DF-statistic fold in
+    fingerprint space; only the delta tokenizes). fold == scratch pinned
+    by tests/test_incremental_channels.py."""
+    old_tbl = ensure_simhash_counts(spark, sf_dir, boundary_n)
+    pol = hashlib.md5(
+        f"{_COUNTS_POLICY}:rf:v{boundary_n}-v{boundary_n1}".encode()
+    ).hexdigest()[:8]
+    sig = corpus_sig(sf_dir, ("documents",))
+    name = f"_bks_shcounts_{pol}_{sig}"
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") >= boundary_n) & (F.col("doc_id") < boundary_n1)
+        )
+        delta = (
+            _fingerprints(docs)
+            .groupBy("simhash")
+            .agg(F.count(F.lit(1)).alias("n_new"))
+        )
+        return (
+            spark.table(old_tbl)
+            .join(delta, "simhash", "full")
+            .select(
+                "simhash",
+                (
+                    F.coalesce(F.col("n_old"), F.lit(0))
+                    + F.coalesce(F.col("n_new"), F.lit(0))
+                ).alias("n_old"),
+            )
+        )
+
+    return ensure_table(spark, name, build)
+
+
+@query(
+    "dedup_incremental_simhash",
+    oracle=f"""
+    SELECT doc_id, simhash, n_sharing FROM ({_INLINE_ORACLE})
+    WHERE doc_id >= {BOUNDARY}
+    """,
+)
+def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELTA's SimHash rows — (doc_id, simhash, n_sharing) with
+    n_sharing counted over the COMBINED corpus — computed by hashing only
+    the delta and adding version N's persisted per-fingerprint counts.
+    The oracle is the inline channel's oracle restricted to the delta's
+    rows, so the driver row proves the stored statistic + delta counts
+    reproduce the full recompute exactly."""
+    return incremental_simhash_rows(spark, sf_dir)
+
+
+def incremental_simhash_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    boundary: int = BOUNDARY,
+    counts_tbl: str | None = None,
+) -> DataFrame:
+    """Parameterized body — ``counts_tbl`` accepts a
+    :func:`roll_forward_simhash_counts` fold so day D+1 runs on day D's
+    fold. Shape: one delta tokenize/hash pass, a delta-keyed
+    per-fingerprint count, and a left join against the stored statistic
+    (broadcastable: one row per distinct historical fingerprint)."""
+    stored = spark.table(
+        counts_tbl
+        if counts_tbl is not None
+        else ensure_simhash_counts(spark, sf_dir, boundary)
+    )
+    d = load(spark, sf_dir, "documents")
+    fps = _fingerprints(d.filter(F.col("doc_id") >= boundary))
+    from pyspark.sql import Window
+
+    delta_share = F.count(F.lit(1)).over(Window.partitionBy("simhash"))
+    return (
+        fps.withColumn("n_delta", delta_share)
+        .join(stored, "simhash", "left")
+        .select(
+            "doc_id",
+            "simhash",
+            (
+                F.col("n_delta") + F.coalesce(F.col("n_old"), F.lit(0))
+            ).alias("n_sharing"),
+        )
+    )

@@ -89,6 +89,7 @@ def _load_all_modules() -> None:
         composite,
         containment,
         containment_bottomk,
+        containment_incremental,
         contrastive,
         cumdistinct,
         curation_report,
@@ -123,6 +124,7 @@ def _load_all_modules() -> None:
         scd,
         scenecut,
         semantic,
+        simhash_incremental,
         similarity,
         sketch_merge,
         skew,
@@ -155,8 +157,9 @@ _PRIORITY: tuple[str, ...] = (
     # split assignment (VERDICT r10 #4) and the session-2 extension of
     # the incremental loop to the embedding + fingerprint channels
     "dedup_split_incremental_assign",
-    "dedup_incremental_embedding", "dedup_incremental_imagehash",
-    "dedup_incremental_minhash", "similarity_ann_ivf_incremental",
+    "dedup_incremental_containment", "dedup_incremental_embedding",
+    "dedup_incremental_imagehash", "dedup_incremental_minhash",
+    "dedup_incremental_simhash", "similarity_ann_ivf_incremental",
     # (b) staled this round: functions/table_build.py's errno-scoped
     # lock fallback (ADVICE r10 — stales every layout-backed query: the
     # split family, the bucketed join/pagerank twins, the
@@ -187,17 +190,17 @@ _PRIORITY: tuple[str, ...] = (
     "text_bigram_logprob", "udf_pandas_vectorized", "udf_python_row",
     "udf_table_function", "window_cumulative_distinct",
     "agg_sketch_merge", "agg_string_concat", "cdc_merge_upsert",
-    "composite_ann_recall", "dedup_boilerplate", "dedup_exact_rows",
+    "composite_ann_recall",
     )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot
-# window cannot hold. Round 11: EMPTY — demand is 18 (5 new operators: the
-# incremental split assignment plus the embedding/fingerprint/minhash/IVF
-# incremental channels, + 13 staled by this round's table_build/
-# incremental_batch/dedup_persist/ann_persist edits), leaving 32 slots of
-# oldest-green filler (counts per test_registry_window.py, the source of
-# truth). test_registry_window.py keeps enforcing that any future overflow
-# must be declared here explicitly.
+# window cannot hold. Round 11: EMPTY — demand is 20 (7 new operators: the
+# incremental split assignment plus the containment/embedding/fingerprint/
+# minhash/simhash/IVF incremental channels, + 13 staled by this round's
+# table_build/incremental_batch/dedup_persist/ann_persist edits), leaving
+# 30 slots of oldest-green filler (counts per test_registry_window.py, the
+# source of truth). test_registry_window.py keeps enforcing that any
+# future overflow must be declared here explicitly.
 _DEFERRED: tuple[str, ...] = ()
 
 

@@ -528,3 +528,152 @@ def test_incremental_minhash_randomized_mirror(spark):
     for d1, d2, j in expected:
         matching = [g for g in got if g[:2] == (d1, d2)]
         assert abs(matching[0][2] - j) < 1e-12
+
+
+# ----------------------------------------- containment (directional) 
+def test_incremental_containment_matches_inline_restricted(spark, sf_dir):
+    """Directional delta-touching restriction: probe == the inline
+    bottom-K channel filtered to pairs with EITHER side in the delta."""
+    from broadway_kinesis_spark.operators.containment_incremental import (
+        BOUNDARY,
+        incremental_containment_pairs,
+    )
+
+    got = _rows(incremental_containment_pairs(spark, sf_dir))
+    want = _rows(
+        QUERIES["dedup_containment_bottomk"](spark, sf_dir).filter(
+            (F.col("contained_id") >= BOUNDARY)
+            | (F.col("container_id") >= BOUNDARY)
+        )
+    )
+    assert got == want
+
+
+def test_roll_forward_bottomk_probes_and_probe_on_rolled(spark, sf_dir):
+    """fold == scratch for the probe-sketch table, and the NEXT delta
+    probed against ALL THREE rolled artifacts (ngram idx + DF via the
+    shared roll_forward_ngram_index, probes via this module's fold)
+    equals the from-scratch probe."""
+    from broadway_kinesis_spark.operators.containment_incremental import (
+        ensure_bottomk_probes,
+        incremental_containment_pairs,
+        roll_forward_bottomk_probes,
+    )
+    from broadway_kinesis_spark.operators.incremental_batch import (
+        roll_forward_ngram_index,
+    )
+
+    rolled = roll_forward_bottomk_probes(spark, sf_dir, 400, 450)
+    scratch = ensure_bottomk_probes(spark, sf_dir, 450)
+    assert rolled != scratch
+    assert roll_forward_bottomk_probes(spark, sf_dir, 400, 450) == rolled
+    assert _rows(spark.table(rolled)) == _rows(spark.table(scratch))
+    r_idx, r_df = roll_forward_ngram_index(spark, sf_dir, 400, 450)
+    got = _rows(
+        incremental_containment_pairs(
+            spark, sf_dir, 450, idx_tbl=r_idx, df_tbl=r_df, probes_tbl=rolled
+        )
+    )
+    want = _rows(incremental_containment_pairs(spark, sf_dir, 450))
+    assert got == want
+
+
+def test_incremental_containment_planted_directions(spark):
+    """Both directions surface: a delta EXCERPT of an old doc (delta
+    contained in old) and a delta SUPERSET of an old doc (old contained
+    in delta); an old-old excerpt pair is excluded."""
+    from tests.test_round7_ops import _write_docs
+
+    from broadway_kinesis_spark.operators.containment_incremental import (
+        incremental_containment_pairs,
+    )
+
+    b = 1000
+    base = " ".join(f"tk{i}" for i in range(40))
+    other = " ".join(f"qq{i}" for i in range(40))
+    texts = {
+        0: base,                                     # old container
+        1: " ".join(base.split(" ")[:12]),           # old excerpt of 0 (old-old: excluded)
+        2: other,                                    # old doc, delta superset below
+        1000: " ".join(base.split(" ")[8:24]),       # delta excerpt of 0
+        1001: other + " extra tail tokens here now", # delta superset of 2
+        1002: " ".join(f"zz{i}" for i in range(30)), # unrelated delta
+    }
+    with tempfile.TemporaryDirectory() as td:
+        _write_docs(td, spark, list(texts.items()))
+        got = {
+            (r.contained_id, r.container_id)
+            for r in incremental_containment_pairs(
+                spark, td, boundary=b
+            ).collect()
+        }
+    assert (1000, 0) in got  # delta-as-contained
+    assert (2, 1001) in got  # old-as-contained in a delta container
+    assert (1, 0) not in got  # old-old excluded
+    assert not any(1002 in p for p in got)
+
+
+# ------------------------------------------------------ simhash channel
+def test_roll_forward_simhash_counts_equals_scratch(spark, sf_dir):
+    from broadway_kinesis_spark.operators.simhash_incremental import (
+        ensure_simhash_counts,
+        roll_forward_simhash_counts,
+    )
+
+    rolled = roll_forward_simhash_counts(spark, sf_dir, 400, 450)
+    scratch = ensure_simhash_counts(spark, sf_dir, 450)
+    assert rolled != scratch
+    assert roll_forward_simhash_counts(spark, sf_dir, 400, 450) == rolled
+    assert _rows(spark.table(rolled)) == _rows(spark.table(scratch))
+
+
+def test_incremental_simhash_matches_inline_restricted_and_rolled(spark, sf_dir):
+    from broadway_kinesis_spark.operators.simhash_incremental import (
+        BOUNDARY,
+        incremental_simhash_rows,
+        roll_forward_simhash_counts,
+    )
+
+    got = _rows(incremental_simhash_rows(spark, sf_dir))
+    want = _rows(
+        QUERIES["dedup_simhash"](spark, sf_dir).filter(
+            F.col("doc_id") >= BOUNDARY
+        )
+    )
+    assert got == want
+    rolled = roll_forward_simhash_counts(spark, sf_dir, 400, 450)
+    got450 = _rows(
+        incremental_simhash_rows(spark, sf_dir, 450, counts_tbl=rolled)
+    )
+    assert got450 == _rows(incremental_simhash_rows(spark, sf_dir, 450))
+
+
+def test_incremental_simhash_counts_cross_boundary_sharing(spark):
+    """A delta doc identical to TWO old copies reports n_sharing 3 (the
+    stored count contributes), a delta-only pair reports 2, a fresh delta
+    singleton reports 1 — and old docs never appear in the output."""
+    from tests.test_round7_ops import _write_docs
+
+    from broadway_kinesis_spark.operators.simhash_incremental import (
+        incremental_simhash_rows,
+    )
+
+    b = 1000
+    base = " ".join(f"tk{i}" for i in range(30))
+    pair = " ".join(f"pp{i}" for i in range(25))
+    texts = {
+        0: base,
+        1: base,
+        2: " ".join(f"aa{i}" for i in range(20)),
+        1000: base,       # joins the old fingerprint: n_sharing 3
+        1001: pair,       # delta-delta pair: 2
+        1002: pair,
+        1003: " ".join(f"ss{i}" for i in range(22)),  # singleton: 1
+    }
+    with tempfile.TemporaryDirectory() as td:
+        _write_docs(td, spark, list(texts.items()))
+        got = {
+            r.doc_id: r.n_sharing
+            for r in incremental_simhash_rows(spark, td, boundary=b).collect()
+        }
+    assert got == {1000: 3, 1001: 2, 1002: 2, 1003: 1}

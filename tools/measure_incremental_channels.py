@@ -149,6 +149,67 @@ def main() -> None:
             lambda: roll_forward_minhash_bands(spark, corpus, d80, d90)
         )
 
+    if "ct" in sections:
+        from broadway_kinesis_spark.operators.containment_incremental import (
+            ensure_bottomk_probes,
+            incremental_containment_pairs,
+            roll_forward_bottomk_probes,
+        )
+        from broadway_kinesis_spark.operators.incremental_batch import (
+            ensure_ngram_index,
+        )
+
+        n_docs = spark.read.parquet(
+            os.path.join(corpus, "documents.parquet")
+        ).count()
+        d90, d80 = int(n_docs * 0.9), int(n_docs * 0.8)
+        out["ct_n"] = n_docs
+        # idx/DF are the ngram channel's artifacts, shared — timed here as
+        # the channel's one-time cost even though a pipeline running both
+        # channels pays it once total
+        out["ct_idx_build_s"], _ = timed(
+            lambda: ensure_ngram_index(spark, corpus, d90)
+        )
+        out["ct_probes_build_s"], _ = timed(
+            lambda: ensure_bottomk_probes(spark, corpus, d90)
+        )
+        out["ct_probe_s"], out["ct_probe_pairs"] = timed(
+            lambda: incremental_containment_pairs(spark, corpus, d90).count()
+        )
+        out["ct_full_s"], out["ct_full_pairs"] = timed(
+            lambda: incremental_containment_pairs(spark, corpus, 0).count()
+        )
+        ensure_bottomk_probes(spark, corpus, d80)  # version N-1, untimed
+        out["ct_fold_s"], _ = timed(
+            lambda: roll_forward_bottomk_probes(spark, corpus, d80, d90)
+        )
+
+    if "sim" in sections:
+        from broadway_kinesis_spark.operators.simhash_incremental import (
+            ensure_simhash_counts,
+            incremental_simhash_rows,
+            roll_forward_simhash_counts,
+        )
+
+        n_docs = spark.read.parquet(
+            os.path.join(corpus, "documents.parquet")
+        ).count()
+        d90, d80 = int(n_docs * 0.9), int(n_docs * 0.8)
+        out["sim_n"] = n_docs
+        out["sim_build_s"], _ = timed(
+            lambda: ensure_simhash_counts(spark, corpus, d90)
+        )
+        out["sim_probe_s"], out["sim_probe_rows"] = timed(
+            lambda: incremental_simhash_rows(spark, corpus, d90).count()
+        )
+        out["sim_full_s"], out["sim_full_rows"] = timed(
+            lambda: incremental_simhash_rows(spark, corpus, 0).count()
+        )
+        ensure_simhash_counts(spark, corpus, d80)  # version N-1, untimed
+        out["sim_fold_s"], _ = timed(
+            lambda: roll_forward_simhash_counts(spark, corpus, d80, d90)
+        )
+
     if "ph" in sections:
         n_docs = spark.read.parquet(
             os.path.join(corpus, "documents.parquet")
