@@ -1,0 +1,175 @@
+"""Batch incremental corpus-version dedup — FUZZY (edit-distance) channel
+(round 11, session 3).
+
+The fuzzy channel (``dedup.dedup_fuzzy_prefix``) finds documents whose
+normalized {PREFIX_N}-char prefixes are within {EDIT_T} edits, blocked on
+(lang, size-bucket) so pair generation is per-block quadratic, never
+corpus-wide. Its incremental form removes the quadratic's corpus term
+entirely: version N persists its (doc_id, block, prefix) projection, and
+an arriving delta generates ``delta_rows × block_rows`` candidate pairs
+(its prefixes against version N's in the same block, plus the delta's
+own self-join) — the per-block quadratic is paid only over the delta.
+The per-pair work stays the measured-and-adopted BANDED threshold
+Levenshtein (``levenshtein(l, r, {EDIT_T})``, the r8 head-to-head in
+dedup.py's module note).
+
+Persisted artifact (:func:`ensure_fuzzy_prefixes`): ``(doc_id, blk,
+pfx)`` — 40-ish bytes per document (the prefix IS the channel's whole
+signature, so the artifact replaces any re-read of version-N text). The
+two blocking columns pack into one join key ``blk = lang || ':' ||
+size_bucket`` — injective because size_bucket is numeric, so the
+substring after the LAST colon parses back unambiguously — and the table
+buckets by ``blk``, so delta probes sort-merge against the stored side
+without shuffling it (the incremental layout protocol).
+
+Pairs the delta introduces are exactly ``d2 >= boundary`` (version-N ids
+all sit below every delta id and pairs are (d1 < d2)), so the registered
+oracle is the INLINE channel's oracle — read from the registry at module
+load — wrapped in that one restriction.
+
+Roll-forward: :func:`roll_forward_fuzzy_prefixes` appends the delta's
+prefix rows to version N's table → N+1 (a signature table with no
+cross-row statistic, so the fold is a pure union — the band-table fold
+shape). fold == scratch and probe-on-rolled == probe-on-scratch pinned
+by tests/test_round11_s3_channels.py.
+
+Reference parity: [TGT] — engine extension (SURVEY §2.B dedup family;
+the reference has no relational surface).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
+from broadway_kinesis_spark.operators import dedup as _dedup  # noqa: F401 (registers the inline twin)
+from broadway_kinesis_spark.operators.dedup import EDIT_T, PREFIX_N
+from broadway_kinesis_spark.registry import REGISTRY, query
+from broadway_kinesis_spark.session import load
+
+#: version-N / delta boundary for the registered fixture query (the
+#: dedup_incremental convention).
+BOUNDARY = 400
+
+#: bucket count for the persisted prefix table (the protocol knob).
+PFX_BUCKETS = 8
+
+_PFX_POLICY = f"r11s3:fz{PREFIX_N}e{EDIT_T}:b{PFX_BUCKETS}"
+
+#: the inline channel's oracle OBJECT — importing operators.dedup above ran
+#: its @query decorator, so this lookup can never miss nor drift.
+_INLINE_ORACLE = REGISTRY["dedup_fuzzy_prefix"].oracle
+
+
+def _prefixes(docs: DataFrame) -> DataFrame:
+    """(doc_id, blk, pfx) — the inline channel's blocked, normalized
+    prefix projection with (lang, size_bucket) packed into the single
+    injective key ``blk``."""
+    sb = (F.col("n_chars") / 50).cast("long")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(":", F.col("lang"), sb).alias("blk"),
+        F.substring(F.lower("text"), 1, PREFIX_N).alias("pfx"),
+    )
+
+
+def ensure_fuzzy_prefixes(
+    spark: SparkSession, sf_dir: str, boundary: int = BOUNDARY
+) -> str:
+    """Persist version N's blocked prefix table for ``doc_id < boundary``,
+    bucketed by the packed block key so delta probes never shuffle the
+    stored side."""
+    pol = hashlib.md5(f"{_PFX_POLICY}:v{boundary}".encode()).hexdigest()[:8]
+    sig = corpus_sig(sf_dir, ("documents",))
+    name = f"_bks_fzpfx_{pol}_{sig}"
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < boundary
+        )
+        return _prefixes(docs)
+
+    return ensure_table(spark, name, build, bucket_by=(PFX_BUCKETS, "blk"))
+
+
+def roll_forward_fuzzy_prefixes(
+    spark: SparkSession, sf_dir: str, boundary_n: int, boundary_n1: int
+) -> str:
+    """Fold the accepted delta ``[boundary_n, boundary_n1)`` into version
+    N's persisted prefix table → N+1's (pure append; only the delta's
+    text is read). Name keys the roll-forward policy + BOTH boundaries;
+    fold(N, delta) == build(N+1) is pinned by
+    tests/test_round11_s3_channels.py."""
+    old_tbl = ensure_fuzzy_prefixes(spark, sf_dir, boundary_n)
+    pol = hashlib.md5(
+        f"{_PFX_POLICY}:rf:v{boundary_n}-v{boundary_n1}".encode()
+    ).hexdigest()[:8]
+    sig = corpus_sig(sf_dir, ("documents",))
+    name = f"_bks_fzpfx_{pol}_{sig}"
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") >= boundary_n) & (F.col("doc_id") < boundary_n1)
+        )
+        return spark.table(old_tbl).unionByName(_prefixes(docs))
+
+    return ensure_table(spark, name, build, bucket_by=(PFX_BUCKETS, "blk"))
+
+
+@query(
+    "dedup_incremental_fuzzy",
+    oracle=f"""
+    SELECT d1, d2, edit_dist FROM ({_INLINE_ORACLE}) WHERE d2 >= {BOUNDARY}
+    """,
+)
+def dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) near-dup pairs the DELTA introduces — pairs
+    within {EDIT_T} prefix edits with at least one delta side — computed
+    by probing version N's persisted prefix table with the delta's
+    prefixes, so pair volume is delta × block, never block². The oracle
+    is the inline channel's oracle restricted to ``d2 >= {BOUNDARY}``."""
+    return incremental_fuzzy_pairs(spark, sf_dir)
+
+
+def incremental_fuzzy_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    boundary: int = BOUNDARY,
+    pfx_tbl: str | None = None,
+) -> DataFrame:
+    """Parameterized body of ``dedup_incremental_fuzzy`` — scale runs
+    place ``boundary`` per corpus; ``pfx_tbl`` overrides the version-N
+    artifact with a :func:`roll_forward_fuzzy_prefixes` fold so day
+    D+1's delta probes day D's fold.
+
+    Shape: the delta's prefixes are one projection of the delta's text
+    (no decode, no shuffle); the stored side joins FIRST on the packed
+    block key (bucketed scan — only the delta side exchanges), the
+    delta's self-join union's AFTER for new-new pairs, and the banded
+    threshold Levenshtein verifies each candidate in O({EDIT_T}·L)."""
+    stored = spark.table(
+        pfx_tbl
+        if pfx_tbl is not None
+        else ensure_fuzzy_prefixes(spark, sf_dir, boundary)
+    )
+    d = load(spark, sf_dir, "documents")
+    delta_pfx = _prefixes(d.filter(F.col("doc_id") >= boundary))
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(f"d{tag}"),
+            F.col("pfx").alias(f"pfx{tag}"),
+            "blk",
+        )
+
+    b = side(delta_pfx, "2")
+    old_cand = side(stored, "1").join(b, "blk")
+    new_cand = side(delta_pfx, "1").join(b, "blk")
+    cand = old_cand.unionByName(new_cand).filter(F.col("d1") < F.col("d2"))
+    dist = F.levenshtein("pfx1", "pfx2", EDIT_T)
+    return cand.select("d1", "d2", dist.alias("edit_dist")).filter(
+        F.col("edit_dist") >= 0
+    )

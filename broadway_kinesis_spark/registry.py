@@ -78,6 +78,7 @@ def _load_all_modules() -> None:
         ann_report,
         asof,
         audiohash,
+        audiohash_incremental,
         bigram,
         bloom,
         bpe_train,
@@ -93,6 +94,7 @@ def _load_all_modules() -> None:
         contrastive,
         cumdistinct,
         curation_report,
+        daily_increment,
         curation,
         decay,
         dedup,
@@ -100,6 +102,7 @@ def _load_all_modules() -> None:
         dedup_report,
         embedding_incremental,
         fingerprint_incremental,
+        fuzzy_incremental,
         epoch_build,
         funnel,
         graph,
@@ -124,6 +127,7 @@ def _load_all_modules() -> None:
         scd,
         scenecut,
         semantic,
+        semantic_incremental,
         simhash_incremental,
         similarity,
         sketch_merge,
@@ -131,12 +135,14 @@ def _load_all_modules() -> None:
         split_incremental,
         splits,
         subqueries,
+        substring_incremental,
         substring_spans,
         textops,
         textstats,
         triangles,
         urls,
         videohash,
+        videohash_incremental,
         windows,
         winsorize,
     )
@@ -154,12 +160,17 @@ def _load_all_modules() -> None:
 # the registry. Any overflow must be declared in _DEFERRED explicitly.
 _PRIORITY: tuple[str, ...] = (
     # (a) round-11 never-green operators: the incremental leakage-safe
-    # split assignment (VERDICT r10 #4) and the session-2 extension of
-    # the incremental loop to the embedding + fingerprint channels
+    # split assignment (VERDICT r10 #4), the session-2 extension of the
+    # incremental loop to the embedding + fingerprint channels, and the
+    # session-3 completion of the matrix (fuzzy / semantic / audio /
+    # video / substring-span incremental channels)
     "dedup_split_incremental_assign",
     "dedup_incremental_containment", "dedup_incremental_embedding",
     "dedup_incremental_imagehash", "dedup_incremental_minhash",
     "dedup_incremental_simhash", "similarity_ann_ivf_incremental",
+    "dedup_incremental_audiohash", "dedup_incremental_fuzzy",
+    "dedup_incremental_semantic", "dedup_incremental_substring",
+    "dedup_incremental_video", "pipeline_daily_increment",
     # (b) staled this round: functions/table_build.py's errno-scoped
     # lock fallback (ADVICE r10 — stales every layout-backed query: the
     # split family, the bucketed join/pagerank twins, the
@@ -178,7 +189,7 @@ _PRIORITY: tuple[str, ...] = (
     "scan_partition_pruned", "similarity_ann_ivf_persisted",
     # (c) filler, oldest green first: the FULL round-6 cohort (26 — the
     # stalest greens, all independently HEAD-re-verified by the round-10
-    # judge), then the round-7 cohort alphabetically (first 11 of 21)
+    # judge; session 3's five new channels displaced the round-7 tail)
     "agg_pivot", "agg_salted_skew", "agg_stats", "agg_time_decay",
     "asof_join", "asof_join_forward", "asof_join_nearest",
     "asof_join_tolerance", "composite_curation_report",
@@ -188,19 +199,19 @@ _PRIORITY: tuple[str, ...] = (
     "sample_reservoir_group", "sample_stratified",
     "similarity_quantize_int8", "stream_tumbling_window",
     "text_bigram_logprob", "udf_pandas_vectorized", "udf_python_row",
-    "udf_table_function", "window_cumulative_distinct",
-    "agg_sketch_merge", "agg_string_concat", "cdc_merge_upsert",
-    "composite_ann_recall",
     )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot
-# window cannot hold. Round 11: EMPTY — demand is 20 (7 new operators: the
-# incremental split assignment plus the containment/embedding/fingerprint/
-# minhash/simhash/IVF incremental channels, + 13 staled by this round's
-# table_build/incremental_batch/dedup_persist/ann_persist edits), leaving
-# 30 slots of oldest-green filler (counts per test_registry_window.py, the
-# source of truth). test_registry_window.py keeps enforcing that any
-# future overflow must be declared here explicitly.
+# window cannot hold. Round 11: EMPTY — demand is 26 (13 new operators:
+# the incremental split assignment, the session-2 containment/embedding/
+# fingerprint/minhash/simhash/IVF incremental channels, session 3's
+# fuzzy/semantic/audio/video/substring incremental channels + the daily
+# ingest-gate composite, + 13 staled by this round's table_build/
+# incremental_batch/dedup_persist/ann_persist edits), leaving 24 slots
+# of oldest-green filler (counts per
+# test_registry_window.py, the source of truth). test_registry_window.py
+# keeps enforcing that any future overflow must be declared here
+# explicitly.
 _DEFERRED: tuple[str, ...] = ()
 
 

@@ -44,6 +44,10 @@ CARTESIAN_OK = {
     "similarity_ann_ivf_incremental": (
         "same stored K-row centroid broadcast, served from the rolled index"
     ),
+    "dedup_incremental_semantic": (
+        "K-row FROZEN seed-centroid broadcast (version N's quantizer) over"
+        " the delta only (semantic_incremental.py)"
+    ),
     "dedup_boilerplate": "boiler-segment array as a 1-row broadcast",
     "pipeline_clean_corpus": "composes the 1-row quality-profile anchor",
     "mine_hard_negatives": "anchor-matrix scalar anchors (N_ANCHORS rows)",
@@ -94,6 +98,16 @@ ARROW_PYTHON_OK = {
         "pure-Python frame walk + per-frame dHash + temporal shingles, ONE"
         " Arrow stage linear in corpus bytes (videohash.py)"
     ),
+    "dedup_incremental_audiohash": (
+        "pure-Python WAV decode + envelope hash over the DELTA only;"
+        " version N serves from the persisted band index"
+        " (audiohash_incremental.py)"
+    ),
+    "dedup_incremental_video": (
+        "frame walk + dHash + shingles over the DELTA only; version N"
+        " serves from the persisted shingle index, candidates included"
+        " (videohash_incremental.py)"
+    ),
 }
 
 
@@ -113,6 +127,10 @@ GROUPED_PYTHON_OK = {
     "dedup_semantic": (
         "applyInPandas per SemDedup cluster: K-seed blocking bounds each"
         " group; pairwise work is within-cluster only (semantic.py)"
+    ),
+    "dedup_incremental_semantic": (
+        "applyInPandas per delta-touched cluster; kernel is delta_rows x"
+        " block_rows, never block² (semantic_incremental.py)"
     ),
 }
 
