@@ -646,3 +646,75 @@ def test_incremental_substring_planted_semantics(spark):
     assert got[1001].n_masked_tokens == 0
     # doc 1's within-doc repetition counts ONCE; +1 delta occurrence -> shared
     assert got[1002].n_masked_tokens == 8
+
+
+# ----------------------------------------------------- daily ingest gate
+def test_daily_gate_matches_composed_oracle_statement(spark, sf_dir):
+    """The registered composite == its three stages joined, package-
+    internal: exact flag = complement of the digest-dedup keep set, near
+    count = minhash-incremental pairs per d2, split = the incremental
+    assignment — on the same corpus and boundary."""
+    from broadway_kinesis_spark.operators.daily_increment import (
+        BOUNDARY,
+        daily_increment_rows,
+    )
+    from broadway_kinesis_spark.operators.incremental_batch import (
+        incremental_digest_dedup,
+    )
+    from broadway_kinesis_spark.operators.minhash_incremental import (
+        incremental_minhash_pairs,
+    )
+    from broadway_kinesis_spark.operators.split_incremental import (
+        incremental_split_assignment,
+    )
+
+    got = {
+        r.doc_id: (r.is_exact_dup, r.n_near_dups, r.split, r.accepted)
+        for r in daily_increment_rows(spark, sf_dir).collect()
+    }
+    kept = {
+        r.doc_id for r in incremental_digest_dedup(spark, sf_dir).collect()
+    }
+    near: dict[int, int] = {}
+    for r in incremental_minhash_pairs(spark, sf_dir).collect():
+        near[r.d2] = near.get(r.d2, 0) + 1
+    splits = {
+        r.doc_id: r.split
+        for r in incremental_split_assignment(spark, sf_dir).collect()
+    }
+    assert set(got) == set(splits)
+    for doc_id, (is_exact, n_near, split, accepted) in got.items():
+        assert is_exact == (doc_id not in kept)
+        assert n_near == near.get(doc_id, 0)
+        assert split == splits[doc_id]
+        assert accepted == ((not is_exact) and n_near == 0)
+    assert doc_id >= BOUNDARY  # sanity: only delta rows came back
+
+
+def test_daily_gate_on_rolled_artifacts_matches_scratch(spark, sf_dir):
+    """Day D+1's gate on day D's THREE folds (digests, minhash bands,
+    split labels) == the gate on fresh boundary builds — the composite's
+    production loop is consumable end-to-end, not just per channel."""
+    from broadway_kinesis_spark.operators.daily_increment import (
+        daily_increment_rows,
+    )
+    from broadway_kinesis_spark.operators.incremental_batch import (
+        roll_forward_digests,
+    )
+    from broadway_kinesis_spark.operators.minhash_incremental import (
+        roll_forward_minhash_bands,
+    )
+    from broadway_kinesis_spark.operators.split_incremental import (
+        roll_forward_split_labels,
+    )
+
+    dg = roll_forward_digests(spark, sf_dir, 400, 450)
+    mb = roll_forward_minhash_bands(spark, sf_dir, 400, 450)
+    lb = roll_forward_split_labels(spark, sf_dir, 400, 450)
+    got = _rows(
+        daily_increment_rows(
+            spark, sf_dir, 450, digests_tbl=dg, bands_tbl=mb, labels_tbl=lb
+        )
+    )
+    want = _rows(daily_increment_rows(spark, sf_dir, 450))
+    assert got == want
