@@ -160,6 +160,13 @@ HEADLINE = [
     # the deployment shape; their measured story is BASELINE.md's 90/10
     # x10/x100 rows (round-11 session-2 table).
     "similarity_ann_ivf_incremental",
+    # Round-11 session-3 channels (fuzzy/semantic/audio/video/substring
+    # incremental, pipeline_daily_increment) stay OUT for the same two
+    # standing reasons: the fixture boundary 400 is an 80-92%-delta
+    # geometry at sf0.1 (near-full recompute, not the deployment shape —
+    # their 90/10 x10/x100 rows live in BASELINE.md's session-3 table),
+    # and the daily gate's oracle carries the split family's ~235 s
+    # recursive-CC tail, which would dominate the paired refresh.
 ]
 
 

@@ -718,3 +718,29 @@ def test_daily_gate_on_rolled_artifacts_matches_scratch(spark, sf_dir):
     )
     want = _rows(daily_increment_rows(spark, sf_dir, 450))
     assert got == want
+
+
+def test_vacuum_retention_covers_session3_families(spark, sf_dir):
+    """The daily-loop retention idiom applies unchanged to a session-3
+    artifact family: roll the fuzzy prefix table N -> N+1, family-scoped
+    vacuum with exact-name pins drops N-1, the survivors still serve."""
+    from broadway_kinesis_spark.functions.table_build import vacuum_warehouse
+    from broadway_kinesis_spark.operators.fuzzy_incremental import (
+        ensure_fuzzy_prefixes,
+        incremental_fuzzy_pairs,
+        roll_forward_fuzzy_prefixes,
+    )
+
+    v_prev = ensure_fuzzy_prefixes(spark, sf_dir, 350)  # version N-1
+    v_n = ensure_fuzzy_prefixes(spark, sf_dir, 400)
+    v_n1 = roll_forward_fuzzy_prefixes(spark, sf_dir, 400, 450)
+    dropped = vacuum_warehouse(
+        spark,
+        prefix="_bks_fzpfx_",
+        retain_tokens=set(),
+        retain_names=(v_n, v_n1),
+    )
+    assert v_prev in dropped and v_n not in dropped and v_n1 not in dropped
+    assert not spark.catalog.tableExists(v_prev)
+    got = _rows(incremental_fuzzy_pairs(spark, sf_dir, 450, pfx_tbl=v_n1))
+    assert got == _rows(incremental_fuzzy_pairs(spark, sf_dir, 450))

@@ -228,6 +228,175 @@ def main() -> None:
             lambda: roll_forward_phash_bands(spark, corpus, d80, d90)
         )
 
+    if "fz" in sections:
+        from broadway_kinesis_spark.operators.fuzzy_incremental import (
+            ensure_fuzzy_prefixes,
+            incremental_fuzzy_pairs,
+            roll_forward_fuzzy_prefixes,
+        )
+
+        n_docs = spark.read.parquet(
+            os.path.join(corpus, "documents.parquet")
+        ).count()
+        d90, d80 = int(n_docs * 0.9), int(n_docs * 0.8)
+        out["fz_n"] = n_docs
+        out["fz_build_s"], _ = timed(
+            lambda: ensure_fuzzy_prefixes(spark, corpus, d90)
+        )
+        out["fz_probe_s"], out["fz_probe_pairs"] = timed(
+            lambda: incremental_fuzzy_pairs(spark, corpus, d90).count()
+        )
+        out["fz_full_s"], out["fz_full_pairs"] = timed(
+            lambda: incremental_fuzzy_pairs(spark, corpus, 0).count()
+        )
+        ensure_fuzzy_prefixes(spark, corpus, d80)  # version N-1, untimed
+        out["fz_fold_s"], _ = timed(
+            lambda: roll_forward_fuzzy_prefixes(spark, corpus, d80, d90)
+        )
+
+    if "sem" in sections:
+        from broadway_kinesis_spark.operators.semantic import SEM_K
+        from broadway_kinesis_spark.operators.semantic_incremental import (
+            ensure_semantic_assignments,
+            incremental_semantic_rows,
+            roll_forward_semantic_assignments,
+        )
+
+        b90v, b80v = int(n_vecs * 0.9), int(n_vecs * 0.8)
+        out["sem_n"] = n_vecs
+        out["sem_build_s"], _ = timed(
+            lambda: ensure_semantic_assignments(spark, corpus, b90v)
+        )
+        out["sem_probe_s"], out["sem_probe_rows"] = timed(
+            lambda: incremental_semantic_rows(
+                spark, corpus, b90v, threshold=EMB_T
+            ).count()
+        )
+        # full comparator: boundary = SEM_K (version N = the seed rows
+        # alone), so 99.99% of the corpus is delta — boundary 0 would
+        # leave the frozen quantizer with no seeds to freeze.
+        out["sem_full_s"], out["sem_full_rows"] = timed(
+            lambda: incremental_semantic_rows(
+                spark, corpus, SEM_K, threshold=EMB_T
+            ).count()
+        )
+        ensure_semantic_assignments(spark, corpus, b80v)  # N-1, untimed
+        out["sem_fold_s"], _ = timed(
+            lambda: roll_forward_semantic_assignments(spark, corpus, b80v, b90v)
+        )
+
+    if "au" in sections:
+        from broadway_kinesis_spark.operators.audiohash_incremental import (
+            ensure_audio_bands,
+            incremental_audio_pairs,
+            roll_forward_audio_bands,
+        )
+
+        n_docs = spark.read.parquet(
+            os.path.join(corpus, "documents.parquet")
+        ).count()
+        d90, d80 = int(n_docs * 0.9), int(n_docs * 0.8)
+        out["au_n"] = n_docs
+        out["au_build_s"], _ = timed(
+            lambda: ensure_audio_bands(spark, corpus, d90)
+        )
+        out["au_probe_s"], out["au_probe_pairs"] = timed(
+            lambda: incremental_audio_pairs(spark, corpus, d90).count()
+        )
+        out["au_full_s"], out["au_full_pairs"] = timed(
+            lambda: incremental_audio_pairs(spark, corpus, 0).count()
+        )
+        ensure_audio_bands(spark, corpus, d80)  # version N-1, untimed
+        out["au_fold_s"], _ = timed(
+            lambda: roll_forward_audio_bands(spark, corpus, d80, d90)
+        )
+
+    if "vid" in sections:
+        from broadway_kinesis_spark.operators.videohash_incremental import (
+            ensure_video_index,
+            incremental_video_pairs,
+            roll_forward_video_index,
+        )
+
+        n_docs = spark.read.parquet(
+            os.path.join(corpus, "documents.parquet")
+        ).count()
+        d90, d80 = int(n_docs * 0.9), int(n_docs * 0.8)
+        out["vid_n"] = n_docs
+        out["vid_build_s"], _ = timed(
+            lambda: ensure_video_index(spark, corpus, d90)
+        )
+        out["vid_probe_s"], out["vid_probe_pairs"] = timed(
+            lambda: incremental_video_pairs(spark, corpus, d90).count()
+        )
+        out["vid_full_s"], out["vid_full_pairs"] = timed(
+            lambda: incremental_video_pairs(spark, corpus, 0).count()
+        )
+        ensure_video_index(spark, corpus, d80)  # version N-1, untimed
+        out["vid_fold_s"], _ = timed(
+            lambda: roll_forward_video_index(spark, corpus, d80, d90)
+        )
+
+    if "ss" in sections:
+        from broadway_kinesis_spark.operators.substring_incremental import (
+            ensure_span_counts,
+            incremental_substring_rows,
+            roll_forward_span_counts,
+        )
+
+        n_docs = spark.read.parquet(
+            os.path.join(corpus, "documents.parquet")
+        ).count()
+        d90, d80 = int(n_docs * 0.9), int(n_docs * 0.8)
+        out["ss_n"] = n_docs
+        out["ss_build_s"], _ = timed(
+            lambda: ensure_span_counts(spark, corpus, d90)
+        )
+        out["ss_probe_s"], out["ss_probe_rows"] = timed(
+            lambda: incremental_substring_rows(spark, corpus, d90).count()
+        )
+        out["ss_full_s"], out["ss_full_rows"] = timed(
+            lambda: incremental_substring_rows(spark, corpus, 0).count()
+        )
+        ensure_span_counts(spark, corpus, d80)  # version N-1, untimed
+        out["ss_fold_s"], _ = timed(
+            lambda: roll_forward_span_counts(spark, corpus, d80, d90)
+        )
+
+    if "gate" in sections:
+        # the composed daily ingest gate: one-time artifacts = digest
+        # table + minhash band table + split evidence/labels (the heavy
+        # third is the tiered evidence build, measured per-channel in the
+        # round-11 split rows); serving = the chained delta disposition.
+        from broadway_kinesis_spark.operators.daily_increment import (
+            daily_increment_rows,
+        )
+        from broadway_kinesis_spark.operators.incremental_batch import (
+            ensure_corpus_digests,
+        )
+        from broadway_kinesis_spark.operators.minhash_incremental import (
+            ensure_minhash_bands,
+        )
+        from broadway_kinesis_spark.operators.split_incremental import (
+            ensure_split_labels,
+        )
+
+        n_docs = spark.read.parquet(
+            os.path.join(corpus, "documents.parquet")
+        ).count()
+        d90 = int(n_docs * 0.9)
+        out["gate_n"] = n_docs
+        out["gate_artifacts_s"], _ = timed(
+            lambda: (
+                ensure_corpus_digests(spark, corpus, d90),
+                ensure_minhash_bands(spark, corpus, d90),
+                ensure_split_labels(spark, corpus, d90),
+            )
+        )
+        out["gate_serve_s"], out["gate_rows"] = timed(
+            lambda: daily_increment_rows(spark, corpus, d90).count()
+        )
+
     print(json.dumps(out))
 
 
