@@ -1,13 +1,14 @@
 """Batch incremental corpus-version dedup — SIMHASH channel (round 11).
 
-The last near-dup channel to get the daily incremental form; with it the
-matrix is complete — exact digests + ngram (incremental_batch), MinHash
-(minhash_incremental), SimHash (here), embeddings
-(embedding_incremental), perceptual fingerprints
+The session-2 close of the statistic-table channels — exact digests +
+ngram (incremental_batch), MinHash (minhash_incremental), SimHash
+(here), embeddings (embedding_incremental), perceptual fingerprints
 (fingerprint_incremental), containment (containment_incremental), the
 leakage-safe split (split_incremental), and the IVF serving index
 (ann_incremental) all absorb a delta from version N's persisted
-artifacts.
+artifacts. Session 3 extends the same loop to the remaining families
+(fuzzy, semantic, audio, video, substring-span — see their modules) and
+chains it into the daily ingest gate (daily_increment.py).
 
 The inline channel (``dedup_simhash``) emits per-doc (fingerprint,
 n_sharing) — n_sharing counts docs with the IDENTICAL fingerprint across
