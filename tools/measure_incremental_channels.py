@@ -51,6 +51,14 @@ from broadway_kinesis_spark.session import build_session  # noqa: E402
 EMB_T = 0.99  # per-corpus near-identical ridge for the fresh corpus
 
 
+def emit(out) -> None:
+    """Crash-safe running emit: one JSON line per completed section —
+    the LAST line is the current total, so a later section's failure
+    (e.g. disk exhaustion in the gate's evidence build) cannot lose
+    the earlier sections' timings (learned the hard way at x100)."""
+    print(json.dumps(out), flush=True)
+
+
 def timed(fn):
     t0 = time.monotonic()
     out = fn()
@@ -103,6 +111,7 @@ def main() -> None:
             lambda: probe_ivf_index(spark, corpus, rolled).count()
         )
 
+    emit(out)
     if "emb" in sections:
         out["emb_n"] = n_vecs
         out["emb_build_s"], _ = timed(
@@ -123,6 +132,7 @@ def main() -> None:
             lambda: roll_forward_embedding_norms(spark, corpus, b80, b90)
         )
 
+    emit(out)
     if "mh" in sections:
         from broadway_kinesis_spark.operators.minhash_incremental import (
             ensure_minhash_bands,
@@ -149,6 +159,7 @@ def main() -> None:
             lambda: roll_forward_minhash_bands(spark, corpus, d80, d90)
         )
 
+    emit(out)
     if "ct" in sections:
         from broadway_kinesis_spark.operators.containment_incremental import (
             ensure_bottomk_probes,
@@ -184,6 +195,7 @@ def main() -> None:
             lambda: roll_forward_bottomk_probes(spark, corpus, d80, d90)
         )
 
+    emit(out)
     if "sim" in sections:
         from broadway_kinesis_spark.operators.simhash_incremental import (
             ensure_simhash_counts,
@@ -210,6 +222,7 @@ def main() -> None:
             lambda: roll_forward_simhash_counts(spark, corpus, d80, d90)
         )
 
+    emit(out)
     if "ph" in sections:
         n_docs = spark.read.parquet(
             os.path.join(corpus, "documents.parquet")
@@ -228,7 +241,12 @@ def main() -> None:
             lambda: roll_forward_phash_bands(spark, corpus, d80, d90)
         )
 
-    if "fz" in sections:
+    emit(out)
+    if "fz" in sections or "fzp" in sections:
+        # "fzp" = probe-only: at x100 the exhaustive full comparator is the
+        # channel's documented blocking-key wall (~3.4 h extrapolated,
+        # BASELINE.md round-8) — running the probe against that documented
+        # number beats silently burning hours re-measuring it.
         from broadway_kinesis_spark.operators.fuzzy_incremental import (
             ensure_fuzzy_prefixes,
             incremental_fuzzy_pairs,
@@ -246,14 +264,18 @@ def main() -> None:
         out["fz_probe_s"], out["fz_probe_pairs"] = timed(
             lambda: incremental_fuzzy_pairs(spark, corpus, d90).count()
         )
-        out["fz_full_s"], out["fz_full_pairs"] = timed(
-            lambda: incremental_fuzzy_pairs(spark, corpus, 0).count()
-        )
+        if "fz" in sections:
+            out["fz_full_s"], out["fz_full_pairs"] = timed(
+                lambda: incremental_fuzzy_pairs(spark, corpus, 0).count()
+            )
+        else:
+            out["fz_full_s"] = "skipped: exhaustive block-quadratic wall (BASELINE.md r8)"
         ensure_fuzzy_prefixes(spark, corpus, d80)  # version N-1, untimed
         out["fz_fold_s"], _ = timed(
             lambda: roll_forward_fuzzy_prefixes(spark, corpus, d80, d90)
         )
 
+    emit(out)
     if "sem" in sections:
         from broadway_kinesis_spark.operators.semantic import SEM_K
         from broadway_kinesis_spark.operators.semantic_incremental import (
@@ -285,6 +307,7 @@ def main() -> None:
             lambda: roll_forward_semantic_assignments(spark, corpus, b80v, b90v)
         )
 
+    emit(out)
     if "au" in sections:
         from broadway_kinesis_spark.operators.audiohash_incremental import (
             ensure_audio_bands,
@@ -311,6 +334,7 @@ def main() -> None:
             lambda: roll_forward_audio_bands(spark, corpus, d80, d90)
         )
 
+    emit(out)
     if "vid" in sections:
         from broadway_kinesis_spark.operators.videohash_incremental import (
             ensure_video_index,
@@ -337,6 +361,7 @@ def main() -> None:
             lambda: roll_forward_video_index(spark, corpus, d80, d90)
         )
 
+    emit(out)
     if "ss" in sections:
         from broadway_kinesis_spark.operators.substring_incremental import (
             ensure_span_counts,
@@ -363,6 +388,7 @@ def main() -> None:
             lambda: roll_forward_span_counts(spark, corpus, d80, d90)
         )
 
+    emit(out)
     if "gate" in sections:
         # the composed daily ingest gate: one-time artifacts = digest
         # table + minhash band table + split evidence/labels (the heavy
