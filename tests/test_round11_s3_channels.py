@@ -744,3 +744,82 @@ def test_vacuum_retention_covers_session3_families(spark, sf_dir):
     assert not spark.catalog.tableExists(v_prev)
     got = _rows(incremental_fuzzy_pairs(spark, sf_dir, 450, pfx_tbl=v_n1))
     assert got == _rows(incremental_fuzzy_pairs(spark, sf_dir, 450))
+
+
+# ---------------------------------------------- corpus-version orchestrator
+def test_roll_forward_registry_covers_every_exported_fold():
+    """Coverage fence: every ``roll_forward_*`` the package exports is a
+    registered family — adding a channel without registering it here is a
+    CI failure, not a silent skip in the daily job."""
+    import importlib
+    import pkgutil
+
+    import broadway_kinesis_spark.operators as ops
+    from broadway_kinesis_spark.operators.corpus_versioning import _families
+
+    exported = set()
+    for m in pkgutil.iter_modules(ops.__path__):
+        if m.name == "corpus_versioning":
+            continue
+        mod = importlib.import_module(f"broadway_kinesis_spark.operators.{m.name}")
+        for attr in dir(mod):
+            if attr.startswith("roll_forward_") and callable(getattr(mod, attr)):
+                # attribute may be a re-import from another module; key by
+                # the defining module so each fold counts once
+                fn = getattr(mod, attr)
+                exported.add(f"{fn.__module__}.{fn.__name__}")
+    registered = {
+        f"{f.fold.__module__}.{f.fold.__name__}" for f in _families()
+    }
+    missing = exported - registered
+    assert not missing, f"folds not in the corpus_versioning registry: {sorted(missing)}"
+
+
+def test_roll_forward_corpus_one_call_and_retention(spark, sf_dir):
+    """The daily maintenance step, end-to-end in one call: every family
+    folds 400 -> 450 (artifact map complete, every table exists), and the
+    one-pass vacuum drops a planted N-1 version per table family while
+    the rolled artifacts and their pinned inputs survive."""
+    from broadway_kinesis_spark.operators.corpus_versioning import (
+        family_names,
+        roll_forward_corpus,
+        vacuum_superseded,
+    )
+    from broadway_kinesis_spark.operators.fuzzy_incremental import (
+        ensure_fuzzy_prefixes,
+        incremental_fuzzy_pairs,
+    )
+    from broadway_kinesis_spark.operators.simhash_incremental import (
+        ensure_simhash_counts,
+    )
+
+    # plant superseded versions in two table families
+    prev_fz = ensure_fuzzy_prefixes(spark, sf_dir, 350)
+    prev_sh = ensure_simhash_counts(spark, sf_dir, 350)
+    rolled = roll_forward_corpus(spark, sf_dir, 400, 450)
+    assert set(rolled) == set(family_names())
+    for fam, artifacts in rolled.items():
+        for a in artifacts:
+            if fam == "ivf_index":
+                import os
+
+                assert os.path.isdir(a)
+            else:
+                assert spark.catalog.tableExists(a), (fam, a)
+    dropped = vacuum_superseded(spark, rolled, dry_run=False)
+    assert prev_fz in dropped and prev_sh in dropped
+    for artifacts in rolled.values():
+        for a in artifacts:
+            assert a not in dropped
+    # the rolled artifacts still serve (spot probe on the fuzzy family)
+    got = _rows(
+        incremental_fuzzy_pairs(
+            spark, sf_dir, 450, pfx_tbl=rolled["fuzzy_prefixes"][0]
+        )
+    )
+    assert got == _rows(incremental_fuzzy_pairs(spark, sf_dir, 450))
+    # unknown family names fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        vacuum_superseded(spark, {"not_a_family": ("x",)})
