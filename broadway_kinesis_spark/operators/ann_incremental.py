@@ -150,3 +150,32 @@ def similarity_ann_ivf_incremental(
     are served through version-N geometry exactly as specified."""
     index_dir = roll_forward_ivf_index(spark, sf_dir, BOUNDARY, None)
     return probe_ivf_index(spark, sf_dir, index_dir)
+
+
+def vacuum_ivf_versions(
+    sf_dir: str, superseded_tags: tuple[str, ...], dry_run: bool = False
+) -> list[str]:
+    """Drop superseded versions of this corpus's IVF directory index —
+    the directory-artifact twin of ``table_build.vacuum_warehouse``'s
+    retention idiom (the daily loop calls it after a roll-forward, with
+    the now-obsolete version tags, e.g. ``("v400", "rf-v350-v400")``).
+
+    Index locations are digest-named (:func:`_dir` folds the corpus
+    signature and tag into an md5), so a prefix listing cannot tell this
+    corpus's versions from a sibling corpus's — the safe rule is
+    therefore NAME-based, the opposite direction of the warehouse
+    vacuum: only a directory this function can DERIVE from (this corpus,
+    an explicitly superseded tag) is ever touched, and unknown
+    ``bks_ivf_index_*`` directories are never candidates. Serialized
+    with the roll-forward by the caller (the daily job runs them in
+    sequence), like every retention step in the loop."""
+    import shutil
+
+    dropped: list[str] = []
+    for tag in superseded_tags:
+        path = _dir(sf_dir, tag)
+        if os.path.isdir(path):
+            if not dry_run:
+                shutil.rmtree(path)
+            dropped.append(path)
+    return dropped

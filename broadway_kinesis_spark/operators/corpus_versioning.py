@@ -23,8 +23,9 @@ fence (tests/test_round11_s3_channels.py) asserts the registry covers
 every ``roll_forward_*`` the package exports. The IVF family is the one
 non-table artifact (a directory index under a deterministic per-corpus
 location with its own staging-rename atomicity and idempotence); it
-folds with everything else but is vacuumed by its own directory
-convention, not the warehouse protocol — stated here rather than hidden.
+folds with everything else but is vacuumed by its own NAME-derived
+retention (`ann_incremental.vacuum_ivf_versions` — digest-named dirs
+cannot be safely prefix-listed), not the warehouse protocol.
 
 Correctness burden stays with the per-family fences (equality proofs
 live next to each fold); the orchestrator's own fences prove COVERAGE

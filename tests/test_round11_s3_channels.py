@@ -823,3 +823,32 @@ def test_roll_forward_corpus_one_call_and_retention(spark, sf_dir):
 
     with _pytest.raises(KeyError):
         vacuum_superseded(spark, {"not_a_family": ("x",)})
+
+
+def test_vacuum_ivf_versions_drops_only_named_superseded(spark, sf_dir):
+    """The IVF directory retention: only this corpus's explicitly
+    superseded tags drop; the live fold and a from-scratch version-N
+    index survive, and the survivor still serves the probe."""
+    import os
+
+    from broadway_kinesis_spark.operators.ann_incremental import (
+        _dir,
+        ensure_version_index,
+        roll_forward_ivf_index,
+        vacuum_ivf_versions,
+    )
+    from broadway_kinesis_spark.operators.ann_persist import probe_ivf_index
+
+    v_prev = ensure_version_index(spark, sf_dir, 350)
+    v_n = ensure_version_index(spark, sf_dir, 400)
+    rolled = roll_forward_ivf_index(spark, sf_dir, 400, 450)
+    # dry run names the superseded dir without touching it
+    assert vacuum_ivf_versions(sf_dir, ("v350",), dry_run=True) == [v_prev]
+    assert os.path.isdir(v_prev)
+    dropped = vacuum_ivf_versions(sf_dir, ("v350",))
+    assert dropped == [v_prev] and not os.path.isdir(v_prev)
+    assert os.path.isdir(v_n) and os.path.isdir(rolled)
+    # an unknown tag (or a sibling corpus's digest) is never a candidate
+    assert vacuum_ivf_versions(sf_dir, ("v999",)) == []
+    assert probe_ivf_index(spark, sf_dir, rolled).count() > 0
+    assert _dir(sf_dir, "v350") == v_prev  # the derivation is the contract
