@@ -1,0 +1,185 @@
+"""Copy-free versioned fold: link-forward + delta-only append (round 12).
+
+Round 11 proved fold(N, delta) == build(N+1) for every warehouse artifact
+family, but each ``roll_forward_*`` materialized version N+1 by REWRITING
+the full table (``ensure_table`` builds immutable managed tables), so at
+x100 every fold was write-dominated — video 42.8 s, audio 22.2 s, the
+ngram/IVF folds at parity with from-scratch (BASELINE.md §round-11;
+VERDICT r11 weak #2: "a daily full-artifact copy is the one remaining
+super-linear term in the production loop"). This module removes the copy
+with the repo's own hard-link protocol (streaming/upsert.py's
+inode-identity-tested link-forward, generalized from hive-partition
+subtrees to managed-table data files):
+
+:func:`link_forward_table` creates version N+1's managed table by
+
+1. writing ONLY the delta's rows through the normal ``saveAsTable`` path
+   (same bucket spec as the base, so bucketed probes stay zero-exchange —
+   Spark groups multiple files per bucket id into one read partition);
+2. HARD-LINKING version N's data files into the new location — zero data
+   I/O, byte-identical by construction (link(2) shares the inode; the
+   copy fallback covers filesystems without link support);
+3. refreshing the table so the file index sees the linked files.
+
+The write cost of a daily fold therefore tracks the DELTA's rows, never
+the artifact size. Retention stays safe: ``vacuum_warehouse``'s rmtree of
+a superseded version only unlinks — a file shared with a newer version
+drops a refcount and survives (the snapshot_store GC argument).
+
+Correctness burden is unchanged — the per-family fold==scratch fences
+keep comparing full table CONTENT; this module adds the PHYSICAL fence
+surface (:func:`base_data_files` / inode identity) that proves the
+untouched remainder was linked, not copied.
+
+Concurrency/ownership reuses ``table_build``'s protocol verbatim (same
+build lock, live-sibling divert, orphan cleanup, owner marker): a fold is
+just a build whose write step is delta-sized.
+
+Two artifact SHAPES ride on the same primitive:
+
+- **append families** (band/index/signature tables — no cross-row
+  statistic): the delta rows ARE the delta's signatures; linked base +
+  appended delta is exactly the from-scratch content.
+- **merge-stat families** (per-key running counts: the ngram/video DF
+  statistic, simhash counts, span counts): a fold appends the DELTA'S
+  per-key counts as additional rows instead of rewriting merged totals —
+  the stored table becomes SEGMENTED (>=1 row per key) and every reader
+  serves ``SUM(count) GROUP BY key`` (:func:`served_counts`), the
+  merge-on-read discipline of Hudi MoR / Iceberg v2 deletes. From-scratch
+  builds keep one row per key, so serving is the identity there, and the
+  delta-keyed probes aggregate AFTER their delta-bounded join (never a
+  corpus-wide pre-aggregation).
+
+Reference parity: [TGT] — engine extension (SURVEY §2.B infra family).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from broadway_kinesis_spark.functions.table_build import (
+    _acquire_build_lock,
+    _location_owner,
+    _OWNER_MARKER,
+    _pid_alive,
+    _release_build_lock,
+)
+
+
+def _warehouse_loc(spark: SparkSession, name: str) -> str:
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    return os.path.join(wh, name)
+
+
+def base_data_files(spark: SparkSession, tbl: str) -> list[str]:
+    """The base table's DATA file basenames (underscore/dot-prefixed
+    metadata like ``_SUCCESS`` / ``_BKS_OWNER`` excluded) — the set a
+    link-forward shares with version N+1; the physical fences stat these
+    names in both locations and assert inode identity."""
+    loc = _warehouse_loc(spark, tbl)
+    return sorted(
+        f for f in os.listdir(loc) if not f.startswith(("_", "."))
+    )
+
+
+def link_forward_table(
+    spark: SparkSession,
+    name: str,
+    base_tbl: str,
+    delta_build: Callable[[], DataFrame],
+    *,
+    bucket_by: tuple[int, str] | None = None,
+) -> str:
+    """Create managed table ``name`` = ``base_tbl``'s rows ∪
+    ``delta_build()``'s rows, writing only the delta (module docstring).
+    ``bucket_by`` MUST equal the base table's spec — the linked files keep
+    their bucket-id file names, so a mismatched spec would mis-bucket the
+    base's rows silently; callers pass the family's single constant.
+
+    Same idempotence/divert semantics as ``table_build.ensure_table``:
+    catalog hit returns immediately; a live sibling's lock or finished
+    location diverts to a pid-scoped name."""
+    if spark.catalog.tableExists(name):
+        return name
+    loc = _warehouse_loc(spark, name)
+    lock = _acquire_build_lock(loc)
+    if lock is None:
+        return link_forward_table(
+            spark, f"{name}_p{os.getpid()}", base_tbl, delta_build,
+            bucket_by=bucket_by,
+        )
+    try:
+        if spark.catalog.tableExists(name):
+            return name
+        if os.path.isdir(loc):
+            owner = _location_owner(loc)
+            if owner is not None and owner != os.getpid() and _pid_alive(owner):
+                return link_forward_table(
+                    spark, f"{name}_p{os.getpid()}", base_tbl, delta_build,
+                    bucket_by=bucket_by,
+                )
+            shutil.rmtree(loc, ignore_errors=True)
+        writer = delta_build().write.mode("overwrite")
+        if bucket_by is not None:
+            n, key = bucket_by
+            writer = writer.bucketBy(n, key).sortBy(key)
+        writer.saveAsTable(name)
+        src = _warehouse_loc(spark, base_tbl)
+        for fname in base_data_files(spark, base_tbl):
+            s, d = os.path.join(src, fname), os.path.join(loc, fname)
+            try:
+                os.link(s, d)
+            except FileExistsError:
+                # Spark part-file names embed a per-job UUID, so a name
+                # collision between the base's files and the just-written
+                # delta files cannot arise from this protocol; an existing
+                # file here is a foreign writer — fail loudly rather than
+                # serve double-counted rows.
+                raise
+            except OSError:
+                shutil.copy2(s, d)  # filesystems without link support
+        spark.catalog.refreshTable(name)
+        try:
+            with open(os.path.join(loc, _OWNER_MARKER), "w", encoding="ascii") as f:
+                f.write(str(os.getpid()))
+        except OSError:
+            pass
+        return name
+    finally:
+        _release_build_lock(lock)
+
+
+def probe_counts(
+    stored: DataFrame, keys: DataFrame, key: str, count_col: str
+) -> DataFrame:
+    """Delta-bounded served view of a (possibly segmented) count table
+    for a probe: restrict the stored statistic to the probe's key set
+    (left-semi — only the delta side exchanges against a bucketed store),
+    then ``SUM(count_col) GROUP BY key``. On a from-scratch build the sum
+    is the identity; on a link-forward fold it merges the base row with
+    the delta segment's row. The aggregate runs AFTER the key
+    restriction, so its shuffle is delta-sized, never corpus-sized."""
+    return (
+        stored.join(keys.select(key).distinct(), key, "left_semi")
+        .groupBy(key)
+        .agg(F.sum(count_col).alias(count_col))
+    )
+
+
+def served_counts(spark: SparkSession, tbl: str, key: str, count_col: str) -> DataFrame:
+    """The SERVED view of a (possibly segmented) per-key count table:
+    ``SUM(count_col) GROUP BY key``. On a from-scratch build (one row per
+    key) this is the identity; on a link-forward fold it merges the base
+    row with the delta segment's row — merge-on-read. Fences compare
+    served content; delta-keyed probes instead aggregate after their own
+    delta-bounded join so no corpus-wide shuffle hides here."""
+    return (
+        spark.table(tbl)
+        .groupBy(key)
+        .agg(F.sum(count_col).alias(count_col))
+    )

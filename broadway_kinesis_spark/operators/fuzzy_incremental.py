@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
+from broadway_kinesis_spark.functions.versioned_fold import link_forward_table
 from broadway_kinesis_spark.operators import dedup as _dedup  # noqa: F401 (registers the inline twin)
 from broadway_kinesis_spark.operators.dedup import EDIT_T, PREFIX_N
 from broadway_kinesis_spark.registry import REGISTRY, query
@@ -57,7 +58,7 @@ BOUNDARY = 400
 #: bucket count for the persisted prefix table (the protocol knob).
 PFX_BUCKETS = 8
 
-_PFX_POLICY = f"r11s3:fz{PREFIX_N}e{EDIT_T}:b{PFX_BUCKETS}"
+_PFX_POLICY = f"r12:fz{PREFIX_N}e{EDIT_T}t0:b{PFX_BUCKETS}"
 
 #: the inline channel's oracle OBJECT — importing operators.dedup above ran
 #: its @query decorator, so this lookup can never miss nor drift.
@@ -65,14 +66,18 @@ _INLINE_ORACLE = REGISTRY["dedup_fuzzy_prefix"].oracle
 
 
 def _prefixes(docs: DataFrame) -> DataFrame:
-    """(doc_id, blk, pfx) — the inline channel's blocked, normalized
+    """(doc_id, blk, tok0, pfx) — the inline channel's blocked, normalized
     prefix projection with (lang, size_bucket) packed into the single
-    injective key ``blk``."""
+    injective key ``blk``; ``tok0`` (the prefix's first whitespace token)
+    is the TIGHT tier's extra blocking key (round 12, VERDICT r11 #2 —
+    the r8-built, recall-priced knob the probe can now apply)."""
     sb = (F.col("n_chars") / 50).cast("long")
+    pfx = F.substring(F.lower("text"), 1, PREFIX_N)
     return docs.select(
         "doc_id",
         F.concat_ws(":", F.col("lang"), sb).alias("blk"),
-        F.substring(F.lower("text"), 1, PREFIX_N).alias("pfx"),
+        F.split(pfx, " ").getItem(0).alias("tok0"),
+        pfx.alias("pfx"),
     )
 
 
@@ -100,9 +105,12 @@ def roll_forward_fuzzy_prefixes(
 ) -> str:
     """Fold the accepted delta ``[boundary_n, boundary_n1)`` into version
     N's persisted prefix table → N+1's (pure append; only the delta's
-    text is read). Name keys the roll-forward policy + BOTH boundaries;
-    fold(N, delta) == build(N+1) is pinned by
-    tests/test_round11_s3_channels.py."""
+    text is read AND only the delta's rows are written — round 12,
+    VERDICT r11 #1: version N's data files hard-link into the new
+    location in the same bucketed layout). Name keys the roll-forward
+    policy + BOTH boundaries; fold(N, delta) == build(N+1) is pinned by
+    tests/test_round11_s3_channels.py, inode identity of the linked
+    remainder by tests/test_versioned_fold.py."""
     old_tbl = ensure_fuzzy_prefixes(spark, sf_dir, boundary_n)
     pol = hashlib.md5(
         f"{_PFX_POLICY}:rf:v{boundary_n}-v{boundary_n1}".encode()
@@ -110,13 +118,15 @@ def roll_forward_fuzzy_prefixes(
     sig = corpus_sig(sf_dir, ("documents",))
     name = f"_bks_fzpfx_{pol}_{sig}"
 
-    def build() -> DataFrame:
+    def delta_build() -> DataFrame:
         docs = load(spark, sf_dir, "documents").filter(
             (F.col("doc_id") >= boundary_n) & (F.col("doc_id") < boundary_n1)
         )
-        return spark.table(old_tbl).unionByName(_prefixes(docs))
+        return _prefixes(docs)
 
-    return ensure_table(spark, name, build, bucket_by=(PFX_BUCKETS, "blk"))
+    return link_forward_table(
+        spark, name, old_tbl, delta_build, bucket_by=(PFX_BUCKETS, "blk")
+    )
 
 
 @query(
@@ -134,11 +144,42 @@ def dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_fuzzy_pairs(spark, sf_dir)
 
 
+@query(
+    "dedup_incremental_fuzzy_tight",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, lang, n_chars // 50 AS size_bucket,
+               string_split(substr(lower(text), 1, {PREFIX_N}), ' ')[1] AS tok0,
+               substr(lower(text), 1, {PREFIX_N}) AS pfx
+        FROM documents
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           levenshtein(a.pfx, b.pfx) AS edit_dist
+    FROM p a
+    JOIN p b ON a.lang = b.lang AND a.size_bucket = b.size_bucket
+            AND a.tok0 = b.tok0 AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pfx, b.pfx) <= {EDIT_T} AND b.doc_id >= {BOUNDARY}
+    """,
+)
+def dedup_incremental_fuzzy_tight(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The deployment tier of the fuzzy incremental probe (round 12,
+    VERDICT r11 #2): same persisted prefix artifact, probe blocked on
+    (blk, tok0) — the first-prefix-token key whose recall against the
+    exhaustive channel ``composite_fuzzy_blocking_recall`` prices on the
+    actual corpus. The oracle recomputes the TIGHT channel from scratch
+    restricted to delta-touching pairs, so the driver row proves the
+    persisted table + tight probe serve exactly the tight contract."""
+    return incremental_fuzzy_pairs(spark, sf_dir, tight=True)
+
+
 def incremental_fuzzy_pairs(
     spark: SparkSession,
     sf_dir: str,
     boundary: int = BOUNDARY,
     pfx_tbl: str | None = None,
+    tight: bool = False,
 ) -> DataFrame:
     """Parameterized body of ``dedup_incremental_fuzzy`` — scale runs
     place ``boundary`` per corpus; ``pfx_tbl`` overrides the version-N
@@ -149,7 +190,16 @@ def incremental_fuzzy_pairs(
     (no decode, no shuffle); the stored side joins FIRST on the packed
     block key (bucketed scan — only the delta side exchanges), the
     delta's self-join union's AFTER for new-new pairs, and the banded
-    threshold Levenshtein verifies each candidate in O({EDIT_T}·L)."""
+    threshold Levenshtein verifies each candidate in O({EDIT_T}·L).
+
+    ``tight=True`` is the deployment blocking tier (round 12, VERDICT r11
+    #2): the join key extends to (blk, tok0) — the inline channel's
+    first-prefix-token key, recall priced on the actual corpus by
+    ``composite_fuzzy_blocking_recall``. The loose probe's per-delta-doc
+    candidate count is the BLOCK size, which tracks the corpus (the one
+    incremental channel whose probe grew 23× across the r11 x10→x100
+    decade); the tight key caps the block at a first-token group, the
+    same population the inline tight tier verifies."""
     stored = spark.table(
         pfx_tbl
         if pfx_tbl is not None
@@ -157,17 +207,18 @@ def incremental_fuzzy_pairs(
     )
     d = load(spark, sf_dir, "documents")
     delta_pfx = _prefixes(d.filter(F.col("doc_id") >= boundary))
+    key = ["blk", "tok0"] if tight else ["blk"]
 
     def side(df: DataFrame, tag: str) -> DataFrame:
         return df.select(
             F.col("doc_id").alias(f"d{tag}"),
             F.col("pfx").alias(f"pfx{tag}"),
-            "blk",
+            *key,
         )
 
     b = side(delta_pfx, "2")
-    old_cand = side(stored, "1").join(b, "blk")
-    new_cand = side(delta_pfx, "1").join(b, "blk")
+    old_cand = side(stored, "1").join(b, key)
+    new_cand = side(delta_pfx, "1").join(b, key)
     cand = old_cand.unionByName(new_cand).filter(F.col("d1") < F.col("d2"))
     dist = F.levenshtein("pfx1", "pfx2", EDIT_T)
     return cand.select("d1", "d2", dist.alias("edit_dist")).filter(

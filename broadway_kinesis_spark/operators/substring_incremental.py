@@ -46,6 +46,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
+from broadway_kinesis_spark.functions.versioned_fold import (
+    link_forward_table,
+    probe_counts,
+)
 from broadway_kinesis_spark.operators import substring_spans as _ss  # noqa: F401 (registers the inline twin)
 from broadway_kinesis_spark.operators.substring_spans import K_SPAN, MIN_DOCS
 from broadway_kinesis_spark.registry import REGISTRY, query
@@ -115,11 +119,17 @@ def roll_forward_span_counts(
     spark: SparkSession, sf_dir: str, boundary_n: int, boundary_n1: int
 ) -> str:
     """Fold the accepted delta ``[boundary_n, boundary_n1)`` into version
-    N's span-count table → N+1's (full-outer join + add — distinct-doc
-    counts over disjoint id ranges add losslessly; only the delta is
-    windowed). Name keys the roll-forward policy + BOTH boundaries;
-    fold(N, delta) == build(N+1) is pinned by
-    tests/test_round11_s3_channels.py."""
+    N's span-count table → N+1's (distinct-doc counts over disjoint id
+    ranges add losslessly; only the delta is windowed). Round 12 (VERDICT
+    r11 #1): the delta's counts append as a merge-on-read SEGMENT —
+    version N's data files hard-link into the new location in the same
+    bucketed layout and only the delta's per-span rows are written;
+    readers serve ``SUM(n_old) GROUP BY span`` after their delta-bounded
+    restriction (``versioned_fold.probe_counts``). Name keys the
+    roll-forward policy + BOTH boundaries; fold(N, delta) == build(N+1)
+    on SERVED content is pinned by tests/test_round11_s3_channels.py,
+    inode identity of the linked remainder by
+    tests/test_versioned_fold.py."""
     old_tbl = ensure_span_counts(spark, sf_dir, boundary_n)
     pol = hashlib.md5(
         f"{_SPAN_POLICY}:rf:v{boundary_n}-v{boundary_n1}".encode()
@@ -127,24 +137,15 @@ def roll_forward_span_counts(
     sig = corpus_sig(sf_dir, ("documents",))
     name = f"_bks_sscounts_{pol}_{sig}"
 
-    def build() -> DataFrame:
+    def delta_build() -> DataFrame:
         docs = load(spark, sf_dir, "documents").filter(
             (F.col("doc_id") >= boundary_n) & (F.col("doc_id") < boundary_n1)
         )
-        delta = _span_doc_counts(_span_positions(docs), "n_delta")
-        return (
-            spark.table(old_tbl)
-            .join(delta, "span", "full")
-            .select(
-                "span",
-                (
-                    F.coalesce(F.col("n_old"), F.lit(0))
-                    + F.coalesce(F.col("n_delta"), F.lit(0))
-                ).alias("n_old"),
-            )
-        )
+        return _span_doc_counts(_span_positions(docs), "n_old")
 
-    return ensure_table(spark, name, build, bucket_by=(SPAN_BUCKETS, "span"))
+    return link_forward_table(
+        spark, name, old_tbl, delta_build, bucket_by=(SPAN_BUCKETS, "span")
+    )
 
 
 @query(
@@ -193,8 +194,13 @@ def incremental_substring_rows(
     # ContextCleaner when the result's RDDs are GC'd).
     spans = _span_positions(docs).localCheckpoint(eager=True)
     delta_counts = _span_doc_counts(spans, "n_new")
+    # merge-on-read: the stored statistic may be segmented (link-forward
+    # fold — versioned_fold module doc); restrict to the delta's spans,
+    # then sum per span before the threshold test.
     shared = (
-        delta_counts.join(stored, "span", "left")
+        delta_counts.join(
+            probe_counts(stored, delta_counts, "span", "n_old"), "span", "left"
+        )
         .filter(
             F.col("n_new") + F.coalesce(F.col("n_old"), F.lit(0)) >= MIN_DOCS
         )

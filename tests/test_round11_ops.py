@@ -60,11 +60,17 @@ def test_roll_forward_ngram_index_equals_scratch(spark, sf_dir):
         roll_forward_ngram_index,
     )
 
+    from broadway_kinesis_spark.functions.versioned_fold import served_counts
+
     r_idx, r_df = roll_forward_ngram_index(spark, sf_dir, 400, 450)
     s_idx, s_df = ensure_ngram_index(spark, sf_dir, 450)
     assert (r_idx, r_df) != (s_idx, s_df)
     assert _tbl_rows(spark, r_idx) == _tbl_rows(spark, s_idx)
-    assert _tbl_rows(spark, r_df) == _tbl_rows(spark, s_df)
+    # the DF fold is merge-on-read segmented (round 12): compare SERVED
+    # content — sum per shingle — against the one-row-per-key scratch
+    assert {
+        tuple(r) for r in served_counts(spark, r_df, "shingle", "df_old").collect()
+    } == _tbl_rows(spark, s_df)
 
 
 def test_probe_on_rolled_artifacts_matches_scratch(spark, sf_dir):

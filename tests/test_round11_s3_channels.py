@@ -429,12 +429,18 @@ def test_roll_forward_video_index_equals_scratch(spark, sf_dir):
         roll_forward_video_index,
     )
 
+    from broadway_kinesis_spark.functions.versioned_fold import served_counts
+
     ri, rd = roll_forward_video_index(spark, sf_dir, 400, 450)
     si, sd = ensure_video_index(spark, sf_dir, 450)
     assert ri != si and rd != sd
     assert roll_forward_video_index(spark, sf_dir, 400, 450) == (ri, rd)
     assert _rows(spark.table(ri)) == _rows(spark.table(si))
-    assert _rows(spark.table(rd)) == _rows(spark.table(sd))
+    # the DF fold is merge-on-read segmented (round 12): compare SERVED
+    # content — sum per shingle — against the one-row-per-key scratch
+    assert _rows(served_counts(spark, rd, "shingle", "df_old")) == _rows(
+        spark.table(sd)
+    )
 
 
 def test_probe_on_rolled_video_matches_scratch(spark, sf_dir):
@@ -570,11 +576,17 @@ def test_roll_forward_span_counts_equals_scratch(spark, sf_dir):
         roll_forward_span_counts,
     )
 
+    from broadway_kinesis_spark.functions.versioned_fold import served_counts
+
     rolled = roll_forward_span_counts(spark, sf_dir, 400, 450)
     scratch = ensure_span_counts(spark, sf_dir, 450)
     assert rolled != scratch
     assert roll_forward_span_counts(spark, sf_dir, 400, 450) == rolled
-    assert _rows(spark.table(rolled)) == _rows(spark.table(scratch))
+    # the fold is merge-on-read segmented (round 12): compare SERVED
+    # content — sum per span — against the one-row-per-key scratch
+    assert _rows(served_counts(spark, rolled, "span", "n_old")) == _rows(
+        spark.table(scratch)
+    )
 
 
 def test_probe_on_rolled_substring_matches_scratch(spark, sf_dir):

@@ -1,0 +1,203 @@
+"""Physical fences for the copy-free versioned fold (round 12, VERDICT
+r11 #1).
+
+Round 11 proved fold(N, delta) == build(N+1) as CONTENT; these tests pin
+the round-12 claim that the fold also stopped COPYING: version N's data
+files must appear in version N+1's location as HARD LINKS (same inode —
+zero data I/O by construction), the only newly-written files must carry
+exactly the delta's rows, and dropping the superseded base version must
+not disturb the rolled table (links only drop a refcount). One family
+per artifact shape:
+
+- bucketed append  (minhash band table),
+- plain append     (embedding norms),
+- merge-on-read    (the ngram DF statistic — base linked + delta segment,
+                    served as SUM per key),
+- directory index  (IVF postings — linked per ``label=`` partition).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from broadway_kinesis_spark.functions.versioned_fold import (
+    base_data_files,
+    link_forward_table,
+    probe_counts,
+    served_counts,
+)
+
+
+def _loc(spark, tbl: str) -> str:
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    return os.path.join(wh, tbl)
+
+
+def _assert_linked(spark, base_tbl: str, rolled_tbl: str) -> list[str]:
+    """Every base data file must exist under the rolled location with the
+    SAME inode; returns the rolled location's extra (newly written)
+    data-file names."""
+    base_loc, rolled_loc = _loc(spark, base_tbl), _loc(spark, rolled_tbl)
+    base_files = base_data_files(spark, base_tbl)
+    assert base_files, f"{base_tbl} has no data files"
+    for f in base_files:
+        b, r = os.path.join(base_loc, f), os.path.join(rolled_loc, f)
+        assert os.path.exists(r), f"base file {f} not linked into {rolled_tbl}"
+        assert os.stat(b).st_ino == os.stat(r).st_ino, (
+            f"{f} was copied, not linked"
+        )
+    return sorted(set(base_data_files(spark, rolled_tbl)) - set(base_files))
+
+
+# --------------------------------------------------- bucketed append family
+def test_minhash_fold_links_base_files_and_writes_only_delta(spark, sf_dir):
+    from broadway_kinesis_spark.operators.minhash_incremental import (
+        ensure_minhash_bands,
+        roll_forward_minhash_bands,
+    )
+
+    base = ensure_minhash_bands(spark, sf_dir, 400)
+    rolled = roll_forward_minhash_bands(spark, sf_dir, 400, 450)
+    extra = _assert_linked(spark, base, rolled)
+    # the newly written files hold exactly the delta's band rows
+    n_base = spark.table(base).count()
+    n_rolled = spark.table(rolled).count()
+    n_delta_docs = (
+        spark.table(rolled)
+        .select(F.col("doc_id"))
+        .filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 450))
+        .count()
+    )
+    assert n_rolled == n_base + n_delta_docs
+    assert extra, "fold wrote no new files despite a non-empty delta"
+
+
+def test_rolled_table_survives_dropping_the_base_version(spark, sf_dir):
+    """Retention: vacuuming version N only unlinks — version N+1's linked
+    files share the inode and keep serving (the snapshot_store GC
+    argument applied to the warehouse)."""
+    import shutil
+
+    from broadway_kinesis_spark.operators.minhash_incremental import (
+        ensure_minhash_bands,
+        roll_forward_minhash_bands,
+    )
+
+    base = ensure_minhash_bands(spark, sf_dir, 400)
+    rolled = roll_forward_minhash_bands(spark, sf_dir, 400, 450)
+    before = spark.table(rolled).count()
+    spark.sql(f"DROP TABLE IF EXISTS `{base}`")
+    shutil.rmtree(_loc(spark, base), ignore_errors=True)
+    spark.catalog.refreshTable(rolled)
+    assert spark.table(rolled).count() == before
+
+
+# ------------------------------------------------------ plain append family
+def test_embedding_fold_links_base_files(spark, sf_dir):
+    from broadway_kinesis_spark.operators.embedding_incremental import (
+        ensure_embedding_norms,
+        roll_forward_embedding_norms,
+    )
+
+    base = ensure_embedding_norms(spark, sf_dir, 400)
+    rolled = roll_forward_embedding_norms(spark, sf_dir, 400, 450)
+    _assert_linked(spark, base, rolled)
+    assert spark.table(rolled).count() == spark.table(base).count() + (
+        spark.table(rolled).filter(F.col("vec_id") >= 400).count()
+    )
+
+
+# --------------------------------------------------- merge-on-read family
+def test_ngram_df_fold_is_base_links_plus_delta_segment(spark, sf_dir):
+    from broadway_kinesis_spark.operators.incremental_batch import (
+        ensure_ngram_index,
+        roll_forward_ngram_index,
+    )
+
+    _, base_df = ensure_ngram_index(spark, sf_dir, 400)
+    _, rolled_df = roll_forward_ngram_index(spark, sf_dir, 400, 450)
+    _assert_linked(spark, base_df, rolled_df)
+    # segmented: some shingles carry 2 rows (base + delta segment); the
+    # SERVED view sums them and the raw multiset is base ∪ delta-counts
+    raw = spark.table(rolled_df)
+    assert raw.count() > raw.select("shingle").distinct().count() or (
+        # delta shares no shingle with version N — legal but unexpected
+        # on the fixture; assert the segment rows exist at all
+        raw.count() > spark.table(base_df).count()
+    )
+    served = served_counts(spark, rolled_df, "shingle", "df_old")
+    assert served.count() == served.select("shingle").distinct().count()
+
+
+def test_probe_counts_sums_segments_delta_bounded(spark):
+    segmented = spark.createDataFrame(
+        [("a", 2), ("a", 3), ("b", 1), ("c", 7)], "k string, n long"
+    )
+    keys = spark.createDataFrame([("a",), ("b",), ("z",)], "k string")
+    got = {(r.k, r.n) for r in probe_counts(segmented, keys, "k", "n").collect()}
+    # restricted to the probe's keys; 'c' never enters the plan's output
+    assert got == {("a", 5), ("b", 1)}
+
+
+# ----------------------------------------------------- directory artifact
+def test_ivf_fold_links_centroids_and_old_postings(spark, sf_dir):
+    import shutil
+
+    from broadway_kinesis_spark.operators.ann_incremental import (
+        _dir,
+        ensure_version_index,
+        roll_forward_ivf_index,
+    )
+
+    # the fold is idempotent per (corpus, boundaries): a rolled dir left
+    # by an earlier (pre-link-protocol) run would satisfy the content
+    # fences but not this physical one — build it fresh
+    shutil.rmtree(_dir(sf_dir, "rf-v400-v450"), ignore_errors=True)
+    old_dir = ensure_version_index(spark, sf_dir, 400)
+    rolled = roll_forward_ivf_index(spark, sf_dir, 400, 450)
+
+    def data_files(root: str) -> dict[str, int]:
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                rel = os.path.relpath(os.path.join(dirpath, f), root)
+                out[rel] = os.stat(os.path.join(dirpath, f)).st_ino
+        return out
+
+    old_cent = data_files(os.path.join(old_dir, "centroids.parquet"))
+    new_cent = data_files(os.path.join(rolled, "centroids.parquet"))
+    assert old_cent and old_cent == new_cent  # frozen quantizer = same inodes
+
+    old_post = data_files(os.path.join(old_dir, "postings.parquet"))
+    new_post = data_files(os.path.join(rolled, "postings.parquet"))
+    assert old_post
+    for rel, ino in old_post.items():
+        assert new_post.get(rel) == ino, f"posting file {rel} copied, not linked"
+    # and the fold DID add the delta's posting files
+    assert set(new_post) - set(old_post)
+
+
+# ------------------------------------------------------------- primitives
+def test_link_forward_is_idempotent_and_handles_empty_delta(spark, sf_dir):
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    base_name = f"_bks_vf_test_base_{tag}"
+    spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string").write.saveAsTable(
+        base_name
+    )
+    try:
+        empty = lambda: spark.createDataFrame([], "id long, v string")  # noqa: E731
+        rolled = link_forward_table(spark, f"_bks_vf_test_roll_{tag}", base_name, empty)
+        assert spark.table(rolled).count() == 2  # base content via links
+        # second call serves the catalog entry without rebuilding
+        assert link_forward_table(
+            spark, f"_bks_vf_test_roll_{tag}", base_name, empty
+        ) == rolled
+    finally:
+        for n in (f"_bks_vf_test_roll_{tag}", base_name):
+            spark.sql(f"DROP TABLE IF EXISTS `{n}`")
