@@ -167,6 +167,18 @@ HEADLINE = [
     # their 90/10 x10/x100 rows live in BASELINE.md's session-3 table),
     # and the daily gate's oracle carries the split family's ~235 s
     # recursive-CC tail, which would dominate the paired refresh.
+    #
+    # Round 12 addition (VERDICT r11 #7): the deployment-geometry minhash
+    # incremental row — boundary derived from the corpus (90% old / 10%
+    # delta), so the driver and the bench finally execute the geometry
+    # the BASELINE scale rows measure. Run 1 of the min-of-5 pays the
+    # one-time version-N band-table build; the min is the steady-state
+    # delta probe. Its DuckDB twin recomputes the full inline channel
+    # every run (serve vs recompute, the persisted-tier protocol). The
+    # tight fuzzy incremental stays OUT: its registered form still pins
+    # the fixture boundary 400 (92%-delta at sf0.1); its deployment
+    # story is BASELINE.md's round-12 tight-probe x10/x100 rows.
+    "dedup_incremental_minhash_90",
 ]
 
 

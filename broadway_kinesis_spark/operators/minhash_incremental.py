@@ -178,6 +178,33 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_pairs(spark, sf_dir)
 
 
+@query(
+    "dedup_incremental_minhash_90",
+    oracle=f"""
+    SELECT d1, d2, jaccard FROM ({_INLINE_ORACLE})
+    WHERE d2 >= (SELECT (MAX(doc_id) + 1) * 9 // 10 FROM documents)
+    """,
+)
+def dedup_incremental_minhash_90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYMENT-geometry twin of ``dedup_incremental_minhash``
+    (round 12, VERDICT r11 #7): the version-N / delta boundary derives
+    from the corpus itself — 90% old / 10% delta, ``(max_id + 1) * 9 //
+    10`` in integer arithmetic on BOTH sides — instead of the fixture's
+    pinned 400, which at sf0.1 is an adversarial 92%-delta geometry. The
+    driver therefore hash-checks the same probe shape the BASELINE scale
+    rows measure. The boundary scalar is a one-row max aggregate
+    collected driver-side (K-bounded by construction: one row, one
+    long)."""
+    max_id = (
+        load(spark, sf_dir, "documents")
+        .agg(F.max("doc_id").alias("m"))
+        .collect()[0]
+        .m
+    )
+    boundary = (int(max_id) + 1) * 9 // 10
+    return incremental_minhash_pairs(spark, sf_dir, boundary=boundary)
+
+
 def incremental_minhash_pairs(
     spark: SparkSession,
     sf_dir: str,

@@ -159,59 +159,52 @@ def _load_all_modules() -> None:
 # slots fill with the OLDEST-green rows so signal currency improves across
 # the registry. Any overflow must be declared in _DEFERRED explicitly.
 _PRIORITY: tuple[str, ...] = (
-    # (a) round-11 never-green operators: the incremental leakage-safe
-    # split assignment (VERDICT r10 #4), the session-2 extension of the
-    # incremental loop to the embedding + fingerprint channels, and the
-    # session-3 completion of the matrix (fuzzy / semantic / audio /
-    # video / substring-span incremental channels)
-    "dedup_split_incremental_assign",
-    "dedup_incremental_containment", "dedup_incremental_embedding",
+    # (a) round-12 never-green operators: the fuzzy incremental TIGHT
+    # blocking tier (VERDICT r11 #2) and the deployment-geometry 90/10
+    # minhash incremental row (VERDICT r11 #7)
+    "dedup_incremental_fuzzy_tight", "dedup_incremental_minhash_90",
+    # (b) staled this round by the copy-free link-forward fold rewrite
+    # (functions/versioned_fold.py + every *_incremental module +
+    # incremental_batch's merge-on-read DF probe — VERDICT r11 #1) and
+    # the fuzzy tight-tier plumbing: the full incremental channel
+    # matrix, the persisted-digest pair, the split assignment, the IVF
+    # fold, and the daily-gate composite
+    "dedup_incremental_audiohash", "dedup_incremental_containment",
+    "dedup_incremental_embedding", "dedup_incremental_fuzzy",
     "dedup_incremental_imagehash", "dedup_incremental_minhash",
-    "dedup_incremental_simhash", "similarity_ann_ivf_incremental",
-    "dedup_incremental_audiohash", "dedup_incremental_fuzzy",
-    "dedup_incremental_semantic", "dedup_incremental_substring",
-    "dedup_incremental_video", "pipeline_daily_increment",
-    # (b) staled this round: functions/table_build.py's errno-scoped
-    # lock fallback (ADVICE r10 — stales every layout-backed query: the
-    # split family, the bucketed join/pagerank twins, the
-    # partition-pruned scan); operators/incremental_batch.py's
-    # roll-forward additions + probe-table overrides (stales the
-    # incremental pair); operators/dedup_persist.py's docstring
-    # measurement citation (stales the persisted pair tiers);
-    # operators/ann_persist.py's bounded-training + extracted-probe
-    # refactor (stales the persisted IVF probe)
-    "dedup_containment_bottomk_persisted", "dedup_incremental_ngram",
-    "dedup_incremental_persisted", "dedup_ngram_jaccard_persisted",
-    "dedup_split_leakage_safe", "dedup_split_leakage_safe_persisted",
-    "dedup_split_leakage_safe_tiered",
-    "dedup_split_leakage_safe_tiered_persisted",
-    "graph_pagerank", "graph_pagerank_bucketed", "join_bucketed",
-    "scan_partition_pruned", "similarity_ann_ivf_persisted",
-    # (c) filler, oldest green first: the FULL round-6 cohort (26 — the
-    # stalest greens, all independently HEAD-re-verified by the round-10
-    # judge; session 3's five new channels displaced the round-7 tail)
-    "agg_pivot", "agg_salted_skew", "agg_stats", "agg_time_decay",
-    "asof_join", "asof_join_forward", "asof_join_nearest",
-    "asof_join_tolerance", "composite_curation_report",
-    "dedup_decontaminate", "dedup_substring_spans",
-    "graph_triangle_count", "join_inner", "join_salted_skew",
-    "multimodal_scene_cut", "pack_sequences", "sample_hash_split",
-    "sample_reservoir_group", "sample_stratified",
-    "similarity_quantize_int8", "stream_tumbling_window",
-    "text_bigram_logprob", "udf_pandas_vectorized", "udf_python_row",
+    "dedup_incremental_ngram", "dedup_incremental_persisted",
+    "dedup_incremental_semantic", "dedup_incremental_simhash",
+    "dedup_incremental_substring", "dedup_incremental_video",
+    "dedup_split_incremental_assign", "pipeline_daily_increment",
+    "similarity_ann_ivf_incremental",
+    # (c) filler, oldest green first (VERDICT r11 #5 — rotate the
+    # stalest cohort in): the COMPLETE r6+r7 cohort (22 — every query
+    # whose last driver-green round is 6 or 7, all independently
+    # HEAD-re-verified by the round-11 judge), then the r8 cohort's
+    # first 11 alphabetically
+    "udf_table_function", "window_cumulative_distinct",
+    "agg_sketch_merge", "agg_string_concat", "cdc_merge_upsert",
+    "composite_ann_recall", "dedup_boilerplate", "dedup_exact_rows",
+    "dedup_keep_first", "filter_null_semantics", "funnel_conversion",
+    "join_anti", "join_broadcast", "similarity_ann_ivf",
+    "similarity_ann_ivf_probe", "similarity_ann_lsh",
+    "similarity_kmeans", "similarity_normalize",
+    "similarity_topk_cosine", "similarity_topk_cosine_pandas",
+    "text_repetition_score", "window_time_range",
+    "composite_dedup_recall", "composite_fuzzy_blocking_recall",
+    "dedup_audio_fingerprint", "dedup_containment",
+    "dedup_embedding_cosine", "dedup_exact_docs", "dedup_fuzzy_prefix",
+    "dedup_image_phash", "dedup_incremental", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot
-# window cannot hold. Round 11: EMPTY — demand is 26 (13 new operators:
-# the incremental split assignment, the session-2 containment/embedding/
-# fingerprint/minhash/simhash/IVF incremental channels, session 3's
-# fuzzy/semantic/audio/video/substring incremental channels + the daily
-# ingest-gate composite, + 13 staled by this round's table_build/
-# incremental_batch/dedup_persist/ann_persist edits), leaving 24 slots
-# of oldest-green filler (counts per
-# test_registry_window.py, the source of truth). test_registry_window.py
-# keeps enforcing that any future overflow must be declared here
-# explicitly.
+# window cannot hold. Round 12: EMPTY — demand is 17 (2 new queries + 15
+# staled by the copy-free fold rewrite), leaving 33 slots of oldest-green
+# filler, which absorbs the ENTIRE r6+r7 stalest cohort plus a third of
+# the r8 cohort (counts per test_registry_window.py, the source of
+# truth). test_registry_window.py keeps enforcing that any future
+# overflow must be declared here explicitly.
 _DEFERRED: tuple[str, ...] = ()
 
 

@@ -264,6 +264,12 @@ def main() -> None:
         out["fz_probe_s"], out["fz_probe_pairs"] = timed(
             lambda: incremental_fuzzy_pairs(spark, corpus, d90).count()
         )
+        # round-12: the TIGHT first-token blocking tier wired into the
+        # probe (VERDICT r11 #2) — same artifact, (blk, tok0) join key;
+        # recall priced by composite_fuzzy_blocking_recall
+        out["fz_probe_tight_s"], out["fz_probe_tight_pairs"] = timed(
+            lambda: incremental_fuzzy_pairs(spark, corpus, d90, tight=True).count()
+        )
         if "fz" in sections:
             out["fz_full_s"], out["fz_full_pairs"] = timed(
                 lambda: incremental_fuzzy_pairs(spark, corpus, 0).count()
@@ -422,6 +428,38 @@ def main() -> None:
         out["gate_serve_s"], out["gate_rows"] = timed(
             lambda: daily_increment_rows(spark, corpus, d90).count()
         )
+
+    emit(out)
+    if "ivfdrift" in sections:
+        # round-12 (VERDICT r11 #3): recall of a k-times-ROLLED index vs
+        # exact search over the indexed population, after each fold — the
+        # drift measurement + should_retrain trigger on the fresh
+        # clustered corpus (5 folds of 2% each over the last decile).
+        import shutil
+
+        from broadway_kinesis_spark.operators.ann_incremental import (
+            _dir,
+            ensure_version_index,
+            fold_ivf_index,
+            rolled_recall,
+            should_retrain,
+        )
+
+        b90 = int(n_vecs * 0.9)
+        steps = [b90 + int(n_vecs * 0.02) * i for i in range(1, 5)] + [n_vecs]
+        for i in range(1, len(steps) + 1):
+            shutil.rmtree(_dir(corpus, f"drift-step{i}"), ignore_errors=True)
+        cur = ensure_version_index(spark, corpus, b90)
+        out["ivfdrift_recall_v0"] = round(rolled_recall(spark, corpus, cur, b90), 4)
+        lo = b90
+        for i, hi in enumerate(steps, start=1):
+            cur = fold_ivf_index(
+                spark, corpus, cur, lo, hi, tag=f"drift-step{i}"
+            )
+            r = rolled_recall(spark, corpus, cur, hi)
+            out[f"ivfdrift_recall_fold{i}"] = round(r, 4)
+            out[f"ivfdrift_retrain_fold{i}"] = should_retrain(r, 0.9)
+            lo = hi
 
     print(json.dumps(out))
 
