@@ -218,21 +218,29 @@ def roll_forward_ngram_index(
     sig = corpus_sig(sf_dir, ("documents",))
     idx_name = f"_bks_ngidx_{pol}_{sig}"
     df_name = f"_bks_ngdf_{pol}_{sig}"
+    if spark.catalog.tableExists(idx_name) and spark.catalog.tableExists(
+        df_name
+    ):
+        return idx_name, df_name
 
-    def delta_rows() -> DataFrame:
-        d = load(spark, sf_dir, "documents").filter(
-            (F.col("doc_id") >= boundary_n) & (F.col("doc_id") < boundary_n1)
-        )
-        return _shingled(d).select(
-            "doc_id", F.explode("shingles").alias("shingle")
-        )
+    # ONE shingling pass feeds both writes (the video channel's round-12
+    # x100 lesson: two delta closures paid the delta's dominant compute
+    # twice); delta-sized checkpoint, the module's retention argument.
+    d = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") >= boundary_n) & (F.col("doc_id") < boundary_n1)
+    )
+    delta = (
+        _shingled(d)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .localCheckpoint(eager=True)
+    )
 
     idx_tbl = link_forward_table(
-        spark, idx_name, idx_n, delta_rows, bucket_by=(IDX_BUCKETS, "shingle")
+        spark, idx_name, idx_n, lambda: delta, bucket_by=(IDX_BUCKETS, "shingle")
     )
 
     def delta_df_segment() -> DataFrame:
-        return delta_rows().groupBy("shingle").agg(
+        return delta.groupBy("shingle").agg(
             F.count(F.lit(1)).alias("df_old")
         )
 

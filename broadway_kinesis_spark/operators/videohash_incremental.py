@@ -149,19 +149,26 @@ def roll_forward_video_index(
     sig = corpus_sig(sf_dir, ("documents",))
     idx_name = f"_bks_vidx_{pol}_{sig}"
     df_name = f"_bks_vdf_{pol}_{sig}"
+    if spark.catalog.tableExists(idx_name) and spark.catalog.tableExists(
+        df_name
+    ):
+        return idx_name, df_name
 
-    def delta_rows() -> DataFrame:
-        docs = load(spark, sf_dir, "documents").filter(
-            (F.col("doc_id") >= boundary_n) & (F.col("doc_id") < boundary_n1)
-        )
-        return _shingle_rows(docs)
+    # ONE decode pass feeds both writes (round-12 x100 lesson: two
+    # delta_rows() closures decoded the delta twice, costing more than
+    # the copy the link-forward removed); the checkpoint is delta-sized,
+    # the incremental_batch retention argument applies.
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") >= boundary_n) & (F.col("doc_id") < boundary_n1)
+    )
+    delta = _shingle_rows(docs).localCheckpoint(eager=True)
 
     idx_tbl = link_forward_table(
-        spark, idx_name, idx_n, delta_rows, bucket_by=(IDX_BUCKETS, "shingle")
+        spark, idx_name, idx_n, lambda: delta, bucket_by=(IDX_BUCKETS, "shingle")
     )
 
     def delta_df_segment() -> DataFrame:
-        return delta_rows().groupBy("shingle").agg(
+        return delta.groupBy("shingle").agg(
             F.count(F.lit(1)).alias("df_old")
         )
 
