@@ -49,7 +49,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
-from broadway_kinesis_spark.functions.versioned_fold import link_forward_table
+from broadway_kinesis_spark.functions.versioned_fold import (
+    link_forward_table,
+    spread_delta,
+)
 from broadway_kinesis_spark.operators import audiohash as _audiohash  # noqa: F401 (registers the inline twin)
 from broadway_kinesis_spark.operators.audiohash import (
     AUDIO_BANDS_PER_WORD,
@@ -186,7 +189,7 @@ def roll_forward_audio_bands(
         docs = load(spark, sf_dir, "documents").filter(
             (F.col("doc_id") >= boundary_n) & (F.col("doc_id") < boundary_n1)
         )
-        return _band_rows(_fingerprints(docs))
+        return _band_rows(_fingerprints(spread_delta(docs)))
 
     return link_forward_table(
         spark, name, old_tbl, delta_build, bucket_by=(BAND_BUCKETS, "bkeyc")
@@ -235,7 +238,7 @@ def incremental_audio_pairs(
     # One decode pass for the delta, shared by the probe side and the
     # new-new self-join (two consumers; delta-bounded by construction).
     delta_bands = _band_rows(
-        _fingerprints(d.filter(F.col("doc_id") >= boundary))
+        _fingerprints(spread_delta(d.filter(F.col("doc_id") >= boundary)))
     ).cache()
 
     def side(df: DataFrame, tag: str) -> DataFrame:

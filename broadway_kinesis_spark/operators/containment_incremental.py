@@ -57,6 +57,7 @@ from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_tabl
 from broadway_kinesis_spark.functions.versioned_fold import (
     link_forward_table,
     probe_counts,
+    spread_delta,
 )
 from broadway_kinesis_spark.operators.containment import C_T
 from broadway_kinesis_spark.operators.containment_bottomk import K_BOTTOM
@@ -134,7 +135,7 @@ def roll_forward_bottomk_probes(
         docs = load(spark, sf_dir, "documents").filter(
             (F.col("doc_id") >= boundary_n) & (F.col("doc_id") < boundary_n1)
         )
-        return _bottomk_rows(docs)
+        return _bottomk_rows(spread_delta(docs))
 
     return link_forward_table(
         spark, name, old_tbl, delta_build, bucket_by=(IDX_BUCKETS, "shingle")
@@ -183,7 +184,7 @@ def incremental_containment_pairs(
         else ensure_bottomk_probes(spark, sf_dir, boundary)
     )
     d = load(spark, sf_dir, "documents")
-    delta_docs = d.filter(F.col("doc_id") >= boundary)
+    delta_docs = spread_delta(d.filter(F.col("doc_id") >= boundary))
     # One shingle pass for the delta (localCheckpoint, not cache: the
     # arrays feed the index explode, the probe selection, and transitively
     # several joins of one job — the AQE cached-plan zip failure

@@ -53,7 +53,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
-from broadway_kinesis_spark.functions.versioned_fold import link_forward_table
+from broadway_kinesis_spark.functions.versioned_fold import (
+    link_forward_table,
+    spread_delta,
+)
 from broadway_kinesis_spark.operators import imagehash as _imagehash  # noqa: F401 (registers the inline twin)
 from broadway_kinesis_spark.operators.imagehash import (
     BANDS,
@@ -165,7 +168,7 @@ def roll_forward_phash_bands(
         docs = load(spark, sf_dir, "documents").filter(
             (F.col("doc_id") >= boundary_n) & (F.col("doc_id") < boundary_n1)
         )
-        return _band_rows(_fingerprints(docs))
+        return _band_rows(_fingerprints(spread_delta(docs)))
 
     return link_forward_table(
         spark, name, old_tbl, delta_build, bucket_by=(BAND_BUCKETS, "bkeyc")
@@ -217,7 +220,7 @@ def incremental_phash_pairs(
     # new-new self-join (two consumers — the inline twin's cache pattern;
     # the cached set is delta-bounded by construction).
     delta_bands = _band_rows(
-        _fingerprints(d.filter(F.col("doc_id") >= boundary))
+        _fingerprints(spread_delta(d.filter(F.col("doc_id") >= boundary)))
     ).cache()
 
     def side(df: DataFrame, tag: str) -> DataFrame:

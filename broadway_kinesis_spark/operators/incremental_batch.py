@@ -58,6 +58,7 @@ from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_tabl
 from broadway_kinesis_spark.functions.versioned_fold import (
     link_forward_table,
     probe_counts,
+    spread_delta,
 )
 from broadway_kinesis_spark.operators.dedup import (
     DF_CAP,
@@ -230,7 +231,7 @@ def roll_forward_ngram_index(
         (F.col("doc_id") >= boundary_n) & (F.col("doc_id") < boundary_n1)
     )
     delta = (
-        _shingled(d)
+        _shingled(spread_delta(d))
         .select("doc_id", F.explode("shingles").alias("shingle"))
         .localCheckpoint(eager=True)
     )
@@ -360,9 +361,9 @@ def incremental_ngram_pairs(
     # with any localCheckpoint, the blocks are lost on executor failure
     # mid-job — acceptable for a recomputable batch query, which simply
     # re-runs.
-    delta_sh = _shingled(d.filter(F.col("doc_id") >= boundary)).localCheckpoint(
-        eager=True
-    )
+    delta_sh = _shingled(
+        spread_delta(d.filter(F.col("doc_id") >= boundary))
+    ).localCheckpoint(eager=True)
     delta_idx = delta_sh.select("doc_id", F.explode("shingles").alias("shingle"))
     # combined-corpus DF on the delta's shingles only (pairs need a shared
     # shingle inside some delta doc, so no other shingle can matter)

@@ -54,7 +54,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
-from broadway_kinesis_spark.functions.versioned_fold import link_forward_table
+from broadway_kinesis_spark.functions.versioned_fold import (
+    link_forward_table,
+    spread_delta,
+)
 from broadway_kinesis_spark.operators.dedup import (
     BAND_R,
     N_SIG,
@@ -154,7 +157,7 @@ def roll_forward_minhash_bands(
         docs = load(spark, sf_dir, "documents").filter(
             (F.col("doc_id") >= boundary_n) & (F.col("doc_id") < boundary_n1)
         )
-        return _band_rows(docs)
+        return _band_rows(spread_delta(docs))
 
     return link_forward_table(
         spark, name, old_tbl, delta_build, bucket_by=(BAND_BUCKETS, "bkc")
@@ -230,7 +233,9 @@ def incremental_minhash_pairs(
     d = load(spark, sf_dir, "documents")
     # One signature pass for the delta, shared by both join sides (the
     # inline channel's cache pattern; delta-bounded by construction).
-    delta_bands = _band_rows(d.filter(F.col("doc_id") >= boundary)).cache()
+    delta_bands = _band_rows(
+        spread_delta(d.filter(F.col("doc_id") >= boundary))
+    ).cache()
     b = delta_bands.select(F.col("doc_id").alias("d2"), "bkc")
     # Stored side joins FIRST, before any union: its bucketed layout
     # satisfies the join distribution so only the delta side exchanges —

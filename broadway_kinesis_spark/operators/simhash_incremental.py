@@ -41,6 +41,7 @@ from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_tabl
 from broadway_kinesis_spark.functions.versioned_fold import (
     link_forward_table,
     probe_counts,
+    spread_delta,
 )
 from broadway_kinesis_spark.operators.dedup import SIM_BITS
 from broadway_kinesis_spark.operators import dedup as _dedup  # noqa: F401 (registers the inline twin)
@@ -137,7 +138,7 @@ def roll_forward_simhash_counts(
             (F.col("doc_id") >= boundary_n) & (F.col("doc_id") < boundary_n1)
         )
         return (
-            _fingerprints(docs)
+            _fingerprints(spread_delta(docs))
             .groupBy("simhash")
             .agg(F.count(F.lit(1)).alias("n_old"))
         )
@@ -179,7 +180,7 @@ def incremental_simhash_rows(
         else ensure_simhash_counts(spark, sf_dir, boundary)
     )
     d = load(spark, sf_dir, "documents")
-    fps = _fingerprints(d.filter(F.col("doc_id") >= boundary))
+    fps = _fingerprints(spread_delta(d.filter(F.col("doc_id") >= boundary)))
     from pyspark.sql import Window
 
     # merge-on-read: the stored statistic may be segmented (link-forward

@@ -49,6 +49,7 @@ from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_tabl
 from broadway_kinesis_spark.functions.versioned_fold import (
     link_forward_table,
     probe_counts,
+    spread_delta,
 )
 from broadway_kinesis_spark.operators import substring_spans as _ss  # noqa: F401 (registers the inline twin)
 from broadway_kinesis_spark.operators.substring_spans import K_SPAN, MIN_DOCS
@@ -141,7 +142,7 @@ def roll_forward_span_counts(
         docs = load(spark, sf_dir, "documents").filter(
             (F.col("doc_id") >= boundary_n) & (F.col("doc_id") < boundary_n1)
         )
-        return _span_doc_counts(_span_positions(docs), "n_old")
+        return _span_doc_counts(_span_positions(spread_delta(docs)), "n_old")
 
     return link_forward_table(
         spark, name, old_tbl, delta_build, bucket_by=(SPAN_BUCKETS, "span")
@@ -187,7 +188,9 @@ def incremental_substring_rows(
         if counts_tbl is not None
         else ensure_span_counts(spark, sf_dir, boundary)
     )
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") >= boundary)
+    docs = spread_delta(
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") >= boundary)
+    )
     # the span projection feeds the delta-DF aggregate, the flagged join,
     # and the per-doc rollup — materialize once, delta-bounded (the
     # incremental_batch AQE zip-failure rationale; blocks reclaimed by the

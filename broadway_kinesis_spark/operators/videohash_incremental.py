@@ -52,6 +52,7 @@ from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_tabl
 from broadway_kinesis_spark.functions.versioned_fold import (
     link_forward_table,
     probe_counts,
+    spread_delta,
 )
 from broadway_kinesis_spark.operators import videohash as _videohash  # noqa: F401 (registers the inline twin)
 from broadway_kinesis_spark.operators.dedup import DF_CAP
@@ -161,7 +162,7 @@ def roll_forward_video_index(
     docs = load(spark, sf_dir, "documents").filter(
         (F.col("doc_id") >= boundary_n) & (F.col("doc_id") < boundary_n1)
     )
-    delta = _shingle_rows(docs).localCheckpoint(eager=True)
+    delta = _shingle_rows(spread_delta(docs)).localCheckpoint(eager=True)
 
     idx_tbl = link_forward_table(
         spark, idx_name, idx_n, lambda: delta, bucket_by=(IDX_BUCKETS, "shingle")
@@ -219,7 +220,7 @@ def incremental_video_pairs(
         idx_tbl, df_tbl = ensure_video_index(spark, sf_dir, boundary)
     d = load(spark, sf_dir, "documents")
     delta_sh = _shingle_rows(
-        d.filter(F.col("doc_id") >= boundary)
+        spread_delta(d.filter(F.col("doc_id") >= boundary))
     ).localCheckpoint(eager=True)
     delta_df = delta_sh.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df_new")

@@ -35,6 +35,24 @@ def _loc(spark, tbl: str) -> str:
     return os.path.join(wh, tbl)
 
 
+def _fresh_pair(spark, ensure_fn, fold_fn):
+    """Force base AND fold to build fresh in THIS test: another test in the
+    session may have vacuumed the base (links keep the fold serving — the
+    retention design) and a later ensure_* rebuild gets new inodes, so a
+    cached fold would no longer share them. The inode fence is about the
+    fold's BUILD, so it must own its build."""
+    import shutil
+
+    for fn in (fold_fn, ensure_fn):
+        names = fn()
+        for n in names if isinstance(names, tuple) else (names,):
+            spark.sql(f"DROP TABLE IF EXISTS `{n}`")
+            shutil.rmtree(_loc(spark, n), ignore_errors=True)
+    base = ensure_fn()
+    rolled = fold_fn()
+    return base, rolled
+
+
 def _assert_linked(spark, base_tbl: str, rolled_tbl: str) -> list[str]:
     """Every base data file must exist under the rolled location with the
     SAME inode; returns the rolled location's extra (newly written)
@@ -58,8 +76,11 @@ def test_minhash_fold_links_base_files_and_writes_only_delta(spark, sf_dir):
         roll_forward_minhash_bands,
     )
 
-    base = ensure_minhash_bands(spark, sf_dir, 400)
-    rolled = roll_forward_minhash_bands(spark, sf_dir, 400, 450)
+    base, rolled = _fresh_pair(
+        spark,
+        lambda: ensure_minhash_bands(spark, sf_dir, 400),
+        lambda: roll_forward_minhash_bands(spark, sf_dir, 400, 450),
+    )
     extra = _assert_linked(spark, base, rolled)
     # the newly written files hold exactly the delta's band rows
     n_base = spark.table(base).count()
@@ -85,8 +106,11 @@ def test_rolled_table_survives_dropping_the_base_version(spark, sf_dir):
         roll_forward_minhash_bands,
     )
 
-    base = ensure_minhash_bands(spark, sf_dir, 400)
-    rolled = roll_forward_minhash_bands(spark, sf_dir, 400, 450)
+    base, rolled = _fresh_pair(
+        spark,
+        lambda: ensure_minhash_bands(spark, sf_dir, 400),
+        lambda: roll_forward_minhash_bands(spark, sf_dir, 400, 450),
+    )
     before = spark.table(rolled).count()
     spark.sql(f"DROP TABLE IF EXISTS `{base}`")
     shutil.rmtree(_loc(spark, base), ignore_errors=True)
@@ -101,8 +125,11 @@ def test_embedding_fold_links_base_files(spark, sf_dir):
         roll_forward_embedding_norms,
     )
 
-    base = ensure_embedding_norms(spark, sf_dir, 400)
-    rolled = roll_forward_embedding_norms(spark, sf_dir, 400, 450)
+    base, rolled = _fresh_pair(
+        spark,
+        lambda: ensure_embedding_norms(spark, sf_dir, 400),
+        lambda: roll_forward_embedding_norms(spark, sf_dir, 400, 450),
+    )
     _assert_linked(spark, base, rolled)
     assert spark.table(rolled).count() == spark.table(base).count() + (
         spark.table(rolled).filter(F.col("vec_id") >= 400).count()
@@ -116,8 +143,11 @@ def test_ngram_df_fold_is_base_links_plus_delta_segment(spark, sf_dir):
         roll_forward_ngram_index,
     )
 
-    _, base_df = ensure_ngram_index(spark, sf_dir, 400)
-    _, rolled_df = roll_forward_ngram_index(spark, sf_dir, 400, 450)
+    (_, base_df), (_, rolled_df) = _fresh_pair(
+        spark,
+        lambda: ensure_ngram_index(spark, sf_dir, 400),
+        lambda: roll_forward_ngram_index(spark, sf_dir, 400, 450),
+    )
     _assert_linked(spark, base_df, rolled_df)
     # segmented: some shingles carry 2 rows (base + delta segment); the
     # SERVED view sums them and the raw multiset is base ∪ delta-counts
