@@ -172,10 +172,20 @@ def spread_delta(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     — bounded by the delta argument every incremental module makes. On a
     real cluster a daily delta usually arrives as its own file set with
     natural parallelism; this guards the geometry where it does not
-    (single-file corpora, compacted tables, id-range slices)."""
+    (single-file corpora, compacted tables, id-range slices).
+
+    The checkpoint stores DISK_ONLY, deliberately: the default
+    memory-and-disk level parks the raw rows in the unified memory pool
+    and starves downstream execution memory exactly when the caller is a
+    boundary-0 "full recompute" comparator whose 'delta' is the whole
+    corpus (observed: JVM heap OOM in the containment comparator at
+    fresh x100). Local-disk re-reads ride the page cache; the heavy
+    per-row compute this helper exists for dwarfs them."""
+    from pyspark.storagelevel import StorageLevel
+
     sc = df.sparkSession.sparkContext
     return df.repartition(parallelism or sc.defaultParallelism).localCheckpoint(
-        eager=True
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
     )
 
 
