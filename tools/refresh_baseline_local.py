@@ -46,6 +46,11 @@ SLOW_DUCK_KEYS = (
     # would have flattered every future round; excluded for the same
     # reason as the ngram keys.
     "dedup_containment_bottomk_persisted",
+    # round-12 headline addition: its oracle re-runs the full inline
+    # minhash SQL in DuckDB (the dedup_minhash_lsh family — slow there)
+    # against a Spark delta probe; excluded against our own interest,
+    # the standing posture.
+    "dedup_incremental_minhash_90",
 )
 
 
