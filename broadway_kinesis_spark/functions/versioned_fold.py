@@ -103,10 +103,21 @@ def link_forward_table(
 
     Same idempotence/divert semantics as ``table_build.ensure_table``:
     catalog hit returns immediately; a live sibling's lock or finished
-    location diverts to a pid-scoped name."""
-    if spark.catalog.tableExists(name):
-        return name
+    location diverts to a pid-scoped name. Unlike ``ensure_table`` —
+    where table creation is the last step — the table here becomes
+    catalog-visible BEFORE the base files are linked in, so the catalog
+    fast path additionally verifies the post-link owner marker (ADVICE
+    r12): a registered table whose location lacks the marker is a build
+    whose link loop died mid-way (ENOSPC, concurrently vacuumed base) and
+    holds only delta rows — serving it as version N+1 would silently drop
+    the base. Such a table is dropped and rebuilt; the exception path
+    below also drops eagerly, so the marker check is the backstop for a
+    failed cleanup, not the primary mechanism."""
     loc = _warehouse_loc(spark, name)
+    if spark.catalog.tableExists(name):
+        if os.path.isfile(os.path.join(loc, _OWNER_MARKER)):
+            return name
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")  # incomplete link-forward
     lock = _acquire_build_lock(loc)
     if lock is None:
         return link_forward_table(
@@ -115,7 +126,9 @@ def link_forward_table(
         )
     try:
         if spark.catalog.tableExists(name):
-            return name
+            if os.path.isfile(os.path.join(loc, _OWNER_MARKER)):
+                return name
+            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
         if os.path.isdir(loc):
             owner = _location_owner(loc)
             if owner is not None and owner != os.getpid() and _pid_alive(owner):
@@ -129,26 +142,42 @@ def link_forward_table(
             n, key = bucket_by
             writer = writer.bucketBy(n, key).sortBy(key)
         writer.saveAsTable(name)
-        src = _warehouse_loc(spark, base_tbl)
-        for fname in base_data_files(spark, base_tbl):
-            s, d = os.path.join(src, fname), os.path.join(loc, fname)
-            try:
-                os.link(s, d)
-            except FileExistsError:
-                # Spark part-file names embed a per-job UUID, so a name
-                # collision between the base's files and the just-written
-                # delta files cannot arise from this protocol; an existing
-                # file here is a foreign writer — fail loudly rather than
-                # serve double-counted rows.
-                raise
-            except OSError:
-                shutil.copy2(s, d)  # filesystems without link support
-        spark.catalog.refreshTable(name)
         try:
-            with open(os.path.join(loc, _OWNER_MARKER), "w", encoding="ascii") as f:
+            src = _warehouse_loc(spark, base_tbl)
+            for fname in base_data_files(spark, base_tbl):
+                s, d = os.path.join(src, fname), os.path.join(loc, fname)
+                try:
+                    os.link(s, d)
+                except FileExistsError:
+                    # Spark part-file names embed a per-job UUID, so a name
+                    # collision between the base's files and the just-written
+                    # delta files cannot arise from this protocol; an existing
+                    # file here is a foreign writer — fail loudly rather than
+                    # serve double-counted rows.
+                    raise
+                except OSError:
+                    shutil.copy2(s, d)  # filesystems without link support
+            spark.catalog.refreshTable(name)
+            # marker last: its presence certifies the links completed (the
+            # fast path refuses to serve a markerless location). NOT
+            # best-effort here, unlike ensure_table — a markerless
+            # link-forward is indistinguishable from a mid-link crash.
+            with open(
+                os.path.join(loc, _OWNER_MARKER), "w", encoding="ascii"
+            ) as f:
                 f.write(str(os.getpid()))
-        except OSError:
-            pass
+        except BaseException:
+            # The table became catalog-visible at saveAsTable, BEFORE the
+            # base files landed (ADVICE r12): a mid-link failure must not
+            # leave a registered delta-only table for the idempotence fast
+            # path to serve. Drop table + location, then propagate; the
+            # owner-marker check in the fast path backstops a failed drop.
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+            except Exception:
+                pass
+            shutil.rmtree(loc, ignore_errors=True)
+            raise
         return name
     finally:
         _release_build_lock(lock)

@@ -151,10 +151,17 @@ def fold_ivf_index(
         )
         old_post = os.path.join(src_dir, "postings.parquet")
         new_post = os.path.join(staging, "postings.parquet")
+        # exclusive: a ``label=`` partition dir already holds the delta's
+        # freshly written files, so a name collision with a base posting
+        # file must fail loudly, not fall through to an overwriting copy
+        # (ADVICE r12 — Spark's per-job UUID file names make collisions
+        # impossible from this protocol; an existing name is foreign).
         for part in os.listdir(old_post):
             if part.startswith("label="):
                 link_tree(
-                    os.path.join(old_post, part), os.path.join(new_post, part)
+                    os.path.join(old_post, part),
+                    os.path.join(new_post, part),
+                    exclusive=True,
                 )
         os.rename(staging, index_dir)
     except OSError:
@@ -254,7 +261,18 @@ def rolled_recall(
         ).alias("recall")
     )
     row = per_q.agg(F.avg("recall").alias("r")).collect()[0]
-    return float(row.r) if row.r is not None else 1.0
+    if row.r is None:
+        # Fail CLOSED (ADVICE r12): an empty exact comparator means the
+        # indexed population produced no queries (boundary below
+        # N_QUERIES, empty embeddings slice, misconfigured corpus) — a
+        # drift instrument that reads that as perfect recall can never
+        # trip the retrain gate. Misconfiguration is an error, not 100%.
+        raise ValueError(
+            f"rolled_recall: exact comparator over boundary={boundary} "
+            f"produced no queries — indexed population is empty or below "
+            "N_QUERIES; refusing to report recall"
+        )
+    return float(row.r)
 
 
 def should_retrain(recall: float, recall_floor: float = 0.9) -> bool:

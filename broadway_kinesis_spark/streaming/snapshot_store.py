@@ -165,17 +165,28 @@ def commit_snapshot_version(
     return flip_pointer_and_gc(state_dir, v, new_v)
 
 
-def link_tree(src: str, dst: str) -> None:
+def link_tree(src: str, dst: str, exclusive: bool = False) -> None:
     """Mirror ``src`` into ``dst`` via hard links (copy fallback for
     filesystems without link support). Links make untouched subtrees
-    byte-identical across versions at zero data I/O."""
+    byte-identical across versions at zero data I/O.
+
+    ``exclusive=True`` re-raises ``FileExistsError`` instead of letting it
+    fall through to the overwrite-capable ``copy2`` fallback (ADVICE r12):
+    callers merging a base version's files into a directory that already
+    holds freshly written delta files (the IVF posting-partition fold) must
+    fail loudly on a name collision rather than silently drop delta rows.
+    """
     os.makedirs(dst, exist_ok=True)
     for name in os.listdir(src):
         s, d = os.path.join(src, name), os.path.join(dst, name)
         if os.path.isdir(s):
-            link_tree(s, d)
+            link_tree(s, d, exclusive=exclusive)
         else:
             try:
                 os.link(s, d)
+            except FileExistsError:
+                if exclusive:
+                    raise
+                shutil.copy2(s, d)
             except OSError:
                 shutil.copy2(s, d)
