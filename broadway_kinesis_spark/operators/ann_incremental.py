@@ -71,10 +71,11 @@ def _dir(sf_dir: str, tag: str) -> str:
 
 
 def ensure_version_index(
-    spark: SparkSession, sf_dir: str, boundary: int = BOUNDARY
+    spark: SparkSession, sf_dir: str, boundary: int | None = BOUNDARY
 ) -> str:
     """Version N's index: trained AND populated on ``vec_id < boundary``
-    (ann_persist.build_ivf_index's bounded form)."""
+    (ann_persist.build_ivf_index's bounded form; ``None`` = the whole
+    corpus — the retrain target the drift gate builds)."""
     index_dir = _dir(sf_dir, f"v{boundary}")
     build_ivf_index(spark, sf_dir, index_dir, boundary=boundary)
     return index_dir
@@ -85,6 +86,7 @@ def roll_forward_ivf_index(
     sf_dir: str,
     boundary_n: int = BOUNDARY,
     boundary_n1: int | None = None,
+    src: str | None = None,
 ) -> str:
     """Fold the accepted delta ``[boundary_n, boundary_n1)`` (``None`` =
     the rest of the corpus) into version N's stored index: centroids
@@ -100,15 +102,19 @@ def roll_forward_ivf_index(
     idempotent per (corpus, boundaries); content==scratch and inode
     identity pinned by tests/test_incremental_channels.py /
     test_versioned_fold.py."""
-    old_dir = ensure_version_index(spark, sf_dir, boundary_n)
-    return fold_ivf_index(
-        spark,
-        sf_dir,
-        old_dir,
-        boundary_n,
-        boundary_n1,
-        tag=f"rf-v{boundary_n}-v{boundary_n1}",
+    # chained daily loop: ``src`` is the previous day's rolled index dir
+    # (fold-on-fold via :func:`fold_ivf_index`); default trains version N
+    # from scratch. The tag folds the src identity in so a chained fold
+    # can never shadow a from-scratch fold at the same boundaries.
+    old_dir = (
+        src
+        if src is not None
+        else ensure_version_index(spark, sf_dir, boundary_n)
     )
+    tag = f"rf-v{boundary_n}-v{boundary_n1}"
+    if src is not None:
+        tag += "-" + hashlib.md5(src.encode()).hexdigest()[:6]
+    return fold_ivf_index(spark, sf_dir, old_dir, boundary_n, boundary_n1, tag=tag)
 
 
 def fold_ivf_index(
@@ -283,6 +289,37 @@ def should_retrain(recall: float, recall_floor: float = 0.9) -> bool:
     Deliberately a pure threshold: hysteresis/scheduling policy belongs
     to the caller; the engine's job is the measurement."""
     return recall < recall_floor
+
+
+def vacuum_ivf_paths(
+    paths: tuple[str, ...], dry_run: bool = False
+) -> list[str]:
+    """Path-form of :func:`vacuum_ivf_versions` for callers that hold the
+    superseded index DIRECTORIES rather than their tags (the daily
+    orchestrator's drift-retrain path — ``roll_forward_corpus`` knows the
+    fold's returned dir, not the tag it was derived from). The same safety
+    rule, enforced structurally instead of by derivation: only a path
+    whose basename carries this module's ``bks_ivf_index_`` prefix under
+    the system temp dir is ever touched — anything else raises, so a
+    caller bug can never turn retention into an arbitrary rmtree."""
+    import tempfile
+
+    tmp = os.path.realpath(tempfile.gettempdir())
+    dropped: list[str] = []
+    for path in paths:
+        real = os.path.realpath(path)
+        if os.path.dirname(real) != tmp or not os.path.basename(
+            real
+        ).startswith("bks_ivf_index_"):
+            raise ValueError(
+                f"refusing to vacuum {path!r}: not a bks_ivf_index_* "
+                "directory under the temp dir"
+            )
+        if os.path.isdir(real):
+            if not dry_run:
+                shutil.rmtree(real)
+            dropped.append(real)
+    return dropped
 
 
 def vacuum_ivf_versions(

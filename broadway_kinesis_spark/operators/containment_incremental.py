@@ -55,6 +55,7 @@ from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
 from broadway_kinesis_spark.functions.versioned_fold import (
+    fold_policy,
     link_forward_table,
     probe_counts,
     spread_delta,
@@ -113,7 +114,11 @@ def ensure_bottomk_probes(
 
 
 def roll_forward_bottomk_probes(
-    spark: SparkSession, sf_dir: str, boundary_n: int, boundary_n1: int
+    spark: SparkSession,
+    sf_dir: str,
+    boundary_n: int,
+    boundary_n1: int,
+    src: str | None = None,
 ) -> str:
     """Fold the accepted delta's probe sketches into version N's table →
     N+1 (a doc's sketch never changes, so the fold is a pure append —
@@ -124,10 +129,10 @@ def roll_forward_bottomk_probes(
     remainder by tests/test_versioned_fold.py; the index/DF artifacts
     roll forward through incremental_batch.roll_forward_ngram_index,
     shared with the ngram channel."""
-    old_tbl = ensure_bottomk_probes(spark, sf_dir, boundary_n)
-    pol = hashlib.md5(
-        f"{_PROBES_POLICY}:rf:v{boundary_n}-v{boundary_n1}".encode()
-    ).hexdigest()[:8]
+    # chained daily loop: ``src`` names the previous day's rolled table
+    # (fold-on-fold); default is the from-scratch version-N build.
+    old_tbl = src if src is not None else ensure_bottomk_probes(spark, sf_dir, boundary_n)
+    pol = fold_policy(_PROBES_POLICY, boundary_n, boundary_n1, src)
     sig = corpus_sig(sf_dir, ("documents",))
     name = f"_bks_bkprobes_{pol}_{sig}"
 

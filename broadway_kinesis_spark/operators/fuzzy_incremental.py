@@ -45,7 +45,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
-from broadway_kinesis_spark.functions.versioned_fold import link_forward_table
+from broadway_kinesis_spark.functions.versioned_fold import (
+    fold_policy,
+    link_forward_table,
+)
 from broadway_kinesis_spark.operators import dedup as _dedup  # noqa: F401 (registers the inline twin)
 from broadway_kinesis_spark.operators.dedup import EDIT_T, PREFIX_N
 from broadway_kinesis_spark.registry import REGISTRY, query
@@ -101,7 +104,11 @@ def ensure_fuzzy_prefixes(
 
 
 def roll_forward_fuzzy_prefixes(
-    spark: SparkSession, sf_dir: str, boundary_n: int, boundary_n1: int
+    spark: SparkSession,
+    sf_dir: str,
+    boundary_n: int,
+    boundary_n1: int,
+    src: str | None = None,
 ) -> str:
     """Fold the accepted delta ``[boundary_n, boundary_n1)`` into version
     N's persisted prefix table → N+1's (pure append; only the delta's
@@ -111,10 +118,10 @@ def roll_forward_fuzzy_prefixes(
     policy + BOTH boundaries; fold(N, delta) == build(N+1) is pinned by
     tests/test_round11_s3_channels.py, inode identity of the linked
     remainder by tests/test_versioned_fold.py."""
-    old_tbl = ensure_fuzzy_prefixes(spark, sf_dir, boundary_n)
-    pol = hashlib.md5(
-        f"{_PFX_POLICY}:rf:v{boundary_n}-v{boundary_n1}".encode()
-    ).hexdigest()[:8]
+    # chained daily loop: ``src`` names the previous day's rolled table
+    # (fold-on-fold); default is the from-scratch version-N build.
+    old_tbl = src if src is not None else ensure_fuzzy_prefixes(spark, sf_dir, boundary_n)
+    pol = fold_policy(_PFX_POLICY, boundary_n, boundary_n1, src)
     sig = corpus_sig(sf_dir, ("documents",))
     name = f"_bks_fzpfx_{pol}_{sig}"
 

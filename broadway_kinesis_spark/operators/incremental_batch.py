@@ -56,6 +56,7 @@ from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
 from broadway_kinesis_spark.functions.versioned_fold import (
+    fold_policy,
     link_forward_table,
     probe_counts,
     spread_delta,
@@ -144,7 +145,11 @@ def ensure_ngram_index(
 
 
 def roll_forward_digests(
-    spark: SparkSession, sf_dir: str, boundary_n: int, boundary_n1: int
+    spark: SparkSession,
+    sf_dir: str,
+    boundary_n: int,
+    boundary_n1: int,
+    src: str | None = None,
 ) -> str:
     """Fold the ACCEPTED delta ``[boundary_n, boundary_n1)`` into version
     N's persisted digest table to produce version N+1's (VERDICT r10 #3)
@@ -162,10 +167,14 @@ def roll_forward_digests(
     fence), inode identity of the linked remainder by
     tests/test_versioned_fold.py.
     """
-    old_tbl = ensure_corpus_digests(spark, sf_dir, boundary_n)
-    pol = hashlib.md5(
-        f"{_DIGEST_POLICY}:rf:v{boundary_n}-v{boundary_n1}".encode()
-    ).hexdigest()[:8]
+    # chained daily loop: ``src`` names the previous day's rolled table
+    # (fold-on-fold); default is the from-scratch version-N build.
+    old_tbl = (
+        src
+        if src is not None
+        else ensure_corpus_digests(spark, sf_dir, boundary_n)
+    )
+    pol = fold_policy(_DIGEST_POLICY, boundary_n, boundary_n1, src)
     sig = corpus_sig(sf_dir, ("documents",))
     name = f"_bks_digests_{pol}_{sig}"
 
@@ -185,7 +194,11 @@ def roll_forward_digests(
 
 
 def roll_forward_ngram_index(
-    spark: SparkSession, sf_dir: str, boundary_n: int, boundary_n1: int
+    spark: SparkSession,
+    sf_dir: str,
+    boundary_n: int,
+    boundary_n1: int,
+    src: tuple[str, str] | None = None,
 ) -> tuple[str, str]:
     """Fold the accepted delta into version N's persisted inverted index
     + DF statistic to produce version N+1's (VERDICT r10 #3), writing
@@ -212,10 +225,12 @@ def roll_forward_ngram_index(
     inode identity of the linked remainder by
     tests/test_versioned_fold.py.
     """
-    idx_n, df_n = ensure_ngram_index(spark, sf_dir, boundary_n)
-    pol = hashlib.md5(
-        f"{_IDX_POLICY}:rf:v{boundary_n}-v{boundary_n1}".encode()
-    ).hexdigest()[:8]
+    # chained daily loop: ``src`` is the previous day's rolled (idx, df)
+    # pair (fold-on-fold); default is the from-scratch version-N build.
+    idx_n, df_n = (
+        src if src is not None else ensure_ngram_index(spark, sf_dir, boundary_n)
+    )
+    pol = fold_policy(_IDX_POLICY, boundary_n, boundary_n1, src)
     sig = corpus_sig(sf_dir, ("documents",))
     idx_name = f"_bks_ngidx_{pol}_{sig}"
     df_name = f"_bks_ngdf_{pol}_{sig}"

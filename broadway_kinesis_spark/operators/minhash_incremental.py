@@ -55,6 +55,7 @@ from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
 from broadway_kinesis_spark.functions.versioned_fold import (
+    fold_policy,
     link_forward_table,
     spread_delta,
 )
@@ -135,7 +136,11 @@ def ensure_minhash_bands(
 
 
 def roll_forward_minhash_bands(
-    spark: SparkSession, sf_dir: str, boundary_n: int, boundary_n1: int
+    spark: SparkSession,
+    sf_dir: str,
+    boundary_n: int,
+    boundary_n1: int,
+    src: str | None = None,
 ) -> str:
     """Fold the accepted delta ``[boundary_n, boundary_n1)`` into version
     N's persisted band table to produce version N+1's — only the delta is
@@ -146,10 +151,10 @@ def roll_forward_minhash_bands(
     BOTH boundaries; fold(N, delta) == build(N+1) is pinned by
     tests/test_incremental_channels.py, and the linked remainder's inode
     identity by tests/test_versioned_fold.py."""
-    old_tbl = ensure_minhash_bands(spark, sf_dir, boundary_n)
-    pol = hashlib.md5(
-        f"{_BANDS_POLICY}:rf:v{boundary_n}-v{boundary_n1}".encode()
-    ).hexdigest()[:8]
+    # chained daily loop: ``src`` names the previous day's rolled table
+    # (fold-on-fold); default is the from-scratch version-N build.
+    old_tbl = src if src is not None else ensure_minhash_bands(spark, sf_dir, boundary_n)
+    pol = fold_policy(_BANDS_POLICY, boundary_n, boundary_n1, src)
     sig = corpus_sig(sf_dir, ("documents",))
     name = f"_bks_mhbands_{pol}_{sig}"
 

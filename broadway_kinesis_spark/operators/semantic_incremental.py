@@ -45,7 +45,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
-from broadway_kinesis_spark.functions.versioned_fold import link_forward_table
+from broadway_kinesis_spark.functions.versioned_fold import (
+    fold_policy,
+    link_forward_table,
+)
 from broadway_kinesis_spark.operators import semantic as _semantic  # noqa: F401 (registers the inline twin)
 from broadway_kinesis_spark.operators.semantic import SEM_K, SEM_T, _dot
 from broadway_kinesis_spark.registry import REGISTRY, query
@@ -131,7 +134,11 @@ def ensure_semantic_assignments(
 
 
 def roll_forward_semantic_assignments(
-    spark: SparkSession, sf_dir: str, boundary_n: int, boundary_n1: int
+    spark: SparkSession,
+    sf_dir: str,
+    boundary_n: int,
+    boundary_n1: int,
+    src: str | None = None,
 ) -> str:
     """Fold the accepted delta ``[boundary_n, boundary_n1)`` into version
     N's assignment table → N+1's: the delta assigns under version N's
@@ -141,10 +148,10 @@ def roll_forward_semantic_assignments(
     artifact. fold == scratch EXACTLY (the seed-set argument in the
     module note); pinned by tests/test_round11_s3_channels.py, inode
     identity of the linked remainder by tests/test_versioned_fold.py."""
-    old_tbl = ensure_semantic_assignments(spark, sf_dir, boundary_n)
-    pol = hashlib.md5(
-        f"{_ASG_POLICY}:rf:v{boundary_n}-v{boundary_n1}".encode()
-    ).hexdigest()[:8]
+    # chained daily loop: ``src`` names the previous day's rolled table
+    # (fold-on-fold); default is the from-scratch version-N build.
+    old_tbl = src if src is not None else ensure_semantic_assignments(spark, sf_dir, boundary_n)
+    pol = fold_policy(_ASG_POLICY, boundary_n, boundary_n1, src)
     sig = corpus_sig(sf_dir, ("embeddings",))
     name = f"_bks_semasg_{pol}_{sig}"
 

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
 from broadway_kinesis_spark.functions.versioned_fold import (
+    fold_policy,
     link_forward_table,
     probe_counts,
     spread_delta,
@@ -114,7 +115,11 @@ def ensure_simhash_counts(
 
 
 def roll_forward_simhash_counts(
-    spark: SparkSession, sf_dir: str, boundary_n: int, boundary_n1: int
+    spark: SparkSession,
+    sf_dir: str,
+    boundary_n: int,
+    boundary_n1: int,
+    src: str | None = None,
 ) -> str:
     """Fold the accepted delta's per-fingerprint counts into version N's
     table → N+1 (the ngram DF-statistic fold in fingerprint space; only
@@ -126,10 +131,10 @@ def roll_forward_simhash_counts(
     scratch on SERVED content pinned by
     tests/test_incremental_channels.py, inode identity of the linked
     remainder by tests/test_versioned_fold.py."""
-    old_tbl = ensure_simhash_counts(spark, sf_dir, boundary_n)
-    pol = hashlib.md5(
-        f"{_COUNTS_POLICY}:rf:v{boundary_n}-v{boundary_n1}".encode()
-    ).hexdigest()[:8]
+    # chained daily loop: ``src`` names the previous day's rolled table
+    # (fold-on-fold); default is the from-scratch version-N build.
+    old_tbl = src if src is not None else ensure_simhash_counts(spark, sf_dir, boundary_n)
+    pol = fold_policy(_COUNTS_POLICY, boundary_n, boundary_n1, src)
     sig = corpus_sig(sf_dir, ("documents",))
     name = f"_bks_shcounts_{pol}_{sig}"
 

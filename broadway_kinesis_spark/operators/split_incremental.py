@@ -107,7 +107,11 @@ def ensure_split_labels(
 
 
 def roll_forward_split_labels(
-    spark: SparkSession, sf_dir: str, boundary_n: int, boundary_n1: int
+    spark: SparkSession,
+    sf_dir: str,
+    boundary_n: int,
+    boundary_n1: int,
+    src: str | None = None,
 ) -> str:
     """fold(N, delta) == build(N+1) for the split's LABEL artifact — the
     companion of incremental_batch's index roll-forward, completing the
@@ -125,11 +129,19 @@ def roll_forward_split_labels(
     clustered, and delta docs) append. Table-equality with the
     from-scratch ``ensure_split_labels(boundary_n1)`` build is pinned by
     tests/test_round11_ops.py."""
-    labels_n = spark.table(ensure_split_labels(spark, sf_dir, boundary_n))
+    # chained daily loop: ``src`` names the previous day's rolled label
+    # table (fold-on-fold); default is the from-scratch version-N build.
+    # This family REWRITES (touched components remap), so there is no
+    # link-forward here — compaction is inherent to every fold.
+    labels_n = spark.table(
+        src if src is not None else ensure_split_labels(spark, sf_dir, boundary_n)
+    )
     edges = spark.table(ensure_split_edges(spark, sf_dir, tiered=True))
-    pol = hashlib.md5(
-        f"{_EDGE_POLICY}:tiered:labels:rf:v{boundary_n}-v{boundary_n1}".encode()
-    ).hexdigest()[:8]
+    from broadway_kinesis_spark.functions.versioned_fold import fold_policy
+
+    pol = fold_policy(
+        f"{_EDGE_POLICY}:tiered:labels", boundary_n, boundary_n1, src
+    )
     sig = corpus_sig(sf_dir, ("documents", "embeddings"))
     name = f"_bks_split_labels_{pol}_{sig}"
 

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
 from broadway_kinesis_spark.functions.versioned_fold import (
+    fold_policy,
     link_forward_table,
     probe_counts,
     spread_delta,
@@ -117,7 +118,11 @@ def ensure_span_counts(
 
 
 def roll_forward_span_counts(
-    spark: SparkSession, sf_dir: str, boundary_n: int, boundary_n1: int
+    spark: SparkSession,
+    sf_dir: str,
+    boundary_n: int,
+    boundary_n1: int,
+    src: str | None = None,
 ) -> str:
     """Fold the accepted delta ``[boundary_n, boundary_n1)`` into version
     N's span-count table → N+1's (distinct-doc counts over disjoint id
@@ -131,10 +136,10 @@ def roll_forward_span_counts(
     on SERVED content is pinned by tests/test_round11_s3_channels.py,
     inode identity of the linked remainder by
     tests/test_versioned_fold.py."""
-    old_tbl = ensure_span_counts(spark, sf_dir, boundary_n)
-    pol = hashlib.md5(
-        f"{_SPAN_POLICY}:rf:v{boundary_n}-v{boundary_n1}".encode()
-    ).hexdigest()[:8]
+    # chained daily loop: ``src`` names the previous day's rolled table
+    # (fold-on-fold); default is the from-scratch version-N build.
+    old_tbl = src if src is not None else ensure_span_counts(spark, sf_dir, boundary_n)
+    pol = fold_policy(_SPAN_POLICY, boundary_n, boundary_n1, src)
     sig = corpus_sig(sf_dir, ("documents",))
     name = f"_bks_sscounts_{pol}_{sig}"
 

@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.functions.table_build import corpus_sig, ensure_table
 from broadway_kinesis_spark.functions.versioned_fold import (
+    fold_policy,
     link_forward_table,
     probe_counts,
     spread_delta,
@@ -130,7 +131,11 @@ def ensure_video_index(
 
 
 def roll_forward_video_index(
-    spark: SparkSession, sf_dir: str, boundary_n: int, boundary_n1: int
+    spark: SparkSession,
+    sf_dir: str,
+    boundary_n: int,
+    boundary_n1: int,
+    src: tuple[str, str] | None = None,
 ) -> tuple[str, str]:
     """Fold the accepted delta ``[boundary_n, boundary_n1)`` into version
     N's persisted index → N+1's, writing ONLY the delta's contribution
@@ -143,10 +148,12 @@ def roll_forward_video_index(
     roll-forward policy + BOTH boundaries; fences:
     tests/test_round11_s3_channels.py (served content),
     tests/test_versioned_fold.py (inode identity)."""
-    idx_n, df_n = ensure_video_index(spark, sf_dir, boundary_n)
-    pol = hashlib.md5(
-        f"{_IDX_POLICY}:rf:v{boundary_n}-v{boundary_n1}".encode()
-    ).hexdigest()[:8]
+    # chained daily loop: ``src`` is the previous day's rolled (idx, df)
+    # pair (fold-on-fold); default is the from-scratch version-N build.
+    idx_n, df_n = (
+        src if src is not None else ensure_video_index(spark, sf_dir, boundary_n)
+    )
+    pol = fold_policy(_IDX_POLICY, boundary_n, boundary_n1, src)
     sig = corpus_sig(sf_dir, ("documents",))
     idx_name = f"_bks_vidx_{pol}_{sig}"
     df_name = f"_bks_vdf_{pol}_{sig}"

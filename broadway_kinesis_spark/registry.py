@@ -159,52 +159,49 @@ def _load_all_modules() -> None:
 # slots fill with the OLDEST-green rows so signal currency improves across
 # the registry. Any overflow must be declared in _DEFERRED explicitly.
 _PRIORITY: tuple[str, ...] = (
-    # (a) round-12 never-green operators: the fuzzy incremental TIGHT
-    # blocking tier (VERDICT r11 #2) and the deployment-geometry 90/10
-    # minhash incremental row (VERDICT r11 #7)
-    "dedup_incremental_fuzzy_tight", "dedup_incremental_minhash_90",
-    # (b) staled this round by the copy-free link-forward fold rewrite
-    # (functions/versioned_fold.py + every *_incremental module +
-    # incremental_batch's merge-on-read DF probe — VERDICT r11 #1) and
-    # the fuzzy tight-tier plumbing: the full incremental channel
-    # matrix, the persisted-digest pair, the split assignment, the IVF
-    # fold, and the daily-gate composite
+    # (b) staled this round by the chained-fold plumbing (round 13,
+    # VERDICT r12 #1/#2: every fold gains a ``src`` chaining parameter,
+    # versioned_fold gains the compaction trigger, ann_incremental the
+    # in-loop drift gate): the full incremental channel matrix, the
+    # persisted-digest pair, the split assignment, the IVF fold, and the
+    # daily-gate composite
     "dedup_incremental_audiohash", "dedup_incremental_containment",
     "dedup_incremental_embedding", "dedup_incremental_fuzzy",
-    "dedup_incremental_imagehash", "dedup_incremental_minhash",
+    "dedup_incremental_fuzzy_tight", "dedup_incremental_imagehash",
+    "dedup_incremental_minhash", "dedup_incremental_minhash_90",
     "dedup_incremental_ngram", "dedup_incremental_persisted",
     "dedup_incremental_semantic", "dedup_incremental_simhash",
     "dedup_incremental_substring", "dedup_incremental_video",
     "dedup_split_incremental_assign", "pipeline_daily_increment",
     "similarity_ann_ivf_incremental",
-    # (c) filler, oldest green first (VERDICT r11 #5 — rotate the
-    # stalest cohort in): the COMPLETE r6+r7 cohort (22 — every query
-    # whose last driver-green round is 6 or 7, all independently
-    # HEAD-re-verified by the round-11 judge), then the r8 cohort's
-    # first 11 alphabetically
-    "udf_table_function", "window_cumulative_distinct",
-    "agg_sketch_merge", "agg_string_concat", "cdc_merge_upsert",
-    "composite_ann_recall", "dedup_boilerplate", "dedup_exact_rows",
-    "dedup_keep_first", "filter_null_semantics", "funnel_conversion",
-    "join_anti", "join_broadcast", "similarity_ann_ivf",
-    "similarity_ann_ivf_probe", "similarity_ann_lsh",
-    "similarity_kmeans", "similarity_normalize",
-    "similarity_topk_cosine", "similarity_topk_cosine_pandas",
-    "text_repetition_score", "window_time_range",
-    "composite_dedup_recall", "composite_fuzzy_blocking_recall",
-    "dedup_audio_fingerprint", "dedup_containment",
-    "dedup_embedding_cosine", "dedup_exact_docs", "dedup_fuzzy_prefix",
-    "dedup_image_phash", "dedup_incremental", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
+    # (c) filler, oldest green first (VERDICT r12 #6 — rotate the
+    # stalest cohort in): the COMPLETE r8 cohort (17 — every query
+    # whose last driver-green round is 8, all independently
+    # HEAD-re-verified by the round-12 judge), then the r9 cohort's
+    # agg/composite/text families (16)
+    "dedup_semantic", "dedup_simhash", "dedup_video_temporal",
+    "join_left_outer", "join_range_interval", "join_semi",
+    "multimodal_audio_stats", "multimodal_byte_features",
+    "multimodal_frame_sample", "multimodal_image_stats",
+    "multimodal_metadata_stats", "pipeline_quality_funnel",
+    "scalar_array", "scalar_conditional", "scalar_datetime",
+    "scalar_json", "scalar_math",
+    "agg_approx_distinct", "agg_approx_percentile", "agg_collect",
+    "composite_local_supplier_volume", "composite_returned_items",
+    "composite_shipping_priority", "composite_user_retention",
+    "text_bpe_encode", "text_bpe_tokens", "text_bpe_train",
+    "text_fingerprint", "text_lang_id", "text_quality_score",
+    "text_tfidf_topk", "text_token_stats", "text_unigram_logprob",
     )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot
-# window cannot hold. Round 12: EMPTY — demand is 17 (2 new queries + 15
-# staled by the copy-free fold rewrite), leaving 33 slots of oldest-green
-# filler, which absorbs the ENTIRE r6+r7 stalest cohort plus a third of
-# the r8 cohort (counts per test_registry_window.py, the source of
-# truth). test_registry_window.py keeps enforcing that any future
-# overflow must be declared here explicitly.
+# window cannot hold. Round 13: EMPTY — demand is 17 (the incremental
+# family staled by the chained-fold plumbing; no never-green queries),
+# leaving 33 slots of oldest-green filler, which absorbs the ENTIRE r8
+# cohort plus the r9 cohort's agg/composite/text families (counts per
+# test_registry_window.py, the source of truth). test_registry_window.py
+# keeps enforcing that any future overflow must be declared here
+# explicitly.
 _DEFERRED: tuple[str, ...] = ()
 
 

@@ -350,9 +350,17 @@ def test_split_labels_and_rollforward_policy_tokens():
     from broadway_kinesis_spark.operators import incremental_batch as ib
     from broadway_kinesis_spark.operators import split_incremental as si
 
+    # round 13: the ":rf:v{n}-v{n1}" token moved into the shared
+    # versioned_fold.fold_policy helper (which also folds the chained
+    # fold's src identity in); the folds must route through it
+    from broadway_kinesis_spark.functions.versioned_fold import fold_policy
+
+    pol_src = inspect.getsource(fold_policy)
+    assert ":rf:v{boundary_n}-v{boundary_n1}" in pol_src
+    assert "src=" in pol_src or "src is not None" in pol_src
     src = inspect.getsource(ib.roll_forward_digests)
-    assert "boundary_n" in src and "boundary_n1" in src and "rf:" in src
+    assert "boundary_n" in src and "boundary_n1" in src and "fold_policy(" in src
     src = inspect.getsource(ib.roll_forward_ngram_index)
-    assert "boundary_n" in src and "boundary_n1" in src and "rf:" in src
+    assert "boundary_n" in src and "boundary_n1" in src and "fold_policy(" in src
     src = inspect.getsource(si.ensure_split_labels)
     assert "labels:v{boundary}" in src

@@ -130,6 +130,235 @@ def test_link_tree_exclusive_refuses_collision(tmp_path):
     assert (dst / "part-0.parquet").read_text() == "base"
 
 
+# ------------------------------------------------ chained daily loop (K=5)
+def _content_equal(a, b) -> None:
+    # multiset equality via count + one-direction exceptAll (equal
+    # cardinality + a ⊆ b as multisets ⇒ equal) — half the jobs of the
+    # two-direction form; this fence runs 15 comparisons per chain
+    assert a.count() == b.count()
+    assert a.exceptAll(b).isEmpty()
+
+
+def test_chained_daily_loop_with_compaction_equals_scratch_each_day(
+    spark, sf_dir
+):
+    """The month-scale fence (VERDICT r12 #1/#7): FIVE chained days
+    through ``roll_forward_corpus(prior=..., compact=True)`` with the
+    fragmentation trigger forced to fire every day (``max_data_files=1``),
+    covering one plain append family (digests), one bucketed link family
+    (minhash bands), and one merge-on-read family (the ngram DF) — at
+    every step the chain's content equals the from-scratch build at that
+    day's boundary, and the compacted tables stay at one file set
+    regardless of chain depth."""
+    from broadway_kinesis_spark.functions.versioned_fold import (
+        served_counts,
+        table_data_file_count,
+    )
+    from broadway_kinesis_spark.operators.corpus_versioning import (
+        roll_forward_corpus,
+    )
+    from broadway_kinesis_spark.operators.incremental_batch import (
+        ensure_corpus_digests,
+        ensure_ngram_index,
+    )
+    from broadway_kinesis_spark.operators.minhash_incremental import (
+        ensure_minhash_bands,
+    )
+
+    fams = {"digests", "minhash_bands", "ngram_index"}
+    days = [300, 340, 380, 420, 460, 500]
+    prior = None
+    for n, n1 in zip(days, days[1:]):
+        rolled = roll_forward_corpus(
+            spark,
+            sf_dir,
+            n,
+            n1,
+            families=fams,
+            prior=prior,
+            compact=True,
+            max_data_files=1,
+        )
+        # digests: plain append
+        _content_equal(
+            spark.table(rolled["digests"][0]),
+            spark.table(ensure_corpus_digests(spark, sf_dir, n1)),
+        )
+        # minhash bands: bucketed link family
+        _content_equal(
+            spark.table(rolled["minhash_bands"][0]),
+            spark.table(ensure_minhash_bands(spark, sf_dir, n1)),
+        )
+        # ngram: bucketed idx + MoR df (SERVED content == scratch)
+        idx_s, df_s = ensure_ngram_index(spark, sf_dir, n1)
+        _content_equal(
+            spark.table(rolled["ngram_index"][0]), spark.table(idx_s)
+        )
+        _content_equal(
+            served_counts(spark, rolled["ngram_index"][1], "shingle", "df_old"),
+            spark.table(df_s),
+        )
+        prior = rolled
+    # depth-independent physical bound after 5 folds: the forced trigger
+    # kept plain tables at scan-sized file counts and bucketed ones at
+    # one file per bucket (8)
+    assert table_data_file_count(spark, prior["digests"][0]) <= 2
+    assert table_data_file_count(spark, prior["ngram_index"][1]) <= 2
+    assert table_data_file_count(spark, prior["ngram_index"][0]) <= 8
+    assert table_data_file_count(spark, prior["minhash_bands"][0]) <= 8
+    # and the MoR statistic is one row per key again after compaction
+    df_tbl = spark.table(prior["ngram_index"][1])
+    assert (
+        df_tbl.groupBy("shingle").count().filter(F.col("count") > 1).isEmpty()
+    )
+
+
+def test_uncompacted_chain_fragments_and_compaction_collapses(spark, sf_dir):
+    """The failure mode the trigger exists for: without compaction a
+    chained MoR table accumulates one file set AND up to one segment per
+    key PER FOLD; one ``compact_table`` call collapses it back to
+    from-scratch shape with identical served content."""
+    from broadway_kinesis_spark.functions.versioned_fold import (
+        compact_table,
+        served_counts,
+        table_data_file_count,
+    )
+    from broadway_kinesis_spark.operators.corpus_versioning import (
+        roll_forward_corpus,
+    )
+
+    days = [300, 340, 380, 420]
+    prior = None
+    counts = []
+    for n, n1 in zip(days, days[1:]):
+        prior = roll_forward_corpus(
+            spark, sf_dir, n, n1, families={"simhash_counts"}, prior=prior
+        )
+        counts.append(table_data_file_count(spark, prior["simhash_counts"][0]))
+    assert counts == sorted(counts) and counts[-1] > counts[0], counts
+
+    tbl = prior["simhash_counts"][0]
+    served_before = served_counts(spark, tbl, "simhash", "n_old")
+    seg = spark.table(tbl).groupBy("simhash").count()
+    assert not seg.filter(F.col("count") > 1).isEmpty(), (
+        "chained MoR table should hold >1 segment for delta-touched keys"
+    )
+    compacted = compact_table(spark, tbl, mor=("simhash", "n_old"))
+    assert table_data_file_count(spark, compacted) < counts[-1]
+    _content_equal(
+        served_counts(spark, compacted, "simhash", "n_old"), served_before
+    )
+    assert (
+        spark.table(compacted)
+        .groupBy("simhash")
+        .count()
+        .filter(F.col("count") > 1)
+        .isEmpty()
+    )
+
+
+def test_chained_ivf_fold_through_orchestrator_equals_single_fold(
+    spark, sf_dir
+):
+    """The orchestrator's prior-chaining drives the IVF directory index
+    too: two chained days == one fold of the union delta (probe-for-probe
+    — the round-12 invariant, now through roll_forward_corpus)."""
+    from broadway_kinesis_spark.operators.ann_incremental import (
+        ensure_version_index,
+        fold_ivf_index,
+    )
+    from broadway_kinesis_spark.operators.ann_persist import probe_ivf_index
+    from broadway_kinesis_spark.operators.corpus_versioning import (
+        roll_forward_corpus,
+    )
+
+    day1 = roll_forward_corpus(
+        spark, sf_dir, 400, 450, families={"ivf_index"}
+    )
+    day2 = roll_forward_corpus(
+        spark, sf_dir, 450, 500, families={"ivf_index"}, prior=day1
+    )
+    v_n = ensure_version_index(spark, sf_dir, 400)
+    once = fold_ivf_index(spark, sf_dir, v_n, 400, None, tag="rf-v400-vNone")
+    got = sorted(
+        map(tuple, probe_ivf_index(spark, sf_dir, day2["ivf_index"][0]).collect())
+    )
+    want = sorted(map(tuple, probe_ivf_index(spark, sf_dir, once).collect()))
+    assert got == want
+
+
+# ----------------------------------------------- drift gate inside the loop
+def test_drift_gate_retrains_inside_the_loop(spark, tmp_path):
+    """VERDICT r12 #2 end-to-end: on the planted-drift corpus the daily
+    loop itself (roll_forward_corpus with a recall floor) measures the
+    rolled index, trips the retrain, swaps the RETRAINED index into the
+    returned map, and vacuums the superseded fold — zero by-hand steps."""
+    from tests.test_round12_ops import _drift_corpus
+
+    from broadway_kinesis_spark.operators.corpus_versioning import (
+        roll_forward_corpus,
+    )
+
+    td = str(tmp_path / "drift")
+    os.makedirs(td)
+    b = _drift_corpus(td, spark, drift=True)
+    report: dict = {}
+    rolled = roll_forward_corpus(
+        spark,
+        td,
+        b,
+        None,
+        families={"ivf_index"},
+        recall_floor=0.9,
+        drift_report=report,
+    )
+    assert report["retrained"] is True
+    assert report["recall"] < 0.9
+    served = rolled["ivf_index"][0]
+    assert served == report["index_dir"]
+    # the superseded fold was vacuumed; the RETRAINED index serves
+    from broadway_kinesis_spark.operators.ann_incremental import rolled_recall
+
+    assert rolled_recall(spark, td, served, None) >= 0.9
+
+
+def test_drift_gate_folds_on_healthy_day(spark, tmp_path):
+    from tests.test_round12_ops import _drift_corpus
+
+    from broadway_kinesis_spark.operators.corpus_versioning import (
+        roll_forward_corpus,
+    )
+
+    td = str(tmp_path / "healthy")
+    os.makedirs(td)
+    b = _drift_corpus(td, spark, drift=False)
+    report: dict = {}
+    rolled = roll_forward_corpus(
+        spark,
+        td,
+        b,
+        None,
+        families={"ivf_index"},
+        recall_floor=0.9,
+        drift_report=report,
+    )
+    assert report["retrained"] is False
+    assert report["recall"] >= 0.9
+    assert rolled["ivf_index"][0] == report["index_dir"]
+
+
+def test_vacuum_ivf_paths_refuses_foreign_paths(tmp_path):
+    from broadway_kinesis_spark.operators.ann_incremental import (
+        vacuum_ivf_paths,
+    )
+
+    foreign = tmp_path / "not_an_index"
+    foreign.mkdir()
+    with pytest.raises(ValueError, match="refusing"):
+        vacuum_ivf_paths((str(foreign),))
+    assert foreign.is_dir()
+
+
 # --------------------------------------------------- rolled_recall fail-closed
 def test_rolled_recall_fails_closed_on_empty_comparator(spark, sf_dir):
     """An indexed population that produces no exact-comparator queries is
