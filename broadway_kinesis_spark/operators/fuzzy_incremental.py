@@ -187,6 +187,7 @@ def incremental_fuzzy_pairs(
     boundary: int = BOUNDARY,
     pfx_tbl: str | None = None,
     tight: bool = False,
+    blocking: str | None = None,
 ) -> DataFrame:
     """Parameterized body of ``dedup_incremental_fuzzy`` — scale runs
     place ``boundary`` per corpus; ``pfx_tbl`` overrides the version-N
@@ -206,7 +207,18 @@ def incremental_fuzzy_pairs(
     candidate count is the BLOCK size, which tracks the corpus (the one
     incremental channel whose probe grew 23× across the r11 x10→x100
     decade); the tight key caps the block at a first-token group, the
-    same population the inline tight tier verifies."""
+    same population the inline tight tier verifies.
+
+    ``blocking`` overrides the tier by name (round 13, VERDICT r12 #4 —
+    the recall gap between loose and tight needed a measured middle
+    point): ``"loose"`` / ``"tight"`` as above, or ``"mid"`` — the join
+    key extends to (blk, first-4-prefix-chars), DERIVED from the stored
+    ``pfx`` at probe time (no schema change, so it runs against any
+    version's artifact). A first-token edit no longer evicts the pair
+    unless it hits the first 4 characters; recall/wall pricing rows per
+    corpus live in BASELINE.md §round-13."""
+    if blocking is None:
+        blocking = "tight" if tight else "loose"
     stored = spark.table(
         pfx_tbl
         if pfx_tbl is not None
@@ -214,7 +226,12 @@ def incremental_fuzzy_pairs(
     )
     d = load(spark, sf_dir, "documents")
     delta_pfx = _prefixes(d.filter(F.col("doc_id") >= boundary))
-    key = ["blk", "tok0"] if tight else ["blk"]
+    if blocking == "mid":
+        stored = stored.withColumn("k4", F.substring("pfx", 1, 4))
+        delta_pfx = delta_pfx.withColumn("k4", F.substring("pfx", 1, 4))
+    key = {"loose": ["blk"], "tight": ["blk", "tok0"], "mid": ["blk", "k4"]}[
+        blocking
+    ]
 
     def side(df: DataFrame, tag: str) -> DataFrame:
         return df.select(

@@ -359,6 +359,40 @@ def test_vacuum_ivf_paths_refuses_foreign_paths(tmp_path):
     assert foreign.is_dir()
 
 
+# -------------------------------------------------- fuzzy middle blocking tier
+def test_incremental_fuzzy_mid_tier_is_first4_restriction(spark, sf_dir):
+    """The mid tier (round 13, VERDICT r12 #4) must equal the loose
+    probe restricted to pairs whose normalized prefixes share their
+    first 4 characters — the join-key derivation is a pure blocking
+    refinement, never a different verify."""
+    from broadway_kinesis_spark.operators.fuzzy_incremental import (
+        incremental_fuzzy_pairs,
+    )
+    from broadway_kinesis_spark.session import load
+
+    loose = incremental_fuzzy_pairs(spark, sf_dir)
+    mid = incremental_fuzzy_pairs(spark, sf_dir, blocking="mid")
+    f4 = load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(F.lower("text"), 1, 4).alias("f4")
+    )
+    want = (
+        loose.join(
+            f4.select(F.col("doc_id").alias("d1"), F.col("f4").alias("f41")),
+            "d1",
+        )
+        .join(
+            f4.select(F.col("doc_id").alias("d2"), F.col("f4").alias("f42")),
+            "d2",
+        )
+        .filter(F.col("f41") == F.col("f42"))
+        .select("d1", "d2", "edit_dist")
+    )
+    got = sorted(map(tuple, mid.collect()))
+    assert got == sorted(map(tuple, want.collect()))
+    # and a strict subset relationship to the loose tier
+    assert set(got) <= set(map(tuple, loose.collect()))
+
+
 # --------------------------------------------------- rolled_recall fail-closed
 def test_rolled_recall_fails_closed_on_empty_comparator(spark, sf_dir):
     """An indexed population that produces no exact-comparator queries is

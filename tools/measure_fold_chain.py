@@ -1,0 +1,227 @@
+#!/usr/bin/env python
+"""Round-13 scale measurements (VERDICT r12 #1 #4 #7 done-criteria).
+
+Usage: python tools/measure_fold_chain.py [corpus] [sections]
+       corpus   default /tmp/sf_fresh_x10 (tools/make_fresh_corpus.py)
+       sections comma list of {chain,fuzzy}; default both
+
+Section ``chain`` — per-fold cost flat across a K=5 chained-day loop:
+version N at 90% of the corpus, five 2% deltas folded day-over-day
+through ``roll_forward_corpus(prior=...)`` over the three representative
+artifact shapes (digests: plain append; minhash bands: bucketed link;
+ngram idx+DF: bucketed + merge-on-read). Two variants: compaction OFF
+(file counts grow monotonically — the failure mode) and ON with a forced
+5-day cadence (``max_data_files=16``; the production default 64 fires
+~monthly at one file set per fold — a 5-day window cannot exercise it).
+After the chain: a day-5 ngram probe against the chained tables vs
+against from-scratch builds at the same boundary (serving-cost parity).
+
+Section ``fuzzy`` — the middle blocking tier priced (recall + wall) at
+the 90/10 incremental geometry: probe walls for tight and mid (loose
+re-run only at x10 — the x100 loose row is r12's 928.5 s, quoted not
+re-paid), and the recall of each tier against the exhaustive
+(lang,size-bucket) channel, computed as flags on ONE exhaustive pair set
+(the composite_fuzzy_blocking_recall set algebra, extended with the
+mid-tier flag).
+
+Every row stamps os.getloadavg(); within-run ratios are the currency
+(BASELINE.md measurement discipline).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def emit(out) -> None:
+    print(json.dumps(out), flush=True)
+
+
+def main() -> None:
+    corpus = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf_fresh_x10"
+    sections = (sys.argv[2] if len(sys.argv) > 2 else "chain,fuzzy").split(",")
+
+    from pyspark.sql import functions as F
+
+    from broadway_kinesis_spark.session import build_session, load
+
+    spark = build_session(app_name="measure-fold-chain", shuffle_partitions=32)
+    max_id = (
+        load(spark, corpus, "documents").agg(F.max("doc_id").alias("m")).collect()[0].m
+    )
+    n_docs = int(max_id) + 1
+    emit({"section": "env", "corpus": corpus, "n_docs": n_docs, "loadavg": os.getloadavg()})
+
+    if "chain" in sections:
+        run_chain(spark, corpus, n_docs)
+    if "fuzzy" in sections:
+        run_fuzzy(spark, corpus, n_docs)
+
+
+def run_chain(spark, corpus: str, n_docs: int) -> None:
+    from broadway_kinesis_spark.functions.versioned_fold import (
+        table_data_file_count,
+    )
+    from broadway_kinesis_spark.operators import corpus_versioning as cv
+    from broadway_kinesis_spark.operators.incremental_batch import (
+        ensure_ngram_index,
+        incremental_ngram_pairs,
+    )
+
+    fams = {"digests", "minhash_bands", "ngram_index"}
+    v0 = n_docs * 9 // 10
+    step = (n_docs - v0) // 5
+    days = [v0 + i * step for i in range(5)] + [n_docs]
+
+    # version-N base builds (once, excluded from per-fold rows)
+    t = time.time()
+    from broadway_kinesis_spark.operators.incremental_batch import (
+        ensure_corpus_digests,
+    )
+    from broadway_kinesis_spark.operators.minhash_incremental import (
+        ensure_minhash_bands,
+    )
+
+    ensure_corpus_digests(spark, corpus, v0)
+    ensure_minhash_bands(spark, corpus, v0)
+    ensure_ngram_index(spark, corpus, v0)
+    emit({"section": "chain", "row": "base_builds_v90", "wall_s": round(time.time() - t, 1), "loadavg": os.getloadavg()})
+
+    for label, compact, max_files in (("nocompact", False, None), ("compact", True, 16)):
+        prior = None
+        for i, (n, n1) in enumerate(zip(days, days[1:])):
+            t = time.time()
+            prior = cv.roll_forward_corpus(
+                spark, corpus, n, n1,
+                families=fams, prior=prior,
+                compact=compact, max_data_files=max_files,
+            )
+            files = {
+                fam: [table_data_file_count(spark, a) for a in arts]
+                for fam, arts in prior.items()
+            }
+            emit({
+                "section": "chain", "variant": label, "day": i + 1,
+                "boundaries": [n, n1],
+                "fold_wall_s": round(time.time() - t, 1),
+                "data_files": files,
+                "loadavg": os.getloadavg(),
+            })
+        # day-5 serving-cost parity: probe the LAST day's delta against the
+        # chained tables vs from-scratch tables at the same boundary
+        idx_c, df_c = prior["ngram_index"]
+        t = time.time()
+        n_chain = incremental_ngram_pairs(
+            spark, corpus, days[-2], idx_tbl=idx_c, df_tbl=df_c
+        ).count()
+        w_chain = time.time() - t
+        t = time.time()
+        idx_s, df_s = ensure_ngram_index(spark, corpus, days[-2])
+        w_build_scratch = time.time() - t
+        t = time.time()
+        n_scratch = incremental_ngram_pairs(
+            spark, corpus, days[-2], idx_tbl=idx_s, df_tbl=df_s
+        ).count()
+        w_scratch = time.time() - t
+        assert n_chain == n_scratch, (n_chain, n_scratch)
+        emit({
+            "section": "chain", "variant": label, "row": "day5_probe_parity",
+            "probe_on_chain_s": round(w_chain, 1),
+            "probe_on_scratch_s": round(w_scratch, 1),
+            "scratch_build_s": round(w_build_scratch, 1),
+            "pairs": n_chain,
+            "loadavg": os.getloadavg(),
+        })
+
+
+def run_fuzzy(spark, corpus: str, n_docs: int) -> None:
+    from pyspark.sql import functions as F
+
+    from broadway_kinesis_spark.operators.dedup import (
+        EDIT_T,
+        _fuzzy_prefixes,
+    )
+    from broadway_kinesis_spark.operators.fuzzy_incremental import (
+        ensure_fuzzy_prefixes,
+        incremental_fuzzy_pairs,
+    )
+    from broadway_kinesis_spark.session import load
+
+    boundary = n_docs * 9 // 10
+    t = time.time()
+    ensure_fuzzy_prefixes(spark, corpus, boundary)
+    emit({"section": "fuzzy", "row": "prefix_build_v90", "wall_s": round(time.time() - t, 1), "loadavg": os.getloadavg()})
+
+    pair_counts: dict[str, int] = {}
+    for blocking in ["loose", "tight", "mid"]:
+        t = time.time()
+        n = incremental_fuzzy_pairs(
+            spark, corpus, boundary, blocking=blocking
+        ).count()
+        pair_counts[blocking] = n
+        emit({
+            "section": "fuzzy", "row": "probe", "blocking": blocking,
+            "wall_s": round(time.time() - t, 1), "pairs": n,
+            "loadavg": os.getloadavg(),
+        })
+    # delta-pair recall (the r12 pricing geometry): the loose probe is
+    # full-recall on delta-touching pairs by construction, so each tier's
+    # retained fraction IS its recall on this corpus's delta pairs
+    if pair_counts.get("loose"):
+        emit({
+            "section": "fuzzy", "row": "delta_pair_recall",
+            "recall_tight": round(pair_counts["tight"] / pair_counts["loose"], 4),
+            "recall_mid": round(pair_counts["mid"] / pair_counts["loose"], 4),
+            "pairs": pair_counts,
+            "loadavg": os.getloadavg(),
+        })
+    if n_docs > 100_000:
+        return  # corpus-wide exhaustive recall is block-quadratic — x10 only
+
+    # recall of each tier against the exhaustive channel: flags on ONE
+    # exhaustive pair set (the composite_fuzzy_blocking_recall algebra)
+    t = time.time()
+    p = _fuzzy_prefixes(load(spark, corpus, "documents"))
+    a = p.select(
+        F.col("doc_id").alias("d1"), "lang", "size_bucket", "tok0",
+        F.col("pfx").alias("pfx1"),
+    )
+    b = p.select(
+        F.col("doc_id").alias("d2"), F.col("lang").alias("lang2"),
+        F.col("size_bucket").alias("sb2"), F.col("tok0").alias("tok0b"),
+        F.col("pfx").alias("pfx2"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("lang") == F.col("lang2"))
+        & (F.col("size_bucket") == F.col("sb2"))
+        & (F.col("d1") < F.col("d2")),
+    )
+    ex = pairs.filter(F.levenshtein("pfx1", "pfx2", EDIT_T) >= 0).select(
+        (F.col("tok0") == F.col("tok0b")).alias("tok_match"),
+        (
+            F.substring("pfx1", 1, 4) == F.substring("pfx2", 1, 4)
+        ).alias("mid_match"),
+    )
+    row = ex.agg(
+        F.count(F.lit(1)).alias("n_ex"),
+        F.sum(F.when(F.col("tok_match"), 1).otherwise(0)).alias("n_tight"),
+        F.sum(F.when(F.col("mid_match"), 1).otherwise(0)).alias("n_mid"),
+    ).collect()[0]
+    emit({
+        "section": "fuzzy", "row": "recall",
+        "n_exhaustive": row.n_ex, "n_tight": row.n_tight, "n_mid": row.n_mid,
+        "recall_tight": round(row.n_tight / row.n_ex, 4) if row.n_ex else None,
+        "recall_mid": round(row.n_mid / row.n_ex, 4) if row.n_ex else None,
+        "wall_s": round(time.time() - t, 1),
+        "loadavg": os.getloadavg(),
+    })
+
+
+if __name__ == "__main__":
+    main()
