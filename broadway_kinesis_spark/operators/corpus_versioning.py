@@ -10,7 +10,14 @@ that a daily job actually calls:
 
 - :func:`roll_forward_corpus` folds the accepted delta
   ``[boundary_n, boundary_n1)`` into ALL families (or a named subset)
-  and returns the full version-N+1 artifact map;
+  and returns the full version-N+1 artifact map; with ``prior`` it
+  CHAINS — each family folds onto its own previous artifact instead of
+  a from-scratch version-N build (round 13: the loop no longer pays a
+  daily rebuild); with ``compact=True`` each rolled table passes the
+  fragmentation trigger (the streaming stores' compaction discipline
+  applied to the warehouse — see ``versioned_fold.compact_table``);
+  with ``recall_floor`` the IVF drift gate runs INSIDE the loop
+  (measure → retrain → swap → vacuum, zero by-hand steps);
 - :func:`vacuum_superseded` then applies the retention idiom per family
   — family-scoped ``vacuum_warehouse`` with the rolled names (and their
   still-serving version-N inputs) as exact pins — dropping every older
