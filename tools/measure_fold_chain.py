@@ -3,7 +3,7 @@
 
 Usage: python tools/measure_fold_chain.py [corpus] [sections]
        corpus   default /tmp/sf_fresh_x10 (tools/make_fresh_corpus.py)
-       sections comma list of {chain,fuzzy}; default both
+       sections comma list of {chain,fuzzy,endurance}; default chain,fuzzy
 
 Section ``chain`` — per-fold cost flat across a K=5 chained-day loop:
 version N at 90% of the corpus, five 2% deltas folded day-over-day
@@ -15,6 +15,18 @@ ngram idx+DF: bucketed + merge-on-read). Two variants: compaction OFF
 ~monthly at one file set per fold — a 5-day window cannot exercise it).
 After the chain: a day-5 ngram probe against the chained tables vs
 against from-scratch builds at the same boundary (serving-cost parity).
+
+Section ``endurance`` — the month-scale complement of ``chain``: K=30
+chained 1% daily deltas over the last 30% of the corpus with compaction
+at the PRODUCTION trigger (``DEFAULT_MAX_DATA_FILES=64``, which the
+5-day window structurally cannot fire). Per-day fold wall + file counts
+(the sawtooth IS the evidence: growth to the trigger, collapse at the
+rewrite, depth-independent ceiling), an ngram probe at days 10/20/30
+against the chained tables, and a day-30 probe-parity row against a
+from-scratch build at the same boundary. The summary row compares the
+mean fold wall of days 1-5 vs days 26-30 — flat means the chain's
+per-day cost does not depend on its depth, the month-scale claim
+VERDICT r12 weak #1 asked for.
 
 Section ``fuzzy`` — the middle blocking tier priced (recall + wall) at
 the 90/10 incremental geometry: probe walls for tight and mid (loose
@@ -45,6 +57,9 @@ def emit(out) -> None:
 def main() -> None:
     corpus = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf_fresh_x10"
     sections = (sys.argv[2] if len(sys.argv) > 2 else "chain,fuzzy").split(",")
+    # the endurance chain shares fold-table names with nothing: its
+    # boundaries step by n/100 from 70%, the chain section's by n/50 from
+    # 90% — only run both in one invocation if that stays true
 
     from pyspark.sql import functions as F
 
@@ -59,6 +74,8 @@ def main() -> None:
 
     if "chain" in sections:
         run_chain(spark, corpus, n_docs)
+    if "endurance" in sections:
+        run_endurance(spark, corpus, n_docs)
     if "fuzzy" in sections:
         run_fuzzy(spark, corpus, n_docs)
 
@@ -137,6 +154,91 @@ def run_chain(spark, corpus: str, n_docs: int) -> None:
             "pairs": n_chain,
             "loadavg": os.getloadavg(),
         })
+
+
+def run_endurance(spark, corpus: str, n_docs: int, k: int = 30) -> None:
+    from broadway_kinesis_spark.functions.versioned_fold import (
+        table_data_file_count,
+    )
+    from broadway_kinesis_spark.operators import corpus_versioning as cv
+    from broadway_kinesis_spark.operators.incremental_batch import (
+        ensure_corpus_digests,
+        ensure_ngram_index,
+        incremental_ngram_pairs,
+    )
+    from broadway_kinesis_spark.operators.minhash_incremental import (
+        ensure_minhash_bands,
+    )
+
+    fams = {"digests", "minhash_bands", "ngram_index"}
+    v0 = n_docs * 7 // 10
+    step = (n_docs - v0) // k
+    days = [v0 + i * step for i in range(k)] + [n_docs]
+
+    t = time.time()
+    ensure_corpus_digests(spark, corpus, v0)
+    ensure_minhash_bands(spark, corpus, v0)
+    ensure_ngram_index(spark, corpus, v0)
+    emit({"section": "endurance", "row": "base_builds_v70", "wall_s": round(time.time() - t, 1), "loadavg": os.getloadavg()})
+
+    prior = None
+    walls: list[float] = []
+    for i, (n, n1) in enumerate(zip(days, days[1:])):
+        t = time.time()
+        prior = cv.roll_forward_corpus(
+            spark, corpus, n, n1, families=fams, prior=prior, compact=True,
+        )
+        w = time.time() - t
+        walls.append(w)
+        files = {
+            fam: [table_data_file_count(spark, a) for a in arts]
+            for fam, arts in prior.items()
+        }
+        out = {
+            "section": "endurance", "day": i + 1, "boundaries": [n, n1],
+            "fold_wall_s": round(w, 1), "data_files": files,
+            "loadavg": os.getloadavg(),
+        }
+        if (i + 1) % 10 == 0:
+            idx_c, df_c = prior["ngram_index"]
+            t = time.time()
+            out["probe_pairs"] = incremental_ngram_pairs(
+                spark, corpus, n, idx_tbl=idx_c, df_tbl=df_c
+            ).count()
+            out["probe_wall_s"] = round(time.time() - t, 1)
+        emit(out)
+
+    # day-30 probe parity vs a from-scratch build at the same boundary
+    idx_c, df_c = prior["ngram_index"]
+    t = time.time()
+    n_chain = incremental_ngram_pairs(
+        spark, corpus, days[-2], idx_tbl=idx_c, df_tbl=df_c
+    ).count()
+    w_chain = time.time() - t
+    t = time.time()
+    idx_s, df_s = ensure_ngram_index(spark, corpus, days[-2])
+    w_build = time.time() - t
+    t = time.time()
+    n_scratch = incremental_ngram_pairs(
+        spark, corpus, days[-2], idx_tbl=idx_s, df_tbl=df_s
+    ).count()
+    w_scratch = time.time() - t
+    assert n_chain == n_scratch, (n_chain, n_scratch)
+    emit({
+        "section": "endurance", "row": "day30_probe_parity",
+        "probe_on_chain_s": round(w_chain, 1),
+        "probe_on_scratch_s": round(w_scratch, 1),
+        "scratch_build_s": round(w_build, 1),
+        "pairs": n_chain,
+        "loadavg": os.getloadavg(),
+    })
+    emit({
+        "section": "endurance", "row": "flatness",
+        "mean_fold_days_1_5_s": round(sum(walls[:5]) / 5, 2),
+        "mean_fold_days_26_30_s": round(sum(walls[-5:]) / 5, 2),
+        "max_fold_s": round(max(walls), 2),
+        "loadavg": os.getloadavg(),
+    })
 
 
 def run_fuzzy(spark, corpus: str, n_docs: int) -> None:
