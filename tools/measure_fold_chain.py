@@ -28,6 +28,17 @@ mean fold wall of days 1-5 vs days 26-30 — flat means the chain's
 per-day cost does not depend on its depth, the month-scale claim
 VERDICT r12 weak #1 asked for.
 
+Section ``gatecost`` — the in-loop drift gate priced per day (round 13
+follow-through on VERDICT r12 #2: the gate now runs inside
+``roll_forward_corpus``; this prices what it ADDS). Three IVF-only day
+shapes at the 90/10 geometry: (a) fold without the gate, (b) fold with
+``recall_floor`` on a healthy day (the delta over (a) is the daily cost
+of MEASURING — ``rolled_recall``'s exact comparator over N_QUERIES),
+(c) a forced-retrain day (floor > 1 trips ``should_retrain``
+unconditionally: fold + measure + full-corpus retrain + vacuum — the
+worst day the loop can have). Fresh boundaries per shape so no fold is
+an idempotent cache hit.
+
 Section ``fuzzy`` — the middle blocking tier priced (recall + wall) at
 the 90/10 incremental geometry: probe walls for tight and mid (loose
 re-run only at x10 — the x100 loose row is r12's 928.5 s, quoted not
@@ -76,6 +87,8 @@ def main() -> None:
         run_chain(spark, corpus, n_docs)
     if "endurance" in sections:
         run_endurance(spark, corpus, n_docs)
+    if "gatecost" in sections:
+        run_gatecost(spark, corpus, n_docs)
     if "fuzzy" in sections:
         run_fuzzy(spark, corpus, n_docs)
 
@@ -239,6 +252,69 @@ def run_endurance(spark, corpus: str, n_docs: int, k: int = 30) -> None:
         "max_fold_s": round(max(walls), 2),
         "loadavg": os.getloadavg(),
     })
+
+
+def run_gatecost(spark, corpus: str, n_docs: int) -> None:
+    from broadway_kinesis_spark.operators import corpus_versioning as cv
+    from broadway_kinesis_spark.operators.ann_incremental import (
+        ensure_version_index,
+        rolled_recall,
+    )
+
+    fams = {"ivf_index"}
+    b90 = n_docs * 9 // 10
+    step = (n_docs - b90) // 4
+    d1, d2, d3 = b90 + step, b90 + 2 * step, b90 + 3 * step
+
+    t = time.time()
+    ensure_version_index(spark, corpus, b90)
+    emit({"section": "gatecost", "row": "base_index_v90", "wall_s": round(time.time() - t, 1), "loadavg": os.getloadavg()})
+
+    # (a) fold day, gate off
+    t = time.time()
+    prior = cv.roll_forward_corpus(spark, corpus, b90, d1, families=fams)
+    w_fold = time.time() - t
+    emit({"section": "gatecost", "row": "fold_day_no_gate", "boundaries": [b90, d1], "wall_s": round(w_fold, 1), "loadavg": os.getloadavg()})
+
+    # the gate's measurement alone, on the day-(a) rolled index
+    t = time.time()
+    r = rolled_recall(spark, corpus, prior["ivf_index"][0], d1)
+    emit({"section": "gatecost", "row": "measure_only", "recall": round(r, 4), "wall_s": round(time.time() - t, 1), "loadavg": os.getloadavg()})
+
+    # (b) fold day, gate on, healthy floor — fold + measure, no retrain
+    rep: dict = {}
+    t = time.time()
+    prior = cv.roll_forward_corpus(
+        spark, corpus, d1, d2, families=fams, prior=prior,
+        recall_floor=0.5, drift_report=rep,
+    )
+    emit({
+        "section": "gatecost", "row": "fold_day_with_gate",
+        "boundaries": [d1, d2], "wall_s": round(time.time() - t, 1),
+        "recall": round(rep["recall"], 4), "retrained": rep["retrained"],
+        "loadavg": os.getloadavg(),
+    })
+    assert not rep["retrained"]
+
+    # (c) forced-retrain day: floor > 1 always trips — fold + measure +
+    # full-corpus retrain + vacuum of the superseded fold, the worst day
+    rep = {}
+    t = time.time()
+    prior = cv.roll_forward_corpus(
+        spark, corpus, d2, d3, families=fams, prior=prior,
+        recall_floor=1.01, drift_report=rep,
+    )
+    emit({
+        "section": "gatecost", "row": "retrain_day",
+        "boundaries": [d2, d3], "wall_s": round(time.time() - t, 1),
+        "recall_before_retrain": round(rep["recall"], 4),
+        "retrained": rep["retrained"],
+        "loadavg": os.getloadavg(),
+    })
+    assert rep["retrained"]
+    # the retrained index must serve the full population it claims
+    r = rolled_recall(spark, corpus, prior["ivf_index"][0], d3)
+    emit({"section": "gatecost", "row": "post_retrain_recall", "recall": round(r, 4), "loadavg": os.getloadavg()})
 
 
 def run_fuzzy(spark, corpus: str, n_docs: int) -> None:
