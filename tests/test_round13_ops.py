@@ -406,3 +406,66 @@ def test_rolled_recall_fails_closed_on_empty_comparator(spark, sf_dir):
     idx = ensure_version_index(spark, sf_dir, 400)
     with pytest.raises(ValueError, match="no queries"):
         rolled_recall(spark, sf_dir, idx, boundary=0)
+
+
+# ----------------------------------------- retention over a compacted chain
+def test_vacuum_over_compacted_chain_drops_superseded_and_serves(
+    spark, sf_dir
+):
+    """The retention end-game of the daily loop: after K chained days
+    with the fragmentation trigger firing, ``vacuum_superseded`` on the
+    final rolled map must drop EVERY intermediate version the chain
+    created — fold tables and superseded compactions alike (compacted
+    names keep the family prefix, so the family-scoped vacuum sees them;
+    the final compaction is pinned as the rolled artifact) — while the
+    rolled tables keep serving content == from-scratch. Hard-linked fold
+    writes make the drops pure unlinks, which is why serving survives."""
+    from broadway_kinesis_spark.functions.versioned_fold import served_counts
+    from broadway_kinesis_spark.operators.corpus_versioning import (
+        roll_forward_corpus,
+        vacuum_superseded,
+    )
+    from broadway_kinesis_spark.operators.incremental_batch import (
+        ensure_corpus_digests,
+        ensure_ngram_index,
+    )
+    from broadway_kinesis_spark.operators.minhash_incremental import (
+        ensure_minhash_bands,
+    )
+
+    fams = {"digests", "minhash_bands", "ngram_index"}
+    days = [300, 350, 400, 450, 500]
+    prior = None
+    seen: set[str] = set()
+    for n, n1 in zip(days, days[1:]):
+        prior = roll_forward_corpus(
+            spark, sf_dir, n, n1,
+            families=fams, prior=prior, compact=True, max_data_files=1,
+        )
+        seen |= {a for arts in prior.values() for a in arts}
+    rolled_names = {a for arts in prior.values() for a in arts}
+    superseded = seen - rolled_names
+    assert superseded, "a 4-day chain must create intermediate versions"
+
+    dropped = set(vacuum_superseded(spark, prior))
+    assert superseded <= dropped, superseded - dropped
+    assert not rolled_names & dropped
+    for t in superseded:
+        assert not spark.catalog.tableExists(t)
+
+    # the rolled artifacts still serve from-scratch content after the
+    # whole superseded chain (their link sources included) is gone
+    _content_equal(
+        spark.table(prior["digests"][0]),
+        spark.table(ensure_corpus_digests(spark, sf_dir, days[-1])),
+    )
+    _content_equal(
+        spark.table(prior["minhash_bands"][0]),
+        spark.table(ensure_minhash_bands(spark, sf_dir, days[-1])),
+    )
+    idx_s, df_s = ensure_ngram_index(spark, sf_dir, days[-1])
+    _content_equal(spark.table(prior["ngram_index"][0]), spark.table(idx_s))
+    _content_equal(
+        served_counts(spark, prior["ngram_index"][1], "shingle", "df_old"),
+        spark.table(df_s),
+    )
