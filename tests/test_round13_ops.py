@@ -469,3 +469,96 @@ def test_vacuum_over_compacted_chain_drops_superseded_and_serves(
         served_counts(spark, prior["ngram_index"][1], "shingle", "df_old"),
         spark.table(df_s),
     )
+
+
+# ------------------------------------ every family's chained (src=) path
+def test_all_families_chain_day2_equals_scratch(spark, sf_dir):
+    """The chained-loop fence widened to EVERY warehouse family (the K=5
+    chain fence covers the three artifact shapes; this one pins the
+    ``src=`` plumbing of all the others — a family whose chained fold
+    drifted from its from-scratch build would only ever surface in
+    production, where ``roll_forward_corpus(prior=...)`` is the daily
+    call). Two chained days over all table families at once; day 2's
+    SERVED content must equal the from-scratch build at day 2's boundary
+    (MoR families through ``served_counts``). The IVF directory family
+    has its own chained fence (orchestrator == single fold, above)."""
+    from broadway_kinesis_spark.functions.versioned_fold import served_counts
+    from broadway_kinesis_spark.operators import (
+        audiohash_incremental,
+        containment_incremental,
+        embedding_incremental,
+        fingerprint_incremental,
+        fuzzy_incremental,
+        incremental_batch,
+        minhash_incremental,
+        semantic_incremental,
+        simhash_incremental,
+        split_incremental,
+        substring_incremental,
+        videohash_incremental,
+    )
+    from broadway_kinesis_spark.operators.corpus_versioning import (
+        roll_forward_corpus,
+    )
+
+    fams = {
+        "digests", "ngram_index", "minhash_bands", "simhash_counts",
+        "bottomk_probes", "embedding_norms", "phash_bands", "audio_bands",
+        "video_index", "fuzzy_prefixes", "span_counts",
+        "semantic_assignments", "split_labels",
+    }
+    day1 = roll_forward_corpus(spark, sf_dir, 400, 450, families=fams)
+    day2 = roll_forward_corpus(
+        spark, sf_dir, 450, 500, families=fams, prior=day1
+    )
+
+    b = 500
+    plain = {
+        "digests": incremental_batch.ensure_corpus_digests(spark, sf_dir, b),
+        "minhash_bands": minhash_incremental.ensure_minhash_bands(
+            spark, sf_dir, b
+        ),
+        "bottomk_probes": containment_incremental.ensure_bottomk_probes(
+            spark, sf_dir, b
+        ),
+        "embedding_norms": embedding_incremental.ensure_embedding_norms(
+            spark, sf_dir, b
+        ),
+        "phash_bands": fingerprint_incremental.ensure_phash_bands(
+            spark, sf_dir, b
+        ),
+        "audio_bands": audiohash_incremental.ensure_audio_bands(
+            spark, sf_dir, b
+        ),
+        "fuzzy_prefixes": fuzzy_incremental.ensure_fuzzy_prefixes(
+            spark, sf_dir, b
+        ),
+        "semantic_assignments": (
+            semantic_incremental.ensure_semantic_assignments(spark, sf_dir, b)
+        ),
+        "split_labels": split_incremental.ensure_split_labels(spark, sf_dir, b),
+    }
+    for fam, scratch in plain.items():
+        _content_equal(spark.table(day2[fam][0]), spark.table(scratch))
+
+    # MoR families: the SERVED statistic equals the from-scratch one
+    _content_equal(
+        served_counts(spark, day2["simhash_counts"][0], "simhash", "n_old"),
+        spark.table(simhash_incremental.ensure_simhash_counts(spark, sf_dir, b)),
+    )
+    _content_equal(
+        served_counts(spark, day2["span_counts"][0], "span", "n_old"),
+        spark.table(substring_incremental.ensure_span_counts(spark, sf_dir, b)),
+    )
+    idx_s, df_s = incremental_batch.ensure_ngram_index(spark, sf_dir, b)
+    _content_equal(spark.table(day2["ngram_index"][0]), spark.table(idx_s))
+    _content_equal(
+        served_counts(spark, day2["ngram_index"][1], "shingle", "df_old"),
+        spark.table(df_s),
+    )
+    vidx_s, vdf_s = videohash_incremental.ensure_video_index(spark, sf_dir, b)
+    _content_equal(spark.table(day2["video_index"][0]), spark.table(vidx_s))
+    _content_equal(
+        served_counts(spark, day2["video_index"][1], "shingle", "df_old"),
+        spark.table(vdf_s),
+    )
