@@ -39,6 +39,16 @@ unconditionally: fold + measure + full-corpus retrain + vacuum — the
 worst day the loop can have). Fresh boundaries per shape so no fold is
 an idempotent cache hit.
 
+Section ``fullday`` — ONE production day, whole loop, priced: every
+family at once through ``roll_forward_corpus`` — day 1 from the
+version-N bases, day 2 CHAINED onto day 1 with ``compact=True`` and the
+drift gate on (``recall_floor=0.5``, healthy). Emits the one number the
+daily-loop story needs: what a complete day costs at this corpus scale,
+all channels, fold+compact+gate included (base builds timed separately
+— they are the one-time cost the loop exists to avoid). Run this
+section in its OWN invocation with dual spill dirs (the split/semantic
+bases are the heavy builds — see the round-12 session-hygiene notes).
+
 Section ``fuzzy`` — the middle blocking tier priced (recall + wall) at
 the 90/10 incremental geometry: probe walls for tight and mid (loose
 re-run only at x10 — the x100 loose row is r12's 928.5 s, quoted not
@@ -89,6 +99,8 @@ def main() -> None:
         run_endurance(spark, corpus, n_docs)
     if "gatecost" in sections:
         run_gatecost(spark, corpus, n_docs)
+    if "fullday" in sections:
+        run_fullday(spark, corpus, n_docs)
     if "fuzzy" in sections:
         run_fuzzy(spark, corpus, n_docs)
 
@@ -315,6 +327,73 @@ def run_gatecost(spark, corpus: str, n_docs: int) -> None:
     # the retrained index must serve the full population it claims
     r = rolled_recall(spark, corpus, prior["ivf_index"][0], d3)
     emit({"section": "gatecost", "row": "post_retrain_recall", "recall": round(r, 4), "loadavg": os.getloadavg()})
+
+
+def run_fullday(spark, corpus: str, n_docs: int) -> None:
+    from broadway_kinesis_spark.operators import corpus_versioning as cv
+
+    b90 = n_docs * 9 // 10
+    d1 = b90 + n_docs // 50
+    d2 = d1 + n_docs // 50
+
+    # one-time version-N bases for every family, timed per family (warm
+    # = cache-hit walls; emitted so the row is honest about what was
+    # already built when the days below ran)
+    from broadway_kinesis_spark.operators import (
+        ann_incremental,
+        audiohash_incremental,
+        containment_incremental,
+        embedding_incremental,
+        fingerprint_incremental,
+        fuzzy_incremental,
+        incremental_batch,
+        minhash_incremental,
+        semantic_incremental,
+        simhash_incremental,
+        split_incremental,
+        substring_incremental,
+        videohash_incremental,
+    )
+
+    bases = {
+        "digests": incremental_batch.ensure_corpus_digests,
+        "ngram_index": incremental_batch.ensure_ngram_index,
+        "minhash_bands": minhash_incremental.ensure_minhash_bands,
+        "simhash_counts": simhash_incremental.ensure_simhash_counts,
+        "bottomk_probes": containment_incremental.ensure_bottomk_probes,
+        "embedding_norms": embedding_incremental.ensure_embedding_norms,
+        "phash_bands": fingerprint_incremental.ensure_phash_bands,
+        "audio_bands": audiohash_incremental.ensure_audio_bands,
+        "video_index": videohash_incremental.ensure_video_index,
+        "fuzzy_prefixes": fuzzy_incremental.ensure_fuzzy_prefixes,
+        "span_counts": substring_incremental.ensure_span_counts,
+        "semantic_assignments": semantic_incremental.ensure_semantic_assignments,
+        "split_labels": split_incremental.ensure_split_labels,
+        "ivf_index": ann_incremental.ensure_version_index,
+    }
+    walls = {}
+    for fam, fn in bases.items():
+        t = time.time()
+        fn(spark, corpus, b90)
+        walls[fam] = round(time.time() - t, 1)
+    emit({"section": "fullday", "row": "bases_v90", "per_family_wall_s": walls, "total_s": round(sum(walls.values()), 1), "loadavg": os.getloadavg()})
+
+    t = time.time()
+    day1 = cv.roll_forward_corpus(spark, corpus, b90, d1)
+    emit({"section": "fullday", "row": "day1_all_families", "boundaries": [b90, d1], "wall_s": round(time.time() - t, 1), "loadavg": os.getloadavg()})
+
+    rep: dict = {}
+    t = time.time()
+    day2 = cv.roll_forward_corpus(
+        spark, corpus, d1, d2, prior=day1, compact=True,
+        recall_floor=0.5, drift_report=rep,
+    )
+    emit({
+        "section": "fullday", "row": "day2_chained_compacted_gated",
+        "boundaries": [d1, d2], "wall_s": round(time.time() - t, 1),
+        "families": len(day2), "recall": round(rep["recall"], 4),
+        "retrained": rep["retrained"], "loadavg": os.getloadavg(),
+    })
 
 
 def run_fuzzy(spark, corpus: str, n_docs: int) -> None:
