@@ -382,18 +382,24 @@ def run_fullday(spark, corpus: str, n_docs: int) -> None:
     day1 = cv.roll_forward_corpus(spark, corpus, b90, d1)
     emit({"section": "fullday", "row": "day1_all_families", "boundaries": [b90, d1], "wall_s": round(time.time() - t, 1), "loadavg": os.getloadavg()})
 
-    rep: dict = {}
-    t = time.time()
-    day2 = cv.roll_forward_corpus(
-        spark, corpus, d1, d2, prior=day1, compact=True,
-        recall_floor=0.5, drift_report=rep,
-    )
-    emit({
-        "section": "fullday", "row": "day2_chained_compacted_gated",
-        "boundaries": [d1, d2], "wall_s": round(time.time() - t, 1),
-        "families": len(day2), "recall": round(rep["recall"], 4),
-        "retrained": rep["retrained"], "loadavg": os.getloadavg(),
-    })
+    prior = day1
+    lo = d1
+    for day in (2, 3):
+        hi = lo + n_docs // 50
+        rep: dict = {}
+        t = time.time()
+        prior = cv.roll_forward_corpus(
+            spark, corpus, lo, hi, prior=prior, compact=True,
+            recall_floor=0.5, drift_report=rep,
+        )
+        emit({
+            "section": "fullday",
+            "row": f"day{day}_chained_compacted_gated",
+            "boundaries": [lo, hi], "wall_s": round(time.time() - t, 1),
+            "families": len(prior), "recall": round(rep["recall"], 4),
+            "retrained": rep["retrained"], "loadavg": os.getloadavg(),
+        })
+        lo = hi
 
 
 def run_fuzzy(spark, corpus: str, n_docs: int) -> None:
