@@ -69,7 +69,7 @@ from broadway_kinesis_spark.operators.incremental_batch import (
     ensure_ngram_index,
 )
 from broadway_kinesis_spark.registry import REGISTRY, query
-from broadway_kinesis_spark.session import load
+from broadway_kinesis_spark.session import load, spread_small_scan
 
 #: version-N / delta boundary for the registered fixture query (the
 #: dedup_incremental convention).
@@ -251,6 +251,9 @@ def incremental_containment_pairs(
         .filter(F.col("contained_id") != F.col("container_id"))
         .select("contained_id", "container_id")
         .distinct()
+        .cache()  # read twice — doc-id pruning + verification join —
+        # without it the whole probe-join subtree re-executes per consumer
+        # (round 13; the minhash channel's pattern)
     )
     # exact verify over candidate docs only (old docs re-shingle iff they
     # made a candidate pair — semi-join pruned, the shared channel bound)
@@ -259,7 +262,17 @@ def incremental_containment_pairs(
         .union(cand.select(F.col("container_id").alias("doc_id")))
         .distinct()
     )
-    shingled = _shingled(d.join(F.broadcast(cand_docs), "doc_id", "left_semi"))
+    # spread the pruned verify scan (round 13, no-op at scale): behind the
+    # broadcast semi-join it otherwise runs the interpreted shingle
+    # transform single-task over a single-row-group input
+    shingled = _shingled(
+        spread_small_scan(
+            d.join(F.broadcast(cand_docs), "doc_id", "left_semi"),
+            sf_dir,
+            ("documents",),
+            "doc_id",
+        )
+    )
     x1 = shingled.select(
         F.col("doc_id").alias("contained_id"), F.col("shingles").alias("sh1")
     )

@@ -194,14 +194,25 @@ def minhash_pairs(
     point; the banding sweep (tools/banding_sweep.py, VERDICT r7 #6)
     measures recall/candidate-volume/wall-time across points on the
     fence + fresh corpora to pick it by data."""
+    from broadway_kinesis_spark.session import spread_small_scan
+
     docs = load(spark, sf_dir, "documents")
     cand = minhash_candidates(spark, sf_dir, n_sig, band_r)
     # Verification builds shingle ARRAYS only for candidate docs: the HOF
-    # cost tracks the candidate count, not the corpus.
+    # cost tracks the candidate count, not the corpus. Spread the pruned
+    # scan first (round 13, no-op at scale): behind the broadcast semi-join
+    # it otherwise runs the whole interpreted shingle-transform on the one
+    # scan task of a single-row-group input.
     cand_docs = cand.select(F.col("d1").alias("doc_id")).union(
         cand.select(F.col("d2").alias("doc_id"))
     ).distinct()
-    shingled = _shingled(docs.join(F.broadcast(cand_docs), "doc_id", "left_semi"))
+    pruned = spread_small_scan(
+        docs.join(F.broadcast(cand_docs), "doc_id", "left_semi"),
+        sf_dir,
+        ("documents",),
+        "doc_id",
+    )
+    shingled = _shingled(pruned)
     return _verify_pairs(shingled, cand)
 
 
@@ -213,6 +224,14 @@ def minhash_candidates(
     verified recall."""
     assert n_sig % band_r == 0, "band width must divide the signature"
     n_bands = n_sig // band_r
+    from broadway_kinesis_spark.session import size_shuffle_partitions
+
+    # The signature aggregate (N_SIG salted md5-min's over every shingle
+    # occurrence) is the channel's dominant CPU and runs downstream of the
+    # doc_id exchange: floor the partition count at the session's cores
+    # (round 13 — at 8 bench partitions the hash pass used 1/4 of the
+    # host; bytes-sizing still governs at corpus scale).
+    size_shuffle_partitions(spark, sf_dir, cpu_bound=True)
     docs = load(spark, sf_dir, "documents")
     # Signature path uses the shingle stream WITH repetition — min() is
     # duplicate-insensitive, so skipping the distinct keeps everything in
@@ -282,27 +301,81 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shingle explode + candidate self-join expand the corpus ~two
     # orders of magnitude in-shuffle: size partitions to the corpus BEFORE
     # planning, or the x100 tier dies spilling at the session default
-    # (round-6 forensics; the helper is a no-op at fixture scale).
-    size_shuffle_partitions(spark, sf_dir)
-    docs = load(spark, sf_dir, "documents")
+    # (round-6 forensics). cpu_bound (round 13): the post-shuffle stages
+    # (window df-count, pair join, array-intersect verify) are CPU-heavy,
+    # so the count also floors at the session's cores.
+    size_shuffle_partitions(spark, sf_dir, cpu_bound=True)
+    from broadway_kinesis_spark.session import spread_small_scan
+
+    docs = spread_small_scan(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir,
+        ("documents",),
+        "doc_id",
+    )
     # Arrays are cached once (compact: one row/doc) and feed BOTH the index
     # explode and pair verification — measured faster here than rebuilding
     # via the window-lead stream, because this pipeline needs the distinct
-    # arrays anyway.
+    # arrays anyway. The scan is spread first (round 13): a single-row-group
+    # input otherwise materializes the cache as ONE partition, serializing
+    # the per-run explode-from-cache stage.
     shingled = _shingled(docs).cache()
     sh = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
-    # idx NOT cached although self-joined: materializing 50+ rows/doc into
-    # the cache store costs ~2x the recompute at this row width (measured);
-    # sort-merge self-join reuses the one exchange on `shingle` anyway.
-    idx = sh.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-    ).filter(F.col("df") <= DF_CAP)
-    a = idx.select(F.col("doc_id").alias("d1"), "shingle")
-    b = idx.select(F.col("doc_id").alias("d2"), "shingle")
-    cand = (
-        a.join(b, "shingle").filter(F.col("d1") < F.col("d2")).select("d1", "d2").distinct()
+    # Round-13 rewrite of the candidate + verify tail — same answer (the
+    # oracle is unchanged and hash-exact), ~2x less work, skew-safer:
+    #
+    # 1. The df-cap is applied as a broadcast ANTI-join against the (by
+    #    Zipf, tiny) HOT-shingle set instead of a corpus-wide window — the
+    #    window buffered every shingle partition (hot ones included, the
+    #    exact skew the cap exists to kill) and sorted 50+ rows/doc.
+    # 2. Candidate pairs come from per-shingle doc lists (bounded by
+    #    DF_CAP AFTER the anti-join, so no collect_list blowup) exploded
+    #    in place — no self-join rescan.
+    # 3. The exact-Jaccard intersection splits EXACTLY into
+    #    |S1 n S2| = (# shared UNCAPPED shingles)  — the pair count the
+    #                candidate explode already yields for free —
+    #              + |S1 n S2 n HOT|               — an intersect over the
+    #                tiny hot set, precomputed per DOC (not per pair).
+    #    The old tail intersected two ~150-string arrays per candidate
+    #    pair (1.1M pairs at sf0.1 — the query's dominant cost, measured
+    #    1.8 s of pure CPU at full parallelism).
+    df_cnt = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    hot = df_cnt.filter(F.col("df") > DF_CAP).select("shingle")
+    idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    grp = idx.groupBy("shingle").agg(F.collect_list("doc_id").alias("ds"))
+    pair = F.expr(
+        "flatten(transform(ds, (x, i) ->"
+        " transform(slice(ds, i + 2, size(ds) - i - 1), y ->"
+        " struct(least(x, y) AS d1, greatest(x, y) AS d2))))"
     )
-    return _verify_pairs(shingled, cand)
+    pair_cnt = (
+        grp.select(F.explode(pair).alias("p"))
+        .select("p.d1", "p.d2")
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_uncapped"))
+    )
+    # per-DOC hot-restricted arrays + set sizes: one small intersect per
+    # document; the 1-row broadcast array is the boilerplate-edit pattern.
+    hot_arr = hot.agg(F.collect_list("shingle").alias("hot_set"))
+    doc_caps = shingled.crossJoin(F.broadcast(hot_arr)).select(
+        "doc_id",
+        F.size("shingles").alias("s"),
+        F.array_intersect("shingles", "hot_set").alias("capped"),
+    )
+    x1 = doc_caps.select(
+        F.col("doc_id").alias("d1"), F.col("s").alias("s1"), F.col("capped").alias("c1")
+    )
+    x2 = doc_caps.select(
+        F.col("doc_id").alias("d2"), F.col("s").alias("s2"), F.col("capped").alias("c2")
+    )
+    n_common = F.col("n_uncapped") + F.size(F.array_intersect("c1", "c2"))
+    jac = n_common / (F.col("s1") + F.col("s2") - n_common)
+    return (
+        pair_cnt.join(F.broadcast(x1), "d1")
+        .join(F.broadcast(x2), "d2")
+        .select("d1", "d2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
 
 
 _SQL_BITSUMS = ", ".join(
@@ -540,10 +613,16 @@ def _fuzzy_prefixes(docs: DataFrame) -> DataFrame:
     )
 
 
-def _fuzzy_candidates(p: DataFrame, tight: bool = False) -> DataFrame:
+def _fuzzy_candidates(
+    p: DataFrame, tight: bool = False, probe: DataFrame | None = None
+) -> DataFrame:
     """Every same-block (d1 < d2) pair with both prefixes attached; the
-    tight tier also requires the first prefix token to match."""
-    a = p.select(
+    tight tier also requires the first prefix token to match. ``probe``
+    (round 13) optionally substitutes a pre-spread copy of ``p`` as the
+    STREAMED side: at fixture scale the block join broadcasts the other
+    side, so every per-pair Levenshtein downstream lands in the streamed
+    side's scan stage — one task on a single-row-group input."""
+    a = (probe if probe is not None else p).select(
         F.col("doc_id").alias("d1"), "lang", "size_bucket", "tok0",
         F.col("pfx").alias("pfx1"),
     )
@@ -569,8 +648,21 @@ def fuzzy_prefix_pairs(
 ) -> DataFrame:
     """(d1, d2, edit_dist) fuzzy pairs; ``tight=True`` is the deployment
     blocking tier (module note above)."""
+    from broadway_kinesis_spark.session import size_shuffle_partitions
+
+    # The banded Levenshtein over every same-block pair is pure CPU and
+    # runs downstream of the block-key exchange: floor partitions at the
+    # session's cores (round 13; bytes-sizing governs at corpus scale).
+    size_shuffle_partitions(spark, sf_dir, cpu_bound=True)
+    from broadway_kinesis_spark.session import spread_small_scan
+
     d = load(spark, sf_dir, "documents")
-    pairs = _fuzzy_candidates(_fuzzy_prefixes(d), tight=tight)
+    p = _fuzzy_prefixes(d)
+    # Spread the streamed side of the block join (no-op at scale): the
+    # banded-Levenshtein pass over every same-block pair otherwise runs
+    # in the single scan task when the other side broadcasts (round 13).
+    probe = spread_small_scan(p, sf_dir, ("documents",), "doc_id")
+    pairs = _fuzzy_candidates(p, tight=tight, probe=probe)
     dist = F.levenshtein("pfx1", "pfx2", EDIT_T)
     return (
         pairs.select("d1", "d2", dist.alias("edit_dist"))
@@ -650,8 +742,18 @@ def composite_fuzzy_blocking_recall(
     FLAG on the exhaustive pair set — one candidate join and one
     Levenshtein pass instead of running both tiers, the same set
     algebra."""
+    from broadway_kinesis_spark.session import size_shuffle_partitions
+
+    # Same CPU floor as fuzzy_prefix_pairs: the per-pair banded
+    # Levenshtein downstream of the block join is the whole cost.
+    size_shuffle_partitions(spark, sf_dir, cpu_bound=True)
+    from broadway_kinesis_spark.session import spread_small_scan
+
     p = _fuzzy_prefixes(load(spark, sf_dir, "documents"))
-    a = p.select(
+    # Spread the streamed side (round 13, same rationale as
+    # fuzzy_prefix_pairs): every same-block pair's Levenshtein otherwise
+    # runs in the one scan task behind the broadcast block join.
+    a = spread_small_scan(p, sf_dir, ("documents",), "doc_id").select(
         F.col("doc_id").alias("d1"), "lang", "size_bucket", "tok0",
         F.col("pfx").alias("pfx1"),
     )

@@ -69,7 +69,7 @@ from broadway_kinesis_spark.operators.dedup import (
     _verify_pairs,
 )
 from broadway_kinesis_spark.registry import REGISTRY, query
-from broadway_kinesis_spark.session import load
+from broadway_kinesis_spark.session import load, spread_small_scan
 
 #: the version-N / delta boundary the registered queries pin (the fixture
 #: convention dedup_incremental established: ids < 400 are "yesterday").
@@ -428,6 +428,9 @@ def incremental_ngram_pairs(
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
         .distinct()
+        .cache()  # read twice — doc-id pruning + verification join —
+        # without it the probe-join subtree re-executes per consumer
+        # (round 13; the minhash channel's pattern)
     )
     # verification arrays: candidate docs only (old docs re-shingle here,
     # but ONLY those that made candidate pairs — semi-join pruned)
@@ -436,5 +439,15 @@ def incremental_ngram_pairs(
         .union(cand.select(F.col("d2").alias("doc_id")))
         .distinct()
     )
-    shingled = _shingled(d.join(F.broadcast(cand_docs), "doc_id", "left_semi"))
+    # spread the pruned verify scan (round 13, no-op at scale): behind the
+    # broadcast semi-join it otherwise runs the interpreted shingle
+    # transform single-task over a single-row-group input
+    shingled = _shingled(
+        spread_small_scan(
+            d.join(F.broadcast(cand_docs), "doc_id", "left_semi"),
+            sf_dir,
+            ("documents",),
+            "doc_id",
+        )
+    )
     return _verify_pairs(shingled, cand)

@@ -67,7 +67,7 @@ from broadway_kinesis_spark.operators.dedup import (
     _verify_pairs,
 )
 from broadway_kinesis_spark.registry import REGISTRY, query
-from broadway_kinesis_spark.session import load
+from broadway_kinesis_spark.session import load, spread_small_scan
 
 #: version-N / delta boundary for the registered fixture query (the
 #: dedup_incremental convention).
@@ -230,6 +230,13 @@ def incremental_minhash_pairs(
     pairs (the ngram/fingerprint probe's union); the stored side is
     bucketed on the packed band key so the equi-join never shuffles it;
     exact-Jaccard verification is candidate-bounded."""
+    from broadway_kinesis_spark.session import size_shuffle_partitions
+
+    # CPU floor (round 13): the delta's 48-hash signature aggregate and
+    # the array-intersect verify run downstream of exchanges — floor the
+    # partition count at the session's cores (bytes-sizing still governs
+    # at corpus scale; the helper is reset by the registry wrapper).
+    size_shuffle_partitions(spark, sf_dir, cpu_bound=True)
     stored = spark.table(
         bands_tbl
         if bands_tbl is not None
@@ -255,11 +262,22 @@ def incremental_minhash_pairs(
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
         .distinct()
+        .cache()  # read twice: doc-id filter + verification join — the
+        # inline channel caches here too; without it the stored-side probe
+        # join re-executed per consumer (round 13)
     )
     cand_docs = (
         cand.select(F.col("d1").alias("doc_id"))
         .union(cand.select(F.col("d2").alias("doc_id")))
         .distinct()
     )
-    shingled = _shingled(d.join(F.broadcast(cand_docs), "doc_id", "left_semi"))
+    # Spread the semi-join-pruned verify scan (round 13, no-op at scale):
+    # same single-scan-task rationale as the inline channel's verify tail.
+    pruned = spread_small_scan(
+        d.join(F.broadcast(cand_docs), "doc_id", "left_semi"),
+        sf_dir,
+        ("documents",),
+        "doc_id",
+    )
+    shingled = _shingled(pruned)
     return _verify_pairs(shingled, cand)

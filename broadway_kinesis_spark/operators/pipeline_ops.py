@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.registry import query
-from broadway_kinesis_spark.session import load
+from broadway_kinesis_spark.session import load, spread_small_scan
 
 # --- dedup_decontaminate ---------------------------------------------------
 
@@ -99,16 +99,33 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combinable). Never an all-pairs document comparison.
     """
     d = load(spark, sf_dir, "documents")
+    # Spread the corpus-side scan before the n-gram explode (round 13):
+    # the stride-1 8-gram projection is the query's dominant compute and a
+    # single-row-group fixture runs it on one task. No-op at scale (the
+    # guard estimates scan splits from source bytes). The benchmark side
+    # stays unspread — it is BENCH_CUT docs by construction.
+    corpus_docs = spread_small_scan(
+        d.select("doc_id", "text").filter(F.col("doc_id") >= BENCH_CUT),
+        sf_dir,
+        ("documents",),
+        "doc_id",
+    )
     bench_grams = (
         _word_ngrams(d.filter(F.col("doc_id") < BENCH_CUT), NGRAM)
         .select("gram")
         .distinct()
     )
-    corp_grams = _word_ngrams(d.filter(F.col("doc_id") >= BENCH_CUT), NGRAM).distinct()
+    # Broadcast-probe BEFORE the distinct (round 13, guide §2.3): the
+    # benchmark set matches a tiny fraction of corpus grams, so filtering
+    # map-side first means only HITS reach the (doc_id, gram) dedup
+    # exchange — the full-corpus gram stream never shuffles. Join-then-
+    # distinct == distinct-then-join here because each (doc_id, gram) row
+    # matches at most one row of the distinct benchmark gram set.
+    corp_grams = _word_ngrams(corpus_docs, NGRAM)
     hits = (
         corp_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .agg(F.count_distinct("gram").alias("n_shared_grams"))
     )
     corpus = d.filter(F.col("doc_id") >= BENCH_CUT).select("doc_id")
     n_shared = F.coalesce(F.col("n_shared_grams"), F.lit(0).cast("long"))
@@ -246,7 +263,12 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     piece — a two-level agg keyed by doc_id (map-side combinable), joined
     back co-partitioned on doc_id.
     """
-    d = load(spark, sf_dir, "documents")
+    d = spread_small_scan(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir,
+        ("documents",),
+        "doc_id",
+    )
     words = F.split(F.lower("text"), " ")
     gram = F.concat_ws(
         " ",
@@ -275,7 +297,16 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size("words").alias("n_tok"),
             F.size(F.array_distinct("words")).alias("distinct_tok"),
-            "grams",
+            # dup3 is computed BEFORE the doc_id join (round 13, guide
+            # §2.3): the grams array is ~n_tok strings per row, and
+            # carrying it through the exchange shipped the whole 3-gram
+            # expansion just to reduce it to one double on the far side.
+            # Project the scalar here; only scalars cross the shuffle.
+            F.when(F.col("grams").isNull(), F.lit(0.0))
+            .otherwise(
+                F.lit(1.0) - F.size(F.array_distinct("grams")) / F.size("grams")
+            )
+            .alias("dup3_frac"),
         )
     )
     tok = d.select("doc_id", F.explode(words).alias("token"))
@@ -288,15 +319,12 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = row_stats.join(top, "doc_id")
     distinct_ratio = F.col("distinct_tok") / F.col("n_tok")
     top_frac = F.col("top_cnt") / F.col("n_tok")
-    dup3 = F.when(F.col("grams").isNull(), F.lit(0.0)).otherwise(
-        F.lit(1.0) - F.size(F.array_distinct("grams")) / F.size("grams")
-    )
     out = j.select(
         "doc_id",
         "n_tok",
         distinct_ratio.alias("distinct_ratio"),
         top_frac.alias("top_tok_frac"),
-        dup3.alias("dup3_frac"),
+        "dup3_frac",
     )
     keep = (
         (F.col("top_tok_frac") <= TOP_TOK_MAX)

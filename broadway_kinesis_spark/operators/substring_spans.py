@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.registry import query
-from broadway_kinesis_spark.session import load
+from broadway_kinesis_spark.session import load, spread_small_scan
 
 K_SPAN = 8  # span width in whitespace tokens
 MIN_DOCS = 2  # a span in >= this many distinct docs is "shared"
@@ -86,8 +86,16 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     count (union of all shared spans), and the masked fraction."""
     docs = load(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.split(F.lower("text"), " ").alias("l"))
+    # The stride-1 span explode (slice + array_join per position) is the
+    # query's dominant compute: spread the scan across the session's
+    # parallelism before it (no-op at scale — guard in session.py). The
+    # cheap per-row branches (n_tokens, n_spans arithmetic) stay on the
+    # unspread scan.
+    tok_spread = spread_small_scan(
+        docs.select("doc_id", "text"), sf_dir, ("documents",), "doc_id"
+    ).select("doc_id", F.split(F.lower("text"), " ").alias("l"))
     spans = (
-        tok.filter(F.size("l") >= K_SPAN)
+        tok_spread.filter(F.size("l") >= K_SPAN)
         .select(
             "doc_id",
             F.explode(F.sequence(F.lit(0), F.size("l") - K_SPAN)).alias("pos"),
@@ -108,6 +116,9 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("span")
     )
     flagged = spans.join(shared, "span").select("doc_id", "pos")
+    # count_distinct instead of distinct()+count (round 13): one aggregate
+    # keyed by doc_id with a map-side partial dedup of (doc_id, t), not a
+    # corpus-wide distinct exchange followed by a second count exchange.
     masked = (
         flagged.select(
             "doc_id",
@@ -115,12 +126,16 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.col("pos"), F.col("pos") + (K_SPAN - 1))
             ).alias("t"),
         )
-        .distinct()
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_masked_tokens"))
+        .agg(F.count_distinct("t").alias("n_masked_tokens"))
     )
-    per_doc_spans = spans.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_spans")
+    # n_spans is pure arithmetic on the token count — size(l) - K_SPAN + 1
+    # positions per doc with >= K_SPAN tokens — so the span stream never
+    # re-explodes (round 13: this branch re-ran the scan+explode+slice
+    # projection a second time; the count it fed was derivable row-wise).
+    per_doc_spans = tok.filter(F.size("l") >= K_SPAN).select(
+        "doc_id",
+        (F.size("l") - (K_SPAN - 1)).cast("long").alias("n_spans"),
     )
     per_doc_flagged = flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_shared_spans")

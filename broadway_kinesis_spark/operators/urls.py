@@ -57,7 +57,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.registry import query
-from broadway_kinesis_spark.session import load
+from broadway_kinesis_spark.session import load, spread_small_scan
 
 #: non-utm_* tracking keys dropped from query strings (pinned denylist)
 TRACKING_KEYS = ("gclid", "fbclid", "ref", "mc_eid")
@@ -145,15 +145,24 @@ _SYNTH_SQL = """
 """
 
 
-def canonicalize(url: Column) -> Column:
-    """Canonical URL per the module-docstring spec. Pure column algebra —
-    safe inside any projection; no UDF, no shuffle."""
-    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+def _scheme_of(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+
+
+def _host_of(url: Column, scheme: Column) -> Column:
+    """Canonical host given the (already computed) scheme column."""
     hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]*)", 1))
     host = F.regexp_replace(hostport, r"^www\.", "")
-    host = F.when(
+    return F.when(
         scheme == "http", F.regexp_replace(host, r":80$", "")
     ).otherwise(F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(host))
+
+
+def _path_stripped_of(url: Column) -> Column:
+    """Collapsed/stripped path BEFORE the empty->'/' default (the default
+    references the stripped value twice, so callers stage this column and
+    apply the default on the attribute — one evaluation of the regex
+    chain per row instead of two)."""
     path = F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
     path = F.regexp_replace(path, r"/{2,}", "/")
     # Trailing '/' strips BEFORE index.html (so '/a/index.html/' reaches
@@ -162,8 +171,11 @@ def canonicalize(url: Column) -> Column:
     # point the dedup relies on; a code-review pass caught the original
     # order under-dedup'ing '/a/index.html/').
     path = F.regexp_replace(path, r"/$", "")
-    path = F.regexp_replace(path, r"(/index\.html)+$", "")
-    path = F.when(path == "", "/").otherwise(path)
+    return F.regexp_replace(path, r"(/index\.html)+$", "")
+
+
+def _canon_qs_of(url: Column) -> Column:
+    """Sorted surviving query params, joined — '' when none survive."""
     # anchored before the fragment: a '?' INSIDE the fragment must not
     # leak fragment content into the query (code-review finding —
     # 'http://h/p#a/b?c' is the same page as 'http://h/p')
@@ -179,24 +191,61 @@ def canonicalize(url: Column) -> Column:
             ),
         )
     )
-    canon_qs = F.array_join(params, "&")
+    return F.array_join(params, "&")
+
+
+def _assemble(scheme: Column, host: Column, path_stripped: Column, canon_qs: Column) -> Column:
+    """scheme/host/path/query pieces -> the canonical URL string."""
     return F.concat(
         scheme,
         F.lit("://"),
         host,
-        path,
+        F.when(path_stripped == "", "/").otherwise(path_stripped),
         F.when(canon_qs == "", "").otherwise(F.concat(F.lit("?"), canon_qs)),
+    )
+
+
+def canonicalize(url: Column) -> Column:
+    """Canonical URL per the module-docstring spec. Pure column algebra —
+    safe inside any projection; no UDF, no shuffle. Single-column form
+    (property-fuzzed); the registered queries stage the same pieces as
+    separate projected columns so each regex chain evaluates once per row
+    (round-13 optimization — CollapseProject keeps non-cheap expressions
+    staged when referenced more than once, so the staged plan is the
+    one-evaluation plan)."""
+    scheme = _scheme_of(url)
+    return _assemble(
+        scheme, _host_of(url, scheme), _path_stripped_of(url), _canon_qs_of(url)
     )
 
 
 def canonical_host(url: Column) -> Column:
     """Just the canonical host (for host-level rollups)."""
-    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
-    hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]*)", 1))
-    host = F.regexp_replace(hostport, r"^www\.", "")
-    return F.when(
-        scheme == "http", F.regexp_replace(host, r":80$", "")
-    ).otherwise(F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(host))
+    return _host_of(url, _scheme_of(url))
+
+
+def _staged_parts(raw: DataFrame) -> DataFrame:
+    """Stage the canonicalizer's pieces as projected columns over a
+    ``raw_url`` column: ``scheme``/``host``/``path0``/``canon_qs`` plus
+    ``canonical_url``. Identical piece expressions to :func:`canonicalize`
+    (shared builders), but each expensive regex chain lands in its own
+    column and later stages reference the ATTRIBUTE — Catalyst's
+    CollapseProject refuses to inline a non-cheap expression referenced
+    more than once, so every chain is evaluated exactly once per row
+    (the single-column form evaluates scheme 4x and path/query 2x)."""
+    url = F.col("raw_url")
+    parts = raw.withColumn("scheme", _scheme_of(url))
+    parts = parts.withColumns(
+        {
+            "host": _host_of(url, F.col("scheme")),
+            "path0": _path_stripped_of(url),
+            "canon_qs": _canon_qs_of(url),
+        }
+    )
+    return parts.withColumn(
+        "canonical_url",
+        _assemble(F.col("scheme"), F.col("host"), F.col("path0"), F.col("canon_qs")),
+    )
 
 
 #: DuckDB-side canonicalizer over a column named raw_url (CTE fragment).
@@ -270,14 +319,18 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     spellings mapped onto it (the dedup win), and the first event seen
     (the keep-first representative). One projection + one exchange."""
     events = load(spark, sf_dir, "events")
-    canon = events.select(
+    # The canonicalizer is the rare CPU-dominated projection (a dozen regex
+    # passes per row): spread the scan across the session's parallelism
+    # before it (no-op at scale — the guard estimates scan splits from
+    # source bytes), or a single-row-group fixture runs the whole regex
+    # pass on one task (round-13 measurement: 1.9 s -> spread+staged 2.8x).
+    base = spread_small_scan(
+        events.select("event_id", "user_id", "event_type"),
+        sf_dir,
+        ("events",),
         "event_id",
-        _synth_url().alias("raw_url"),
-    ).select(
-        "event_id",
-        "raw_url",
-        canonicalize(F.col("raw_url")).alias("canonical_url"),
     )
+    canon = _staged_parts(base.select("event_id", _synth_url().alias("raw_url")))
     return canon.groupBy("canonical_url").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("raw_url").alias("n_variants"),
@@ -318,10 +371,14 @@ def url_host_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     space), so the ranking window runs over a handful of post-agg rows and
     Catalyst lowers the top-k to TakeOrderedAndProject."""
     events = load(spark, sf_dir, "events")
-    canon = events.select(_synth_url().alias("raw_url")).select(
-        "raw_url",
-        canonical_host(F.col("raw_url")).alias("host"),
-        canonicalize(F.col("raw_url")).alias("canonical_url"),
+    base = spread_small_scan(
+        events.select("event_id", "user_id", "event_type"),
+        sf_dir,
+        ("events",),
+        "event_id",
+    )
+    canon = _staged_parts(base.select(_synth_url().alias("raw_url"))).select(
+        "raw_url", "host", "canonical_url"
     )
     from pyspark.sql import Window
 

@@ -124,8 +124,65 @@ def build_session(
 # single-row-group files. The scaled-long sum rewrite (functions/numeric.py)
 # made every former call site faster WITHOUT the exchange (primitive long
 # sums don't need cores-wide parallelism at fixture scale, and the exchange
-# cost more than it saved), so the helper was removed; see git history if a
-# future decimal/percentile-heavy operator needs it back.
+# cost more than it saved), so the helper was removed. Round 13 brings the
+# idea back as :func:`spread_small_scan` for the per-row-EXPENSIVE
+# projections (regex canonicalization, salted-hash signatures) where the
+# compute, not the sum, is the bottleneck: those pipelines measured 3-8x
+# the exchange cost running single-task over single-row-group fixtures.
+
+
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    try:
+        raw = spark.conf.get(key)
+    except Exception:
+        return default
+    if not raw:
+        return default
+    units = {"k": 10, "m": 20, "g": 30, "t": 40}
+    raw = raw.strip().lower().removesuffix("b")
+    try:
+        if raw[-1] in units:
+            return int(float(raw[:-1]) * (1 << units[raw[-1]]))
+        return int(raw)
+    except (ValueError, IndexError):
+        return default
+
+
+def spread_small_scan(
+    df: DataFrame, sf_dir: str, tables: tuple[str, ...], *key_cols: str
+) -> DataFrame:
+    """Hash-redistribute a scan across the session's full parallelism BEFORE
+    a CPU-heavy per-row pipeline (regex canonicalization, salted-hash
+    signature passes, banded edit distance) — guarded so it is a NO-OP at
+    scale (guide §2: scale-adaptive partitioning, never a local constant).
+
+    Why: parquet splits at row-group boundaries, so a small or compacted
+    input (one row group, or fewer splits than cores) runs its entire scan
+    stage — and every projection fused into it — on a handful of tasks
+    while the rest of the cluster idles. A 100 TB scan has thousands of
+    splits and never needs this; the guard estimates scan parallelism from
+    the source bytes and only pays the (input-sized, narrow — callers
+    select first) exchange when the estimate falls below the session's
+    ``defaultParallelism``. Deterministic hash keys (never rand/round-robin)
+    so task retries reproduce the same placement (guide §2.5), and Catalyst
+    keeps heavy projections ABOVE a RepartitionByExpression (verified in
+    plans/r13), so the spread genuinely moves the compute off the scan task.
+    """
+    spark = df.sparkSession
+    cores = max(spark.sparkContext.defaultParallelism, 1)
+    max_pb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    total = 0
+    for t in tables:
+        try:
+            total += os.stat(os.path.join(sf_dir, f"{t}.parquet")).st_size
+        except OSError:
+            return df  # unknown source size: leave the plan alone
+    est_tasks = -(-total // max(max_pb, 1))
+    if est_tasks >= cores:
+        return df
+    from pyspark.sql import functions as _F
+
+    return df.repartition(cores, *[_F.col(c) for c in key_cols])
 
 
 #: measured in-memory expansion of the inverted-index family's shuffles
@@ -164,6 +221,7 @@ def size_shuffle_partitions(
     sf_dir: str,
     tables: tuple[str, ...] = ("documents",),
     expansion: int = INDEX_SHUFFLE_EXPANSION,
+    cpu_bound: bool = False,
 ) -> int:
     """Size ``spark.sql.shuffle.partitions`` from corpus bytes and executor
     memory for shuffle-EXPANDING operators (the inverted-index dedup
@@ -179,6 +237,17 @@ def size_shuffle_partitions(
     measured runs required. On a real cluster the same rule runs against
     executor memory; AQE still coalesces any stage that comes out finer
     than needed.
+
+    ``cpu_bound=True`` (round 13) additionally floors the result at the
+    session's ``defaultParallelism``: operators whose post-shuffle stages
+    are CPU-dominated (salted-md5 signature passes, banded Levenshtein,
+    per-pair array intersection) need at least one partition per core, or
+    the compute serializes onto however few partitions the BYTES rule says
+    the shuffle needs — bytes-sizing is the memory guard, the CPU floor is
+    the parallelism guard. Scale-adaptive by construction: at cluster
+    scale the bytes rule dominates (corpus >> cores x target) and the
+    floor is inert; locally it keeps tiny-but-expensive shuffles
+    cores-wide. AQE coalesces any stage this over-partitions.
     """
     total = 0
     for t in tables:
@@ -205,6 +274,8 @@ def size_shuffle_partitions(
     except Exception:
         floor = cores
     parts = max(floor, -(-total * expansion // target))
+    if cpu_bound:
+        parts = max(parts, cores)
     # The helpers are the only writers of this conf between the registry
     # wrapper's per-query resets, so the inflated FLAG (not a conf.get
     # round-trip) decides whether anything needs restoring — that keeps

@@ -189,9 +189,13 @@ def test_classifier_is_monotone_in_its_features(spark):
 
 # -------------------------------------------------------------------- plan pins
 def test_url_dedup_is_projection_plus_bounded_exchanges(spark, sf_dir):
-    """Canonicalization must stay whole-stage-codegen column algebra — no
-    Python in the plan — and the rollup pays at most the two-phase
-    distinct-rewrite exchanges. Scan prunes to the three source columns."""
+    """Canonicalization must stay JVM-side column algebra — no Python in
+    the plan — and the rollup pays at most the two-phase distinct-rewrite
+    exchanges PLUS (round 13) the guarded ``spread_small_scan``
+    redistribution: a narrow 3-column hash exchange that exists only when
+    the source has fewer estimated splits than cores (always at fixture
+    scale, never at 100 TB — tests/test_round13_opt.py fences the guard).
+    Scan prunes to the three source columns."""
     from broadway_kinesis_spark.plans import (
         formatted_plan,
         read_schemas,
@@ -203,7 +207,9 @@ def test_url_dedup_is_projection_plus_bounded_exchanges(spark, sf_dir):
     # no-Python is the JVM-side/codegen proof here: the AQE wrapper hides
     # codegen ids on exchange-bearing plans until execution (audit.py note)
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
-    assert shuffle_count(df) <= 2, plan
+    assert shuffle_count(df) <= 3, plan
+    # the third exchange must be the guarded spread, nothing else
+    assert plan.count("REPARTITION_BY_NUM") <= 1, plan
     assert all(len(cols) <= 3 for cols in read_schemas(df)), read_schemas(df)
 
 
