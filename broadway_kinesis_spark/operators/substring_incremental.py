@@ -215,6 +215,10 @@ def incremental_substring_rows(
         .select("span")
     )
     flagged = spans.join(shared, "span").select("doc_id", "pos")
+    # count_distinct instead of distinct()+count (round 13, the inline
+    # twin's fix): one aggregate keyed by doc_id with a map-side partial
+    # dedup of (doc_id, t), not a delta-wide distinct exchange followed
+    # by a second count exchange.
     masked = (
         flagged.select(
             "doc_id",
@@ -222,9 +226,8 @@ def incremental_substring_rows(
                 F.sequence(F.col("pos"), F.col("pos") + (K_SPAN - 1))
             ).alias("t"),
         )
-        .distinct()
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_masked_tokens"))
+        .agg(F.count_distinct("t").alias("n_masked_tokens"))
     )
     per_doc_spans = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_spans")

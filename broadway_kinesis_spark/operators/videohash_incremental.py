@@ -269,6 +269,9 @@ def incremental_video_pairs(
         .filter(F.col("m1") < F.col("m2"))
         .select("m1", "m2")
         .distinct()
+        .cache()  # read twice — clip-id pruning + the intersection join —
+        # without it the probe-join subtree re-executes per consumer
+        # (round 13; the minhash channel's pattern)
     )
     # verify: complete signatures of CANDIDATE clips only, served from the
     # stored index + the delta's rows — version-N payloads never re-read.
