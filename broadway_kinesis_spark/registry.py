@@ -159,89 +159,74 @@ def _load_all_modules() -> None:
 # slots fill with the OLDEST-green rows so signal currency improves across
 # the registry. Any overflow must be declared in _DEFERRED explicitly.
 _PRIORITY: tuple[str, ...] = (
-    # Round-13 OPTIMIZATION window: demand is 53 — the round-13 build's
-    # chained-fold stales (the incremental channel matrix, persisted
-    # pair, split assignment, IVF fold, daily gate) PLUS every query
-    # whose dep-closure crosses this round's optimization edits
-    # (dedup.py candidate/verify rewrite + CPU-floor sizing, urls.py
-    # staged canonicalizer, pipeline_ops.py shuffle-volume fixes,
-    # substring_spans.py arithmetic rewrite, minhash_incremental.py
-    # cand cache). 53 > 50, so the window holds 50 REQUIRED queries
-    # (zero discretionary filler — the _DEFERRED legality condition)
-    # and the 3-query overflow is declared below. Every one of the 53
-    # was self-verified hash-exact with the driver-mirror harness
-    # (tools/oracle_check.py, sf0.01) in this round's session —
-    # OPTIMIZATION_r13.md "Correctness evidence".
-    "agg_histogram",
+    # Round-14 OPTIMIZATION window. Demand at rotation time is 3 — the
+    # three queries round 13 deferred (composite_curation_report and the
+    # two persisted split serving tiers), whose staleness survived the
+    # round-13 driver run because they sat outside the checked window.
+    # The window therefore holds them PLUS this round's planned-edit
+    # closure (dedup.py verify-join scale fix, the containment family's
+    # verify-split port, paragraphs.py re-measure — 37 further queries,
+    # so any of those edits keeps the window legal without a re-rotation)
+    # PLUS 10 oldest-green filler rows (round-8 confirmations — the
+    # stalest driver rows in the registry, per the mechanical
+    # oldest-green-first fill rule). _DEFERRED is empty again.
+    "composite_curation_report",
     "composite_dedup_recall",
     "composite_fuzzy_blocking_recall",
     "composite_local_supplier_volume",
     "composite_returned_items",
     "composite_shipping_priority",
     "composite_user_retention",
+    "dedup_boilerplate",
     "dedup_cluster_cc",
     "dedup_containment",
     "dedup_containment_bottomk",
     "dedup_containment_bottomk_persisted",
-    "dedup_decontaminate",
-    "dedup_decontaminate_bloom",
     "dedup_embedding_cosine",
     "dedup_exact_docs",
     "dedup_fuzzy_prefix",
     "dedup_incremental",
-    "dedup_incremental_audiohash",
     "dedup_incremental_containment",
     "dedup_incremental_embedding",
     "dedup_incremental_fuzzy",
     "dedup_incremental_fuzzy_tight",
-    "dedup_incremental_imagehash",
     "dedup_incremental_minhash",
     "dedup_incremental_minhash_90",
     "dedup_incremental_ngram",
     "dedup_incremental_persisted",
-    "dedup_incremental_semantic",
     "dedup_incremental_simhash",
-    "dedup_incremental_substring",
     "dedup_incremental_video",
     "dedup_keep_best",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_persisted",
+    "dedup_semantic",
     "dedup_simhash",
     "dedup_split_incremental_assign",
     "dedup_split_leakage_safe",
+    "dedup_split_leakage_safe_persisted",
     "dedup_split_leakage_safe_tiered",
-    "dedup_substring_spans",
-    "dedup_url_canonical",
+    "dedup_split_leakage_safe_tiered_persisted",
     "dedup_video_temporal",
-    "pack_sequences",
+    "join_left_outer",
+    "join_range_interval",
+    "join_semi",
+    "multimodal_audio_stats",
+    "multimodal_byte_features",
+    "multimodal_frame_sample",
+    "multimodal_image_stats",
+    "multimodal_metadata_stats",
     "pipeline_clean_corpus",
     "pipeline_clean_corpus_best",
     "pipeline_daily_increment",
-    "similarity_ann_ivf_incremental",
-    "similarity_quantize_int8",
-    "text_repetition_score",
-    "url_host_topk",
+    "pipeline_quality_funnel",
     )
 
 # Queries whose staleness rule demands a window slot but which the 50-slot
-# window cannot hold. Round 13 (optimization): demand is 53 (see the
-# _PRIORITY comment), overflow 3. Deferral choice: the three stale
-# queries whose changed dependency is the least behavior-adjacent to
-# them — the two PERSISTED split serving tiers (they serve stored pair
-# tables; build==serve equality is independently fenced in pytest, and
-# the dedup.py edit they inherit touches only the minhash/ngram/fuzzy
-# candidate+verify plans re-proven hash-exact this round) and the
-# curation REPORT composite (a one-row rollup over curation ops whose
-# pipeline_ops dependency is the quality-gate constants). All three hold
-# green driver rows and were re-verified hash-exact at sf0.01 by this
-# round's driver-mirror run, so the deferral defers driver
-# re-CONFIRMATION, not verification.
-_DEFERRED: tuple[str, ...] = (
-    "composite_curation_report",
-    "dedup_split_leakage_safe_persisted",
-    "dedup_split_leakage_safe_tiered_persisted",
-)
+# window cannot hold. Round 14: none — demand is 40 even after every
+# planned edit lands (see the _PRIORITY comment), so the overflow
+# mechanism is unused and the round-13 deferrals are rotated IN.
+_DEFERRED: tuple[str, ...] = ()
 
 
 def _ordered() -> list[Query]:
