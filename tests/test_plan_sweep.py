@@ -49,27 +49,10 @@ CARTESIAN_OK = {
         " the delta only (semantic_incremental.py)"
     ),
     "dedup_boilerplate": "boiler-segment array as a 1-row broadcast",
-    "dedup_ngram_jaccard": (
-        "HOT-shingle set as a 1-row broadcast array (round-13 verify"
-        " split: per-doc intersect against the tiny df>CAP set — the"
-        " boilerplate-edit pattern)"
-    ),
-    "composite_dedup_recall": (
-        "composes the ngram channel, inheriting its 1-row hot-shingle"
-        " broadcast (see dedup_ngram_jaccard)"
-    ),
-    "dedup_cluster_cc": (
-        "composes the ngram channel's pairs — inherited 1-row hot-shingle"
-        " broadcast (see dedup_ngram_jaccard)"
-    ),
-    "dedup_keep_best": (
-        "composes the ngram channel's pairs — inherited 1-row hot-shingle"
-        " broadcast (see dedup_ngram_jaccard)"
-    ),
-    "pipeline_clean_corpus_best": (
-        "composes keep_best over the ngram pairs — inherited 1-row"
-        " hot-shingle broadcast (see dedup_ngram_jaccard)"
-    ),
+    # round 14: the ngram channel's 1-row hot-shingle broadcast (and the
+    # five entries that inherited it) is GONE — the per-doc hot intersect
+    # now comes from a bounded left join against the hot TABLE, never a
+    # collected array (VERDICT r13 #1), so those whitelist entries with it.
     "pipeline_clean_corpus": "composes the 1-row quality-profile anchor",
     "mine_hard_negatives": "anchor-matrix scalar anchors (N_ANCHORS rows)",
     "similarity_topk_cosine": (
