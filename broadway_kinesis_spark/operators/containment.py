@@ -102,9 +102,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from broadway_kinesis_spark.session import size_shuffle_partitions
 
     # Shares the ngram index's shuffle-expansion profile: size partitions
-    # to the corpus before planning (no-op at fixture scale). cpu_bound
-    # (round 14): the post-shuffle stages (df count, pair explode, hot
-    # intersect) are CPU-heavy, so the count also floors at the cores.
+    # to the corpus before planning (no-op at fixture scale), cores floor
+    # included — the round-14 floor-removal experiment on the ngram twin
+    # showed the floor costs ~0.35 s of task overhead at sf0.1 but
+    # carries the candidate explode at x10 (3x regression without it;
+    # compressed text defeats the bytes rule — see minhash_candidates'
+    # note), and this operator shares that explode shape exactly.
     size_shuffle_partitions(spark, sf_dir, cpu_bound=True)
     from broadway_kinesis_spark.session import spread_small_scan
 

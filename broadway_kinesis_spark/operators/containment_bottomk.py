@@ -124,8 +124,11 @@ def dedup_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The probe bounds candidates by K·DF/doc but the verify still joins
     # full shingle streams: size partitions to the corpus before planning
-    # (no-op at fixture scale). cpu_bound (round 14): the md5 probe sort
-    # and the per-pair verify are CPU-heavy post-shuffle stages.
+    # (no-op at fixture scale), cores floor included — the probe join +
+    # distinct + verify run post-shuffle over data whose parquet bytes
+    # wildly under-state the work (compressed text; see
+    # minhash_candidates' round-14 note), and the floor costs only noise
+    # here at sf0.1 (1.49 vs 1.33 interleaved).
     size_shuffle_partitions(spark, sf_dir, cpu_bound=True)
     from broadway_kinesis_spark.session import spread_small_scan
 

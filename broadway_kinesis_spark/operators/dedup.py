@@ -296,12 +296,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard over the full shingle sets filters to >= {JACCARD_T}."""
     from broadway_kinesis_spark.session import size_shuffle_partitions
 
-    # The shingle explode + candidate self-join expand the corpus ~two
+    # The shingle explode + candidate explode expand the corpus ~two
     # orders of magnitude in-shuffle: size partitions to the corpus BEFORE
     # planning, or the x100 tier dies spilling at the session default
-    # (round-6 forensics). cpu_bound (round 13): the post-shuffle stages
-    # (window df-count, pair join, array-intersect verify) are CPU-heavy,
-    # so the count also floors at the session's cores.
+    # (round-6 forensics). cpu_bound keeps a cores floor under the bytes
+    # rule. Round 14 measured REMOVING it both ways before keeping it:
+    # sf0.1 pays ~0.5 s of task overhead for it (0.89 s without, 1.40
+    # with, interleaved), but at x10 the floor is what carries the
+    # candidate explode + group counts — text parquet compresses so hard
+    # (2.5 MB at x10) that the bytes rule says 8 partitions for ~30 s of
+    # shingle CPU, and the x10 key regressed 32.5 -> 98.5 s without the
+    # floor. The fixture overhead is the price of the scale posture.
     size_shuffle_partitions(spark, sf_dir, cpu_bound=True)
     from broadway_kinesis_spark.session import spread_small_scan
 
